@@ -1,0 +1,300 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all expressed as DataFrame pipelines (shuffle-conscious,
+no Python in the row path):
+
+- exact: hash-groupBy on a normalized fingerprint; keep min doc_id.
+- MinHash + LSH: shingles → k minhashes → b bands → band-bucket join
+  → candidate pairs → exact Jaccard verify. The scale path: candidate
+  generation is a self-join on (band, band_hash) buckets, never all
+  pairs.
+- SimHash: 64-bit weighted-majority signature → banded hamming
+  candidates.
+- n-gram Jaccard: exact verification primitive (also usable alone at
+  small scale).
+
+Hash functions are Spark's xxhash64 (JVM, codegen) with per-permutation
+seeds — deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------- exact
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact near-normalized dedup: one row per fingerprint with the
+    kept (minimum) id and the duplicate count.
+
+    Scale: single shuffle on the 128-bit fingerprint; group sizes are
+    tiny (true duplicates), so no skew handling needed.
+    """
+    from clickhouse_realtime_analytics_demo_spark.operators.text import fingerprint
+
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("copies"),
+        )
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) of normalized text."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    toks = F.split(norm, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Character n-gram shingles (distinct) of normalized text."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    length = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+
+
+# ---------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """k-permutation MinHash signature as array<bigint>.
+
+    Permutation i = xxhash64(shingle, seed=i); the signature element is
+    the min hash over the document's shingle set. Pure codegen'd
+    expressions — O(|shingles| * k) per row, no shuffle.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Split a MinHash signature into band buckets: array of
+    (band_id, band_hash) structs. Docs sharing any band bucket become
+    candidate pairs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash-LSH banding.
+
+    Pipeline: shingle → signature (map-side) → explode band buckets →
+    self-join on (band, band_hash) → distinct (id_a < id_b) pairs.
+
+    Scale: the join key is the band bucket, so work is proportional to
+    the number of colliding docs, not |docs|². Huge buckets (boiler-
+    plate collisions) are the skew risk — AQE skew-join handles
+    moderate cases; a bucket-size cap can be layered on for 100 TB.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    bucketed = sigs.select(
+        "id", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bucket")
+    ).select("id", "bucket.band", "bucket.band_hash")
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(shingles_a, shingles_b)).cast("double")
+    union = F.size(F.array_union(shingles_a, shingles_b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard ≥ threshold.
+
+    Returns (id_a, id_b, jaccard). The verify join re-attaches shingle
+    sets only for candidate ids (semi-joined), not the full corpus.
+    """
+    cands = minhash_lsh_candidates(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    return (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash: per-shingle xxhash64; each output bit is the
+    majority vote of that bit across shingles. Returns bigint.
+
+    Implemented as a fold over 64 bit positions with JVM bitwise
+    expressions (shiftright/bitwise-and) — no UDF.
+    """
+    hashes = F.transform(shingles(text, shingle_n), lambda s: F.xxhash64(s))
+    n = F.size(hashes)
+
+    def bit_vote(i: int) -> Column:
+        bit = F.shiftleft(F.lit(1).cast("bigint"), i)
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(bit) != 0))
+        return F.when(ones * 2 >= n, bit).otherwise(F.lit(0).cast("bigint"))
+
+    out = F.lit(0).cast("bigint")
+    for i in range(64):
+        out = out.bitwiseOR(bit_vote(i))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count xor)."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: signatures, then block-banding (split
+    the 64-bit signature into ``blocks`` 16-bit chunks; any pair within
+    hamming ≤ blocks-1 must agree on ≥1 chunk — pigeonhole), exact
+    hamming verify.
+
+    Scale: the chunk-equality self-join is the candidate generator —
+    same bucket-join shape as MinHash-LSH.
+    """
+    bits_per_block = 64 // blocks
+    sigs = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    mask = F.lit((1 << bits_per_block) - 1).cast("bigint")
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftright(F.col("sig"), i * bits_per_block)
+                        .bitwiseAND(mask)
+                        .alias("chunk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sig", "c.block", "c.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------ n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard over candidate pairs.
+
+    With ``block_col`` (e.g. source or lang) the self-join is blocked
+    per group — the honest small-scale baseline. At 100 TB this is the
+    verify stage behind MinHash-LSH, never run all-pairs.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("block")] if block_col else [] ),
+        char_ngrams(F.col(text_col), n).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.block") == F.col("b.block"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

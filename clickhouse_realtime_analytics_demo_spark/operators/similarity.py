@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: exact baseline. The dot product is a
+  sequential JVM fold (``F.aggregate`` over ``zip_with``) — order-
+  deterministic, codegen'd, no Python.
+- LSH-bucketed ANN (random hyperplane signs): the scale path — hash
+  each vector to a signature, probe only matching buckets.
+- Embedding-cosine near-dup: all candidate pairs with cosine ≥ t,
+  LSH-blocked.
+
+At 100 TB the brute-force path is a broadcast of the (small) query
+set against a partitioned scan — linear, no shuffle; the LSH path cuts
+the scanned fraction by bucketing.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _to_double(a), _to_double(b)
+    return dot(da, db) / (norm(da) * norm(db))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of one stored vector.
+
+    Plan: 1-row query vector broadcast → map-side cosine per row →
+    TakeOrderedAndProject top-k (no global sort). Tie-break on id.
+    """
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("query_vec")
+    )
+    return (
+        embeddings.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "neighbor_id")
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH signature: bit i = (vec · plane_i) >= 0. Returns bigint."""
+    dvec = _to_double(vec)
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(dvec, plane_col) >= 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only vectors sharing the query's LSH
+    bucket (plus re-rank by exact cosine).
+
+    Scale: the bucket filter turns a full scan into ~1/2^planes of the
+    data; signatures are computed once at write time in a real
+    deployment (here inline).
+    """
+    planes = random_hyperplanes(dim, num_planes, seed)
+    with_sig = embeddings.withColumn("lsh_sig", lsh_signature(F.col(vec_col), planes))
+    q = with_sig.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("query_vec"), F.col("lsh_sig").alias("query_sig")
+    )
+    return (
+        with_sig.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("lsh_sig") == F.col("query_sig"))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "neighbor_id")
+        .limit(k)
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket self-join →
+    exact-cosine verify ≥ threshold. Same candidate-generation shape
+    as MinHash-LSH text dedup."""
+    planes = random_hyperplanes(dim, num_planes, seed)
+    sigs = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,102 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + word-regex), and
+document fingerprinting (normalized-text hash). Everything is built
+from JVM-side expressions — no Python in the row path — so the
+operators run inside whole-stage codegen and scale linearly with
+partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the heuristic language ID.
+# Ordered dict → deterministic argmax tie-breaking (first wins).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "und", "die", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "las", "que", "es"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty → empty array)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def word_chars(text: Column) -> Column:
+    """Count of alphanumeric characters."""
+    return F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", "")).cast("bigint")
+
+
+def punct_chars(text: Column) -> Column:
+    """Count of non-alphanumeric, non-whitespace characters."""
+    return F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("bigint")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """How many tokens are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*words))).cast("bigint")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+
+
+def predict_lang(text: Column) -> Column:
+    """Argmax language by stopword hits; 'unknown' when all zero.
+
+    Deterministic tie-break: language order in STOPWORDS (a CASE
+    chain, first max wins) — identical in the SQL oracle.
+    """
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    result = F.lit("unknown")
+    # Build the CASE chain in reverse so earlier languages win ties.
+    for lang in reversed(list(scores)):
+        result = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Composite quality in [0,1]: length band + word-char ratio.
+
+    Mirrors common pretraining heuristics (C4/Gopher-style length and
+    symbol-ratio rules) with a deterministic closed form:
+      0.5 * min(n_tokens/50, 1) + 0.5 * (word_chars / n_chars)
+    """
+    len_part = F.least(token_count(text).cast("double") / F.lit(50.0), F.lit(1.0))
+    char_part = word_chars(text).cast("double") / F.greatest(
+        n_chars.cast("double"), F.lit(1.0)
+    )
+    return (F.lit(0.5) * len_part + F.lit(0.5) * char_part).cast("double")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercase, whitespace collapsed, trimmed). The exact-dedup key."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full feature set to a documents DataFrame."""
+    t = F.col(text_col)
+    return (
+        docs.withColumn("n_tokens", token_count(t))
+        .withColumn("word_chars", word_chars(t))
+        .withColumn("punct_chars", punct_chars(t))
+        .withColumn("predicted_lang", predict_lang(t))
+        .withColumn("quality", quality_score(t, F.col("n_chars")))
+        .withColumn("fingerprint", fingerprint(t))
+    )

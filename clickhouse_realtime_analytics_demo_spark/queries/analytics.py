@@ -1,0 +1,320 @@
+"""Complex analytics mirroring the reference's refreshable MVs and
+live-dashboard queries (SURVEY.md §2.3 J3-J9, §2.5, §2.9 ST4/ST5):
+time bucketing, sessionization, cohort retention, RFM, KPI snapshot.
+
+These run as scheduled batch jobs in the engine (see
+``streaming.refresh``) exactly like the reference's ``REFRESH EVERY
+1 HOUR`` MVs (05-add-refreshable-mvs.sql.disabled); here each is also
+exposed as a standalone query for the correctness harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_realtime_analytics_demo_spark.catalog import table
+from clickhouse_realtime_analytics_demo_spark.queries._det import money_sum
+from clickhouse_realtime_analytics_demo_spark.queries.registry import register
+
+# Fixed "now" anchor just past the events table's max ts (2024-01-30)
+# — the reference's now()-relative queries are parameterized on a
+# frozen clock for determinism (SURVEY §7 hard-parts).
+ANCHOR_DATE = "2024-01-31"
+
+
+@register(
+    "hourly_event_matrix",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(HOUR(ts) AS INTEGER) AS event_hour,
+           event_type,
+           COUNT(*) AS events,
+           COUNT(DISTINCT user_id) AS unique_users
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY event_date, event_hour, event_type
+    """,
+)
+def hourly_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key hour×type matrix — the mv_hourly_events shape (A7:
+    01-create-tables.sql:136-152 GROUP BY date, hour, type, …).
+
+    toDate/toHour → to_date/hour (§2.8 function map).
+    """
+    events = table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.to_date("ts").alias("event_date"),
+            F.hour("ts").alias("event_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("events"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .orderBy("event_date", "event_hour", "event_type")
+    )
+
+
+@register(
+    "minute_timeline",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS minute,
+           COUNT(*) AS events
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-30 20:00:00'
+    GROUP BY 1
+    ORDER BY minute
+    """,
+)
+def minute_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute live timeline (ST4: app_interactive.py:224-234
+    ``toStartOfMinute`` buckets over the recent window)."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("ts") >= F.lit("2024-01-30 20:00:00").cast("timestamp"))
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count("*").alias("events"))
+        .orderBy("minute")
+    )
+
+
+@register(
+    "session_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS session_start,
+           COUNT(*) AS events,
+           COUNT(DISTINCT event_type) AS distinct_event_types,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, session_start
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval sessionization (ST5: sample_queries.sql:414-438
+    ``toStartOfInterval(ts, INTERVAL 30 MINUTE)`` per user).
+
+    The reference uses fixed 30-min buckets, NOT gap-based sessions —
+    we copy that exactly (epoch//1800). Gap sessions exist separately
+    in ``streaming.sessions`` via session_window.
+    """
+    events = table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 1800) * 1800)
+    return (
+        events.groupBy("user_id", bucket.alias("session_start"))
+        .agg(
+            F.count("*").alias("events"),
+            F.countDistinct("event_type").alias("distinct_event_types"),
+            money_sum(F.col("value")).alias("session_value"),
+        )
+        .filter(F.col("events") >= 3)
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT f.cohort_day AS cohort_day,
+           CAST(a.active_day - f.cohort_day AS INTEGER) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM activity a
+    JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (05-add-refreshable-mvs.sql.disabled:
+    107-147: first-activity cohort × dateDiff offset × distinct users).
+
+    Scale: both sides pre-aggregate to one row per (user, day) before
+    the join; the join key is user_id (high cardinality, well
+    distributed).
+    """
+    events = table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    activity = events.select("user_id", F.to_date("ts").alias("active_day")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "user_rfm",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(DATE '{ANCHOR_DATE}' - MAX(CAST(ts AS DATE)) AS BIGINT) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS INTEGER) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS INTEGER) AS m_score
+    FROM base
+    ORDER BY user_id
+    """,
+)
+def user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM scoring (05-add-refreshable-mvs.sql.disabled:55-99: recency
+    via dateDiff from a fixed anchor, frequency, monetary, quintile
+    scores). Unpartitioned ntile windows run on the per-user aggregate
+    (bounded by |users|); each ORDER BY tie-breaks on user_id.
+    """
+    events = table(spark, sf_dir, "events")
+    base = events.groupBy("user_id").agg(
+        F.datediff(F.lit(ANCHOR_DATE).cast("date"), F.max(F.to_date("ts")))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        money_sum(F.col("value")).alias("monetary"),
+    )
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("recency_days", "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m_score"),
+    ).orderBy("user_id")
+
+
+@register(
+    "kpi_snapshot",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM events) AS total_events,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS active_users,
+           (SELECT COUNT(*) FROM events WHERE event_type = 'purchase') AS purchases,
+           (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            FROM events WHERE event_type = 'purchase') AS purchase_value,
+           (SELECT COUNT(*) FROM orders) AS total_orders,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM orders WHERE o_orderstatus = 'F') AS finished_revenue,
+           (SELECT CAST(COUNT(*) AS DOUBLE) FROM events WHERE event_type = 'purchase')
+             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM events WHERE event_type = 'view')
+             AS view_to_purchase_rate
+    """,
+)
+def kpi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-KPI snapshot row of independent scalar metrics (J9:
+    05-add-refreshable-mvs.sql.disabled:198-223 — 14 scalar subqueries
+    into one ReplacingMergeTree row).
+
+    Spark: conditional aggregation collapses the event-side subqueries
+    into ONE scan of events + one scan of orders, crossJoined — far
+    fewer passes than the reference's 14 independent subqueries.
+    """
+    events = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    is_purchase = F.col("event_type") == "purchase"
+    ev = events.agg(
+        F.count("*").alias("total_events"),
+        F.countDistinct("user_id").alias("active_users"),
+        F.count_if(is_purchase).alias("purchases"),
+        F.sum(F.when(is_purchase, F.col("value").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("purchase_value"),
+        (
+            F.count_if(is_purchase).cast("double")
+            / F.count_if(F.col("event_type") == "view").cast("double")
+        ).alias("view_to_purchase_rate"),
+    )
+    od = orders.agg(
+        F.count("*").alias("total_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("finished_revenue"),
+    )
+    return ev.crossJoin(od).select(
+        "total_events",
+        "active_users",
+        "purchases",
+        "purchase_value",
+        "total_orders",
+        "finished_revenue",
+        "view_to_purchase_rate",
+    )
+
+
+@register(
+    "monthly_order_trend",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INTEGER) AS yyyymm,
+           COUNT(*) AS orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+    ORDER BY order_month
+    """,
+)
+def monthly_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month bucketing + toYYYYMM partition-key math (§2.8:
+    toStartOfMonth 05:115, toYYYYMM 01-create-tables.sql:50; monthly
+    revenue app.py:178-195). The yyyymm int mirrors the reference's
+    partition expression; on a partitioned lake this predicate prunes
+    to 24 monthly partitions."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("yyyymm"),
+        )
+        .agg(F.count("*").alias("orders"), money_sum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "weekly_active_users",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           COUNT(DISTINCT user_id) AS weekly_users,
+           COUNT(*) AS events
+    FROM events
+    GROUP BY 1
+    ORDER BY week_start
+    """,
+)
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-week bucketing (§2.8: ``toMonday`` 05:116,124 = Spark/DuckDB
+    ``date_trunc('week', …)``, both Monday-start)."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date(F.date_trunc("week", "ts")).alias("week_start"))
+        .agg(
+            F.countDistinct("user_id").alias("weekly_users"),
+            F.count("*").alias("events"),
+        )
+        .orderBy("week_start")
+    )

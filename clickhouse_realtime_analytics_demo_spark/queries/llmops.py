@@ -1,0 +1,230 @@
+"""Training-data pipeline queries over documents/embeddings
+(beyond-reference surface: dedup, similarity, text analysis).
+
+Oracle notes: DuckDB mirrors exist for md5 fingerprints, token/char
+regex counting, and language ID (same deterministic formulas).
+MinHash/SimHash entries are rows-only — their xxhash64 permutations
+have no DuckDB equivalent (the exact-Jaccard VERIFY stage is oracle-
+checked instead via ``ngram_jaccard_sample``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_realtime_analytics_demo_spark.catalog import table
+from clickhouse_realtime_analytics_demo_spark.operators import dedup, similarity, text
+from clickhouse_realtime_analytics_demo_spark.queries.registry import register
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY fingerprint
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text md5; keep min doc_id.
+
+    The hash-groupBy baseline every pipeline needs; one shuffle on the
+    fingerprint.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).orderBy("fingerprint")
+
+
+@register(
+    "doc_text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(length(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS BIGINT)
+             AS total_word_chars,
+           CAST(SUM(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))) AS BIGINT)
+             AS total_punct_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + character-class quality inputs per language.
+
+    All JVM regex expressions (codegen) — the standard text-quality
+    feature pass of a pretraining pipeline.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(text.token_count(t)).alias("total_tokens"),
+            F.sum(text.word_chars(t)).alias("total_word_chars"),
+            F.sum(text.punct_chars(t)).alias("total_punct_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+    return (
+        "length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+        f" t -> list_contains([{words}], t)))"
+    )
+
+
+_BEST_SQL = "GREATEST(" + ", ".join(_lang_score_sql(lg) for lg in text.STOPWORDS) + ")"
+_PRED_SQL = "CASE "
+for _lg in text.STOPWORDS:
+    _PRED_SQL += f"WHEN {_BEST_SQL} > 0 AND {_lang_score_sql(_lg)} = {_BEST_SQL} THEN '{_lg}' "
+_PRED_SQL += "ELSE 'unknown' END"
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    SELECT lang AS labeled_lang,
+           {_PRED_SQL} AS predicted_lang,
+           COUNT(*) AS docs
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY labeled_lang, predicted_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (stopword argmax) × labeled lang confusion
+    matrix. Deterministic tie-break = STOPWORDS declaration order on
+    both sides."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            text.predict_lang(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+@register(
+    "doc_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(0.5 * LEAST(CAST(length(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 50.0,
+                            1.0)
+                + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                         / GREATEST(CAST(n_chars AS DOUBLE), 1.0)) AS DOUBLE) AS quality
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document composite quality score (length band + word-char
+    ratio — C4/Gopher-style heuristics in closed deterministic form)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", text.quality_score(F.col("text"), F.col("n_chars")).alias("quality")
+    ).orderBy("doc_id")
+
+
+@register(
+    "ngram_jaccard_sample",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) - 2, 1)),
+                   i -> substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), CAST(i AS INTEGER), 3)
+               )) AS sh
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(length(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+    FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(length(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard pairs (blocked by source) on a doc_id
+    sample — the oracle-checked verify stage of near-dup detection."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return (
+        dedup.ngram_jaccard_pairs(docs, threshold=0.3, n=3, block_col="source")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("dedup_minhash")  # rows-only: xxhash64 permutations have no DuckDB twin
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) near-dup pairs verified by exact
+    word-3-gram Jaccard ≥ 0.5. Candidate generation is the banded
+    bucket join — the 100 TB-scalable shape."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash")  # rows-only: same hash-portability reason
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 3) via 16-bit block
+    banding + exact hamming verify."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_dedup_pairs(docs).orderBy("id_a", "id_b")
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS neighbor_id,
+           ROUND(
+             list_sum(list_transform(list_zip(e.embedding, q.qv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * SQRT(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY cosine_sim DESC, neighbor_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 — the exact ANN
+    baseline. Broadcast 1-row query → map-side cosine →
+    TakeOrderedAndProject."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, query_id=0, k=10)
+
+
+@register("ann_lsh_topk")  # rows-only: hyperplane RNG not portable to SQL
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-10 for vec_id=0 — the scale path
+    (probe one bucket instead of the full corpus)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, query_id=0, k=10)
+
+
+@register("embedding_near_dups")  # rows-only (LSH blocking)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH-blocked, exact-cosine
+    verified ≥ 0.95)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.95).orderBy("id_a", "id_b")

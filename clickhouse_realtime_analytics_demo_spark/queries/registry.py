@@ -1,0 +1,57 @@
+"""Query registry: one entry per implemented operator from SURVEY.md §2.
+
+Each query is a callable ``(spark, sf_dir) -> DataFrame`` plus an
+optional DuckDB-runnable ANSI-SQL oracle string. The driver (and our
+local tests) run both and hash-compare the results, so:
+
+- every computed column is aliased IDENTICALLY on both sides,
+- floating-point aggregates are made order-independent (see helpers
+  in ``queries._det``) so partial aggregation on 32 (or 32,000)
+  partitions produces bit-identical results to a single-threaded
+  oracle,
+- no wall-clock functions (``now()``/``current_date()``) appear in
+  oracle-checked paths — predicates use literals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB-runnable ANSI SQL, or None for rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    # Import side-effect modules on first use so the registry is filled.
+    from clickhouse_realtime_analytics_demo_spark.queries import (  # noqa: F401
+        aggregates,
+        analytics,
+        llmops,
+        relational,
+        windows,
+    )
+
+    return dict(_REGISTRY)
