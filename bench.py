@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the total wall-clock of all headline queries (each timed to
+full materialization via collect). A warmup query runs first so JVM/
+codegen startup isn't billed to the first headline entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from clickhouse_realtime_analytics_demo_spark.queries import all_queries  # noqa: E402
+from clickhouse_realtime_analytics_demo_spark.session import get_spark  # noqa: E402
+
+# Headline set: the reference's dashboard workload (daily/hourly/top-k/
+# funnel/MV-class analytics) + the training-data-pipeline heavies.
+HEADLINE = (
+    "daily_events",
+    "hourly_event_matrix",
+    "event_type_stats",
+    "segment_revenue",
+    "nation_revenue",
+    "top_parts_per_brand",
+    "top_customers",
+    "session_stats",
+    "cohort_retention",
+    "user_rfm",
+    "kpi_snapshot",
+    "copurchased_parts",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_cosine_topk",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf")) if Path(sf_dir).name.startswith("sf") else 0.1
+    spark = get_spark(app_name="bench")
+    registry = all_queries()
+
+    # Warmup: JVM, codegen, parquet footer caches.
+    registry["table_counts"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -68,40 +68,29 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------- MinHash + LSH
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """k-permutation MinHash signature as array<bigint>.
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k-permutation MinHash signatures as one column per permutation.
 
-    Permutation i = xxhash64(shingle, seed=i); the signature element is
-    the min hash over the document's shingle set. Pure codegen'd
-    expressions — O(|shingles| * k) per row, no shuffle.
+    The scalable formulation: explode shingles to (id, shingle) rows,
+    hash each shingle k ways map-side, take per-id MIN of each —
+    partial aggregation handles the min before the single shuffle on
+    id. (A nested-array per-row expression would be re-evaluated k
+    times by projection collapse — measured 70× slower.)
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
-
-
-def lsh_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
-    """Split a MinHash signature into band buckets: array of
-    (band_id, band_hash) structs. Docs sharing any band bucket become
-    candidate pairs."""
-    return F.array(
+    return exploded.groupBy("id").agg(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+            for i in range(num_hashes)
         ]
     )
 
@@ -116,8 +105,9 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash-LSH banding.
 
-    Pipeline: shingle → signature (map-side) → explode band buckets →
-    self-join on (band, band_hash) → distinct (id_a < id_b) pairs.
+    Pipeline: shingle → signature (explode + min-agg) → per-band
+    bucket hash → self-join on (band, band_hash) → distinct
+    (id_a < id_b) pairs.
 
     Scale: the join key is the band bucket, so work is proportional to
     the number of colliding docs, not |docs|². Huge buckets (boiler-
@@ -125,12 +115,24 @@ def minhash_lsh_candidates(
     moderate cases; a bucket-size cap can be layered on for 100 TB.
     """
     rows_per_band = num_hashes // bands
-    sigs = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    )
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
     bucketed = sigs.select(
-        "id", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bucket")
+        "id", F.explode(F.array(*band_structs)).alias("bucket")
     ).select("id", "bucket.band", "bucket.band_hash")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
@@ -182,25 +184,41 @@ def minhash_dedup_pairs(
 # --------------------------------------------------------------- SimHash
 
 
-def simhash64(text: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash: per-shingle xxhash64; each output bit is the
-    majority vote of that bit across shingles. Returns bigint.
+def simhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """64-bit SimHash per doc: each output bit is the majority vote of
+    that bit across the doc's shingle hashes.
 
-    Implemented as a fold over 64 bit positions with JVM bitwise
-    expressions (shiftright/bitwise-and) — no UDF.
+    Explode → one xxhash64 per shingle → 64 ±1-vote sums per id
+    (all partial-aggregated map-side; one shuffle on id) → assemble
+    the signature from the vote signs. Majority ⇔ sum(±1) ≥ 0.
     """
-    hashes = F.transform(shingles(text, shingle_n), lambda s: F.xxhash64(s))
-    n = F.size(hashes)
-
-    def bit_vote(i: int) -> Column:
-        bit = F.shiftleft(F.lit(1).cast("bigint"), i)
-        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(bit) != 0))
-        return F.when(ones * 2 >= n, bit).otherwise(F.lit(0).cast("bigint"))
-
-    out = F.lit(0).cast("bigint")
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("h"))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1).cast("bigint")) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
     for i in range(64):
-        out = out.bitwiseOR(bit_vote(i))
-    return out
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"v{i}") >= 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return votes.select("id", sig.alias("sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -224,7 +242,7 @@ def simhash_dedup_pairs(
     same bucket-join shape as MinHash-LSH.
     """
     bits_per_block = 64 // blocks
-    sigs = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    sigs = simhash_signatures(docs, text_col, id_col)
     mask = F.lit((1 << bits_per_block) - 1).cast("bigint")
     chunks = sigs.select(
         "id",
