@@ -1,0 +1,66 @@
+"""Lake writer: month-partitioned, sort-keyed parquet tables.
+
+Re-expresses the reference's storage optimizations (SURVEY §4 X1/X2/
+X7) as Spark/parquet equivalents:
+
+- ``PARTITION BY toYYYYMM(date)`` → hive-style ``partitionBy(yyyymm)``
+  directory partitioning (Catalyst prunes partitions from predicates
+  on the partition column — and on the source date column via the
+  derived yyyymm predicate helper below).
+- ``ORDER BY (k1, k2, …)`` sparse primary index →
+  ``sortWithinPartitions(k1, k2, …)`` before write: parquet row-group
+  min/max stats on sorted data give the same granule-skipping.
+- codecs → ZSTD parquet compression (session default) + dictionary
+  encoding (automatic).
+
+At 100 TB: writers also ``repartition(N, partition_col)`` so each
+month lands in a bounded number of files; N scales with cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_realtime_analytics_demo_spark.sources.schemas import (
+    PARTITION_MONTH,
+    SORT_KEYS,
+)
+
+
+def yyyymm(col_name: str) -> F.Column:
+    return (F.year(col_name) * 100 + F.month(col_name)).cast("int")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    name: str,
+    mode: str = "overwrite",
+    files_per_month: int | None = None,
+) -> None:
+    """Write a reference-shaped table with its partitioning + sort."""
+    sort_keys = SORT_KEYS.get(name, ())
+    month_src = PARTITION_MONTH.get(name)
+    if month_src is not None:
+        df = df.withColumn("yyyymm", yyyymm(month_src))
+        if files_per_month:
+            df = df.repartition(files_per_month, "yyyymm")
+        writer = (
+            df.sortWithinPartitions("yyyymm", *sort_keys)
+            .write.mode(mode)
+            .partitionBy("yyyymm")
+        )
+    else:
+        writer = df.sortWithinPartitions(*sort_keys).write.mode(mode)
+    writer.parquet(f"{path}/{name}")
+
+
+def read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/{name}")
+
+
+def month_predicate(col_name: str, start_yyyymm: int, end_yyyymm: int) -> F.Column:
+    """Partition-pruning helper: wrap a date-range filter with the
+    derived yyyymm bounds so the scan prunes whole months."""
+    return (F.col("yyyymm") >= start_yyyymm) & (F.col("yyyymm") <= end_yyyymm)

@@ -1,0 +1,77 @@
+"""Refreshable (scheduled) materialized views (SURVEY §2.9 ST10).
+
+The reference's 5 refreshable MVs recompute on timers — 1 h top
+products, 6 h CLV/RFM, 12 h cohort retention, 1 d market basket +
+daily KPI (05-add-refreshable-mvs.sql.disabled:18,56,108,156,199).
+
+Spark analog: a scheduler thread that runs a batch job per MV on its
+cadence and atomically swaps an overwrite snapshot — the
+ReplacingMergeTree keep-latest upsert (05:200) degenerates to
+mode("overwrite") for full-snapshot refreshes.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class RefreshJob:
+    name: str
+    build: Callable[[SparkSession], DataFrame]
+    interval_seconds: float
+    path: str
+    last_run: float = 0.0
+    runs: int = 0
+
+
+class RefreshScheduler:
+    """Runs registered snapshot jobs on their cadence until stopped."""
+
+    def __init__(self, spark: SparkSession, tick_seconds: float = 1.0) -> None:
+        self._spark = spark
+        self._jobs: dict[str, RefreshJob] = {}
+        self._tick = tick_seconds
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def register(
+        self,
+        name: str,
+        build: Callable[[SparkSession], DataFrame],
+        interval_seconds: float,
+        path: str,
+    ) -> None:
+        self._jobs[name] = RefreshJob(name, build, interval_seconds, path)
+
+    def refresh_now(self, name: str) -> None:
+        """Force one refresh (also used by the scheduler loop)."""
+        job = self._jobs[name]
+        job.build(self._spark).write.mode("overwrite").parquet(job.path)
+        job.last_run = time.monotonic()
+        job.runs += 1
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            now = time.monotonic()
+            for job in self._jobs.values():
+                if now - job.last_run >= job.interval_seconds:
+                    try:
+                        self.refresh_now(job.name)
+                    except Exception:  # noqa: BLE001 — keep other jobs alive
+                        pass
+            self._stop.wait(self._tick)
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=10)

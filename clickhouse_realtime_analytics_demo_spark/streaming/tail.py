@@ -1,0 +1,78 @@
+"""Change-tail / live-feed (SURVEY §2.1 S7, §2.9 ST8).
+
+The reference implements a poll-based change tail in the app:
+``WHERE event_id > {cursor} ORDER BY event_id LIMIT 50`` each second,
+pushed to browsers over SSE (app_interactive.py:38-89).
+
+Two Spark forms:
+
+- ``poll()``: the exact cursor-query semantics as a batch read —
+  monotonic event_id cursor, top-k by id (TakeOrderedAndProject; the
+  sorted scan prunes via parquet min/max on event_id).
+- ``EventTail``: the push form — a Structured Streaming file-source
+  query appending new rows into a bounded in-memory ring buffer that
+  an SSE generator can drain (the memory-sink analog without holding
+  an unbounded memory table).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import deque
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_realtime_analytics_demo_spark.sources import schemas
+
+
+def poll(
+    events: DataFrame, last_event_id: int, limit: int = 50, id_col: str = "event_id"
+) -> DataFrame:
+    """Cursor poll: rows after the cursor, oldest first, bounded."""
+    return (
+        events.filter(F.col(id_col) > last_event_id).orderBy(F.asc(id_col)).limit(limit)
+    )
+
+
+class EventTail:
+    """Streaming tail of an events directory into a ring buffer.
+
+    ``drain(cursor)`` returns (rows, new_cursor) — the SSE generator
+    loop calls it once per second, mirroring the reference's 1 s poll.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        checkpoint_dir: str,
+        capacity: int = 10_000,
+        trigger_seconds: int = 1,
+    ) -> None:
+        self._buffer: deque[dict] = deque(maxlen=capacity)
+        self._lock = threading.Lock()
+        self._cursor = 0
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            rows = [r.asDict() for r in batch.orderBy("event_id").collect()]
+            with self._lock:
+                self._buffer.extend(rows)
+
+        self.query = (
+            spark.readStream.schema(schemas.EVENTS)
+            .parquet(source_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
+
+    def drain(self, after_event_id: int = 0, limit: int = 50) -> tuple[list[dict], int]:
+        with self._lock:
+            rows = [r for r in self._buffer if r["event_id"] > after_event_id][:limit]
+        new_cursor = rows[-1]["event_id"] if rows else after_event_id
+        return rows, new_cursor
+
+    def stop(self) -> None:
+        self.query.stop()

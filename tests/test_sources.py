@@ -1,0 +1,52 @@
+"""Generator determinism + writer partitioning/sorting (SURVEY §5 #4)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from clickhouse_realtime_analytics_demo_spark.sources import generator, schemas, writer
+
+
+def test_generator_deterministic_across_parallelism(spark):
+    a = generator.events(spark, n=2000, n_users=100, partitions=2).collect()
+    b = generator.events(spark, n=2000, n_users=100, partitions=16).collect()
+    assert sorted(a) == sorted(b)
+
+
+def _shape(schema):
+    return [(f.name, f.dataType) for f in schema.fields]
+
+
+def test_generator_schema_matches(spark):
+    # names + types must match the declared DDL schemas (nullability is
+    # loosened by expression derivation — acceptable)
+    assert _shape(generator.events(spark, n=10).schema) == _shape(schemas.EVENTS)
+    assert _shape(generator.users(spark, n=10).schema) == _shape(schemas.USERS)
+    assert _shape(generator.products(spark, n=10).schema) == _shape(schemas.PRODUCTS)
+    assert _shape(generator.orders(spark, n=10).schema) == _shape(schemas.ORDERS)
+
+
+def test_generator_domains(spark):
+    ev = generator.events(spark, n=5000, n_users=50)
+    types = {r[0] for r in ev.select("event_type").distinct().collect()}
+    assert types <= set(generator.EVENT_TYPES)
+    # page_view should dominate (40% weight)
+    counts = dict(ev.groupBy("event_type").count().collect())
+    assert counts["page_view"] == max(counts.values())
+    # revenue only on purchases
+    assert ev.filter((F.col("event_type") != "purchase") & (F.col("revenue") != 0)).count() == 0
+
+
+def test_writer_month_partitions_and_sort(spark, tmp_path):
+    ev = generator.events(spark, n=3000, n_users=100)
+    writer.write_table(ev, str(tmp_path), "events")
+    parts = sorted(p.name for p in Path(tmp_path, "events").glob("yyyymm=*"))
+    assert parts, "expected yyyymm=... partition dirs"
+    back = writer.read_table(spark, str(tmp_path), "events")
+    assert back.count() == 3000
+    # partition pruning: filtering one month must read a subset
+    one_month = int(parts[0].split("=")[1])
+    pruned = back.filter(F.col("yyyymm") == one_month)
+    assert 0 < pruned.count() < 3000

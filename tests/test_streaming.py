@@ -1,0 +1,113 @@
+"""Streaming tests (SURVEY §5 #2/#3): MV-equivalence after arbitrary
+ingest prefixes, change-tail cursor semantics, TTL retention."""
+
+from __future__ import annotations
+
+import time
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_realtime_analytics_demo_spark.sources import generator, writer
+from clickhouse_realtime_analytics_demo_spark.streaming import mv, retention, tail
+
+
+def _rows(df, keys):
+    return sorted([tuple(r) for r in df.collect()], key=repr)
+
+
+def _ingest_batches(spark, src_dir, batches):
+    """Write N successive event batches as separate parquet files —
+    the INSERT-block stream."""
+    offset = 0
+    for n in batches:
+        generator.events(spark, n=n, n_users=50, id_offset=offset, partitions=2).write.mode(
+            "append"
+        ).parquet(src_dir)
+        offset += n
+    return offset
+
+
+MV_NAMES = (
+    "daily_user_activity",
+    "mv_country_stats",
+    "mv_hourly_events",
+    "mv_product_revenue",
+    "mv_user_funnel",
+)
+
+
+@pytest.mark.parametrize("mv_name", MV_NAMES)
+def test_mv_equivalence_after_stream(spark, tmp_path, mv_name):
+    """read_final(mv_table) == direct batch aggregation over all data
+    ingested so far — the defining MV invariant."""
+    spec = mv.mv_specs()[mv_name]
+    src = str(tmp_path / "src")
+    mv_path = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+
+    gen = generator.events if spec.source == "events" else generator.orders
+    offset = 0
+    for n in (400, 300, 300):
+        gen(spark, n=n, id_offset=offset, partitions=2).write.mode("append").parquet(src)
+        offset += n
+
+    q = mv.start_incremental(spark, src, mv_path, spec, ckpt, max_files_per_trigger=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = mv.read_final(spark, mv_path, spec)
+    want = mv.batch_equivalent(spark.read.parquet(src), spec)
+    assert sorted(got.columns) == sorted(want.columns)
+    got_rows = _rows(got.select(*sorted(got.columns)), spec.keys)
+    want_rows = _rows(want.select(*sorted(want.columns)), spec.keys)
+    assert got_rows == want_rows
+
+    # compaction must not change reader results
+    mv.compact(spark, mv_path, spec)
+    after = _rows(
+        mv.read_final(spark, mv_path, spec).select(*sorted(got.columns)), spec.keys
+    )
+    assert after == got_rows
+
+
+def test_tail_poll_cursor(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _ingest_batches(spark, src, [200])
+    events = spark.read.parquet(src)
+    first = tail.poll(events, last_event_id=0, limit=50).collect()
+    assert [r.event_id for r in first] == list(range(1, 51))
+    nxt = tail.poll(events, last_event_id=first[-1].event_id, limit=50).collect()
+    assert [r.event_id for r in nxt] == list(range(51, 101))
+    # cursor past the end -> empty
+    assert tail.poll(events, last_event_id=10_000).count() == 0
+
+
+def test_event_tail_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _ingest_batches(spark, src, [100])
+    t = tail.EventTail(spark, src, ckpt)
+    try:
+        t.query.processAllAvailable()
+        rows, cursor = t.drain(after_event_id=0, limit=30)
+        assert len(rows) == 30 and cursor == rows[-1]["event_id"]
+        more, cursor2 = t.drain(after_event_id=cursor, limit=30)
+        assert more and more[0]["event_id"] == cursor + 1 and cursor2 > cursor
+    finally:
+        t.stop()
+
+
+def test_ttl_partition_drop(spark, tmp_path):
+    ev = generator.events(spark, n=2000, n_users=50)  # spans 2024-01..03
+    writer.write_table(ev, str(tmp_path), "events")
+    path = str(tmp_path / "events")
+    before_months = retention.expired_months(path, date(2099, 1, 1))
+    assert len(before_months) >= 2
+    report = retention.apply_ttl(spark, path, "event_date", date(2024, 2, 1))
+    assert report["dropped_partitions"] == [202401]
+    remaining = spark.read.parquet(path)
+    assert remaining.filter(F.col("event_date") < F.lit("2024-02-01")).count() == 0
