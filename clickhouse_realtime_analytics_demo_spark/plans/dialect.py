@@ -1,0 +1,387 @@
+"""ClickHouse -> Spark SQL dialect shim.
+
+The reference passes raw ClickHouse SQL strings to the server
+(app_interactive.py:256-304 query gateway; chat_service.py:356-405
+NL->SQL), so its query surface is the ClickHouse dialect.  Our engine's
+execution path is ``spark.sql``; this module rewrites the dialect
+constructs the reference corpus actually uses (SURVEY.md §2.8, §3.3)
+into Spark SQL so those same strings run unchanged.
+
+Implementation: a small tokenizer walks the SQL once, skipping string
+literals ('...'), line comments (``-- ...``) and block comments, and
+rewrites
+
+- function calls (balanced-paren argument parsing, recursive, so
+  nested calls like ``toDate(now() - INTERVAL 7 DAY)`` work),
+- ``PREWHERE`` clauses (merged into ``WHERE`` — Spark/Parquet predicate
+  pushdown already gives the two-phase-read behavior, SURVEY.md X5),
+- non-literal ``INTERVAL expr UNIT`` arithmetic (ClickHouse allows
+  column expressions as interval counts; Spark needs
+  ``make_interval``),
+- ``numbers(N)`` table function -> ``range(N)`` subquery.
+
+This is a string->string pass: no Python UDFs are registered, every
+rewrite lands on a Spark builtin, so gateway queries keep whole-stage
+codegen exactly like hand-written DataFrame code.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+__all__ = ["rewrite"]
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_NUM = re.compile(r"^\d+$")
+_INTERVAL_ARG = re.compile(r"^\s*INTERVAL\s+(\S+)\s+(\w+?)S?\s*$", re.IGNORECASE)
+
+_UNIT_SECONDS = {
+    "SECOND": 1,
+    "MINUTE": 60,
+    "HOUR": 3600,
+    "DAY": 86400,
+}
+
+# make_interval(years, months, weeks, days, hours, mins, secs) slot per unit
+_MAKE_INTERVAL_SLOT = {
+    "YEAR": 0,
+    "MONTH": 1,
+    "WEEK": 2,
+    "DAY": 3,
+    "HOUR": 4,
+    "MINUTE": 5,
+    "SECOND": 6,
+}
+
+
+def _strip_quotes(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        return s[1:-1]
+    return s
+
+
+def _datediff(args: list[str]) -> str:
+    """ClickHouse dateDiff(unit, start, end) counts *boundary
+    crossings* from start to end (SURVEY.md §2.8) — not elapsed time.
+    Each unit maps to an expression with exactly those semantics."""
+    unit = _strip_quotes(args[0]).upper()
+    a, b = args[1].strip(), args[2].strip()
+    if unit == "DAY":
+        return f"datediff(CAST({b} AS DATE), CAST({a} AS DATE))"
+    if unit == "WEEK":
+        return f"(datediff(CAST(date_trunc('week', {b}) AS DATE), CAST(date_trunc('week', {a}) AS DATE)) div 7)"
+    if unit == "MONTH":
+        return f"((year({b}) - year({a})) * 12 + (month({b}) - month({a})))"
+    if unit == "QUARTER":
+        return f"((year({b}) - year({a})) * 4 + (quarter({b}) - quarter({a})))"
+    if unit == "YEAR":
+        return f"(year({b}) - year({a}))"
+    if unit in _UNIT_SECONDS:
+        s = _UNIT_SECONDS[unit]
+        lu = unit.lower()
+        return (
+            f"((unix_timestamp(date_trunc('{lu}', {b})) - "
+            f"unix_timestamp(date_trunc('{lu}', {a}))) div {s})"
+        )
+    raise ValueError(f"dateDiff: unsupported unit {unit!r}")
+
+
+def _to_start_of_interval(args: list[str]) -> str:
+    ts = args[0].strip()
+    m = _INTERVAL_ARG.match(args[1])
+    if not m:
+        raise ValueError(f"toStartOfInterval: expected INTERVAL literal, got {args[1]!r}")
+    n, unit = int(m.group(1)), m.group(2).upper()
+    if unit in _UNIT_SECONDS:
+        s = n * _UNIT_SECONDS[unit]
+        return f"timestamp_seconds((unix_timestamp({ts}) div {s}) * {s})"
+    if unit == "MONTH" and n == 1:
+        return f"date_trunc('month', {ts})"
+    raise ValueError(f"toStartOfInterval: unsupported unit {unit!r}")
+
+
+def _format_readable_size(args: list[str]) -> str:
+    x = args[0].strip()
+    tiers = [(1024**4, "TiB"), (1024**3, "GiB"), (1024**2, "MiB"), (1024, "KiB")]
+    branches = "".join(
+        f"WHEN {x} >= {t} THEN concat(CAST(round({x} / {t}.0, 2) AS STRING), ' {label}') "
+        for t, label in tiers
+    )
+    return f"(CASE {branches}ELSE concat(CAST(round({x}, 2) AS STRING), ' B') END)"
+
+
+def _sum_if(args: list[str]) -> str:
+    # ClickHouse sumIf returns 0 (not NULL) when nothing matches.
+    return f"coalesce(sum(CASE WHEN {args[1].strip()} THEN {args[0].strip()} END), 0)"
+
+
+def _avg_if(args: list[str]) -> str:
+    return f"avg(CASE WHEN {args[1].strip()} THEN {args[0].strip()} END)"
+
+
+def _rename(name: str) -> Callable[[list[str]], str]:
+    def fn(args: list[str]) -> str:
+        return f"{name}({', '.join(a.strip() for a in args)})"
+
+    return fn
+
+
+def _count(args: list[str]) -> str:
+    if not args or not args[0].strip():
+        return "count(*)"
+    return f"count({', '.join(a.strip() for a in args)})"
+
+
+_REWRITES: dict[str, Callable[[list[str]], str]] = {
+    # date/time extraction (01-create-tables.sql:40-41,50; app.py:92,181)
+    "todate": _rename("to_date"),
+    "todatetime": _rename("to_timestamp"),
+    "tohour": _rename("hour"),
+    "toyyyymm": lambda a: f"CAST(date_format({a[0].strip()}, 'yyyyMM') AS INT)",
+    # time bucketing (05-add-refreshable-mvs:115-124; app_interactive.py:226)
+    "tostartofmonth": lambda a: f"CAST(date_trunc('month', {a[0].strip()}) AS DATE)",
+    "tostartofweek": lambda a: f"CAST(date_trunc('week', {a[0].strip()}) AS DATE)",
+    "tomonday": lambda a: f"CAST(date_trunc('week', {a[0].strip()}) AS DATE)",
+    "tostartofday": lambda a: f"date_trunc('day', {a[0].strip()})",
+    "tostartofhour": lambda a: f"date_trunc('hour', {a[0].strip()})",
+    "tostartofminute": lambda a: f"date_trunc('minute', {a[0].strip()})",
+    "tostartofinterval": _to_start_of_interval,
+    # current time (app.py:59,186)
+    "now": lambda a: "current_timestamp()",
+    "today": lambda a: "current_date()",
+    "yesterday": lambda a: "date_sub(current_date(), 1)",
+    # aggregates (SURVEY.md §2.4)
+    "count": _count,
+    "uniq": _rename("approx_count_distinct"),
+    "uniqexact": lambda a: f"count(DISTINCT {', '.join(x.strip() for x in a)})",
+    "uniqcombined": _rename("approx_count_distinct"),
+    "countif": _rename("count_if"),
+    "sumif": _sum_if,
+    "avgif": _avg_if,
+    "grouparray": _rename("collect_list"),
+    "groupuniqarray": lambda a: f"collect_set({a[0].strip()})",
+    # note: quantified comparison `> ANY (SELECT ...)` must NOT become
+    # any_value — guarded by the subquery check.
+    "any": lambda a: (
+        f"ANY({', '.join(x.strip() for x in a)})"
+        if a and a[0].strip().upper().startswith(("SELECT", "WITH"))
+        else f"any_value({', '.join(x.strip() for x in a)})"
+    ),
+    "argmax": _rename("max_by"),
+    "argmin": _rename("min_by"),
+    "median": lambda a: f"percentile({a[0].strip()}, 0.5)",
+    "quantile": lambda a: f"percentile({a[0].strip()}, 0.5)",
+    # scalar / misc (SURVEY.md §2.8)
+    "datediff": _datediff,
+    "date_diff": _datediff,
+    "arraystringconcat": _rename("array_join"),
+    "formatreadablesize": _format_readable_size,
+    "intdiv": lambda a: f"({a[0].strip()} div {a[1].strip()})",
+    "modulo": lambda a: f"({a[0].strip()} % {a[1].strip()})",
+    "empty": lambda a: f"({a[0].strip()} = '')",
+    "notempty": lambda a: f"({a[0].strip()} != '')",
+    "lengthutf8": _rename("length"),
+    "lowerutf8": _rename("lower"),
+    "upperutf8": _rename("upper"),
+    "ifnull": _rename("coalesce"),
+    "if": lambda a: f"(CASE WHEN {a[0].strip()} THEN {a[1].strip()} ELSE {a[2].strip()} END)",
+    "multiif": lambda a: "(CASE "
+    + " ".join(
+        f"WHEN {a[i].strip()} THEN {a[i + 1].strip()}" for i in range(0, len(a) - 1, 2)
+    )
+    + f" ELSE {a[-1].strip()} END)",
+    "has": _rename("array_contains"),
+    "numbers": lambda a: f"(SELECT id AS number FROM range({a[0].strip()}))",
+}
+
+# Keywords that terminate a PREWHERE condition at its own paren depth.
+_CLAUSE_KEYWORDS = frozenset(
+    {"WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "SETTINGS", "UNION", "WINDOW", "QUALIFY"}
+)
+
+
+def _skip_noncode(sql: str, i: int) -> int:
+    """If sql[i] starts a string literal or comment, return the index
+    one past its end; otherwise return i."""
+    if sql[i] == "'":
+        j = i + 1
+        while j < len(sql):
+            if sql[j] == "\\":
+                j += 2
+                continue
+            if sql[j] == "'":
+                # '' is an escaped quote inside the literal
+                if j + 1 < len(sql) and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return j
+    if sql.startswith("--", i):
+        j = sql.find("\n", i)
+        return len(sql) if j < 0 else j + 1
+    if sql.startswith("/*", i):
+        j = sql.find("*/", i + 2)
+        return len(sql) if j < 0 else j + 2
+    return i
+
+
+def _parse_args(sql: str, open_paren: int) -> tuple[list[str], int]:
+    """Parse a balanced argument list starting at ``sql[open_paren] ==
+    '('``. Returns (top-level args, index past the closing paren)."""
+    depth = 0
+    args: list[str] = []
+    start = open_paren + 1
+    i = open_paren
+    while i < len(sql):
+        j = _skip_noncode(sql, i)
+        if j != i:
+            i = j
+            continue
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(sql[start:i])
+                if len(args) == 1 and not args[0].strip():
+                    args = []
+                return args, i + 1
+        elif c == "," and depth == 1:
+            args.append(sql[start:i])
+            start = i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+def _rewrite_calls(sql: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(sql):
+        j = _skip_noncode(sql, i)
+        if j != i:
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = _IDENT.match(sql, i)
+        if not m:
+            out.append(sql[i])
+            i += 1
+            continue
+        name = m.group(0)
+        k = m.end()
+        while k < len(sql) and sql[k] in " \t":
+            k += 1
+        fn = _REWRITES.get(name.lower())
+        if fn is not None and k < len(sql) and sql[k] == "(":
+            args, end = _parse_args(sql, k)
+            out.append(fn([_rewrite_calls(a) for a in args]))
+            i = end
+        else:
+            out.append(name)
+            i = m.end()
+    return "".join(out)
+
+
+def _merge_prewhere(sql: str) -> str:
+    """Rewrite ``PREWHERE c1 [WHERE c2]`` -> ``WHERE (c1) AND (c2)``.
+
+    ClickHouse PREWHERE reads filter columns first and fetches the rest
+    only for surviving rows (examples/sample_queries.sql:440-454); in
+    Spark the same physics comes from Parquet predicate pushdown, so
+    semantically it is just another conjunct.
+    """
+    upper = sql.upper()
+    pos = 0
+    while True:
+        hit = None
+        i, depth = 0, 0
+        while i < len(sql):
+            j = _skip_noncode(sql, i)
+            if j != i:
+                i = j
+                continue
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            elif i >= pos and upper.startswith("PREWHERE", i) and _is_word(upper, i, 8):
+                hit = (i, depth)
+                break
+            i += 1
+        if hit is None:
+            return sql
+        start, pdepth = hit
+        # find the end of the PREWHERE condition at the same depth
+        i, depth = start + 8, pdepth
+        cond_end, next_kw = len(sql), None
+        while i < len(sql):
+            j = _skip_noncode(sql, i)
+            if j != i:
+                i = j
+                continue
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == pdepth:  # closing the subquery containing PREWHERE
+                    cond_end = i
+                    break
+                depth -= 1
+            elif c == ";" and depth == pdepth:
+                cond_end = i
+                break
+            elif depth == pdepth:
+                m = _IDENT.match(sql, i)
+                if m and m.group(0).upper() in _CLAUSE_KEYWORDS:
+                    cond_end, next_kw = i, m.group(0).upper()
+                    break
+                if m:
+                    i = m.end()
+                    continue
+            i += 1
+        cond = sql[start + 8 : cond_end].strip()
+        if next_kw == "WHERE":
+            # merge: PREWHERE c1 WHERE -> WHERE (c1) AND
+            sql = sql[:start] + f"WHERE ({cond}) AND " + sql[cond_end + 5 :].lstrip()
+        else:
+            sql = sql[:start] + f"WHERE {cond} " + sql[cond_end:]
+        upper = sql.upper()
+        pos = start + 1
+
+
+def _is_word(upper: str, i: int, length: int) -> bool:
+    before_ok = i == 0 or not (upper[i - 1].isalnum() or upper[i - 1] == "_")
+    end = i + length
+    after_ok = end >= len(upper) or not (upper[end].isalnum() or upper[end] == "_")
+    return before_ok and after_ok
+
+
+_INTERVAL_EXPR = re.compile(
+    r"\bINTERVAL\s+([A-Za-z_][A-Za-z0-9_.]*)\s+(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|YEAR)S?\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_nonliteral_intervals(sql: str) -> str:
+    """``INTERVAL number DAY`` with a *column* count (legal in
+    ClickHouse, e.g. sample_queries.sql:371) -> ``make_interval``."""
+
+    def repl(m: re.Match[str]) -> str:
+        count, unit = m.group(1), m.group(2).upper()
+        slots = ["0"] * 7
+        slots[_MAKE_INTERVAL_SLOT[unit]] = f"CAST({count} AS INT)"
+        return f"make_interval({', '.join(slots)})"
+
+    return _INTERVAL_EXPR.sub(repl, sql)
+
+
+def rewrite(sql: str) -> str:
+    """Rewrite a ClickHouse-dialect query into Spark SQL."""
+    sql = _merge_prewhere(sql)
+    sql = _rewrite_calls(sql)
+    sql = _rewrite_nonliteral_intervals(sql)
+    return sql
