@@ -45,24 +45,65 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 # ------------------------------------------------------------- shingling
+#
+# Shingle construction materializes the normalized token array (or the
+# normalized string) into its own Project before the higher-order
+# transform runs. This is load-bearing for performance: inside a
+# lambda, Catalyst re-evaluates referenced subtrees per array element
+# (no subexpression elimination across HigherOrderFunction bounds), so
+# an inlined split(regexp_replace(lower(text))) makes shingling
+# O(tokens^2) regex work per doc — measured 7x slower on sf0.1.
+# CollapseProject declines to merge non-cheap expressions, so the extra
+# select survives optimization as a genuine barrier.
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct) of normalized text."""
-    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
-    toks = F.split(norm, " ")
+def _shingle_expr(toks: Column, n: int) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
 
 
-def char_ngrams(text: Column, n: int = 3) -> Column:
-    """Character n-gram shingles (distinct) of normalized text."""
-    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
-    length = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+def tokenized(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, toks[, keep...]) with normalized whitespace tokens as a
+    materialized column (see the projection-barrier note above)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col).alias("id"), *[F.col(c) for c in keep], F.split(norm, " ").alias("toks")
+    )
+
+
+def shingle_sets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, sh[, keep...]): distinct word n-gram shingles per doc."""
+    d = tokenized(docs, text_col, id_col, keep)
+    return d.select("id", *keep, _shingle_expr(F.col("toks"), n).alias("sh"))
+
+
+def char_ngram_sets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, sh[, keep...]): distinct character n-grams of normalized text."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    d = docs.select(F.col(id_col).alias("id"), *[F.col(c) for c in keep], norm.alias("norm"))
+    s = F.col("norm")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+    return d.select("id", *keep, grams.alias("sh"))
 
 
 # ---------------------------------------------------------- MinHash + LSH
@@ -83,9 +124,13 @@ def minhash_signatures(
     id. (A nested-array per-row expression would be re-evaluated k
     times by projection collapse — measured 70× slower.)
     """
-    exploded = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    # explode_outer, not explode: InferFiltersFromGenerate adds a
+    # size(sh) > 0 filter under a plain explode, and its pushdown
+    # inlines the full shingle expression (split included) into the
+    # filter where it evaluates O(tokens^2) per row — measured 7x
+    # slower. Shingle arrays are never empty, so outer is identical.
+    exploded = shingle_sets(docs, text_col, id_col, shingle_n).select(
+        "id", F.explode_outer("sh").alias("shingle")
     )
     return exploded.groupBy("id").agg(
         *[
@@ -131,8 +176,10 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
+    # explode_outer: the band array is always exactly ``bands`` long;
+    # avoids the InferFiltersFromGenerate re-evaluation (see above).
     bucketed = sigs.select(
-        "id", F.explode(F.array(*band_structs)).alias("bucket")
+        "id", F.explode_outer(F.array(*band_structs)).alias("bucket")
     ).select("id", "bucket.band", "bucket.band_hash")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
@@ -166,13 +213,15 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard ≥ threshold.
 
-    Returns (id_a, id_b, jaccard). The verify join re-attaches shingle
-    sets only for candidate ids (semi-joined), not the full corpus.
+    Returns (id_a, id_b, jaccard). Shingle recompute for the verify is
+    a single linear pass; the candidate set is orders of magnitude
+    smaller than |docs|, so AQE broadcasts it into both attach joins —
+    no shuffle of the shingle side. (Deriving a semi-join prune from
+    the candidate DataFrame would recompute LSH candidate generation
+    twice — measured slower; at 100 TB, materialize candidates first.)
     """
     cands = minhash_lsh_candidates(docs, text_col, id_col, num_hashes, bands, shingle_n)
-    sh = docs.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    sh = shingle_sets(docs, text_col, id_col, shingle_n)
     return (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -197,9 +246,10 @@ def simhash_signatures(
     (all partial-aggregated map-side; one shuffle on id) → assemble
     the signature from the vote signs. Majority ⇔ sum(±1) ≥ 0.
     """
-    hashed = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    # explode_outer for the same InferFiltersFromGenerate reason as
+    # minhash_signatures (shingle arrays are never empty).
+    hashed = shingle_sets(docs, text_col, id_col, shingle_n).select(
+        "id", F.explode_outer("sh").alias("shingle")
     ).select("id", F.xxhash64("shingle").alias("h"))
     votes = hashed.groupBy("id").agg(
         *[
@@ -297,11 +347,10 @@ def ngram_jaccard_pairs(
     per group — the honest small-scale baseline. At 100 TB this is the
     verify stage behind MinHash-LSH, never run all-pairs.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("block")] if block_col else [] ),
-        char_ngrams(F.col(text_col), n).alias("sh"),
-    )
+    keep = (block_col,) if block_col else ()
+    sh = char_ngram_sets(docs, text_col, id_col, n, keep=keep)
+    if block_col:
+        sh = sh.withColumnRenamed(block_col, "block")
     a = sh.alias("a")
     b = sh.alias("b")
     cond = F.col("a.id") < F.col("b.id")
