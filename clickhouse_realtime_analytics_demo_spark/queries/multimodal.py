@@ -1,0 +1,92 @@
+"""Multimodal-pipeline queries (beyond-reference surface).
+
+The media table is synthesized deterministically from ``documents``
+(payload = utf-8 text bytes — no real media files in the container;
+operators/multimodal.py documents the stub boundary). The synthesis
+and metadata paths are pure JVM expressions and oracle-checked; the
+Arrow/mapInPandas decode path is rows-only (sha-digest features have
+no DuckDB twin) but unit-tested against the driver-side codec in
+tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_realtime_analytics_demo_spark.catalog import table
+from clickhouse_realtime_analytics_demo_spark.operators import multimodal
+from clickhouse_realtime_analytics_demo_spark.queries.registry import register
+
+
+@register(
+    "media_meta_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           CAST(SUM(octet_length(CAST(text AS BLOB)) * 10) AS BIGINT) AS total_duration_ms,
+           CAST(MIN(octet_length(CAST(text AS BLOB))) AS BIGINT) AS min_bytes,
+           CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes
+    FROM documents
+    """,
+)
+def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan of the media table: aggregate typed metadata
+    without touching payload bytes — the query pattern that makes
+    binary columns cheap to govern at 100 TB (column pruning skips the
+    payload entirely; verify via ReadSchema in explain)."""
+    media = multimodal.synthesize_media(table(spark, sf_dir, "documents"))
+    return media.agg(
+        F.count("*").alias("n_assets"),
+        F.sum("meta.size_bytes").alias("total_bytes"),
+        F.sum("meta.duration_ms").alias("total_duration_ms"),
+        F.min("meta.size_bytes").alias("min_bytes"),
+        F.max("meta.size_bytes").alias("max_bytes"),
+    )
+
+
+@register(
+    "media_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0,
+                GREATEST(CAST(octet_length(CAST(text AS BLOB)) * 10 AS BIGINT) // 1000, 1) - 1))
+             AS INTEGER) AS frame_index
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY media_id, frame_index
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the row-expanding mapInPandas operator:
+    one row per 1000 ms of duration_ms. The (media_id, frame_index)
+    spine is oracle-checked; frame payload bytes are covered by unit
+    tests."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_media(docs)
+    return (
+        multimodal.sample_frames(media, every_ms=1000, fake=True)
+        .select("media_id", "frame_index")
+        .orderBy("media_id", "frame_index")
+    )
+
+
+@register("media_image_features")  # rows-only: sha-digest features have no SQL twin
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched image feature extraction (fake codec) aggregated
+    per provenance doc source — the decode/score stage of a multimodal
+    curation pipeline."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.extract_image_features(media, fake=True)
+    joined = feats.join(docs.select(F.col("doc_id").alias("media_id"), "source"), "media_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.round(F.avg("byte_entropy"), 4).alias("avg_entropy"),
+            F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
+            F.approx_count_distinct("phash").alias("distinct_phash"),
+        )
+        .orderBy("source")
+    )

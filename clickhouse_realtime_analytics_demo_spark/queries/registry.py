@@ -50,6 +50,7 @@ def all_queries() -> dict[str, Query]:
         aggregates,
         analytics,
         llmops,
+        multimodal,
         relational,
         windows,
     )
