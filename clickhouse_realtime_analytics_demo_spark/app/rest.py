@@ -1,0 +1,311 @@
+"""Flask REST/SSE surface mirroring the reference's API contracts.
+
+Endpoint names and JSON shapes follow the reference dashboards
+(app.py:40-413 — columnar arrays like ``dates/events/unique_users``,
+``labels/values``, record lists; app_interactive.py:38-377 — live
+metrics + SSE tail + validated query gateway). The data under them is
+this engine's star schema (the driver's TPC-H-ish tables + events), so
+the routes adapt our registered queries to those shapes rather than
+re-issuing SQL strings: every endpoint is a thin
+``registry query -> columnar JSON`` pivot with the engine doing all
+query work (Catalyst plans; nothing computed in Flask).
+
+Every execution is recorded in the QueryLog (ops/query_log.py), giving
+the ``system.query_log`` introspection surface the reference queries
+(examples/sample_queries.sql:483-495).
+
+Scale: routes only ``collect()`` bounded results (top-k, day-grain
+aggregates) — the same discipline as the reference's LIMIT-ed
+dashboard queries.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+from flask import Flask, Response, jsonify, request
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_realtime_analytics_demo_spark import catalog
+from clickhouse_realtime_analytics_demo_spark.ops.query_log import QueryLog
+from clickhouse_realtime_analytics_demo_spark.plans import gateway
+from clickhouse_realtime_analytics_demo_spark.queries import all_queries
+from clickhouse_realtime_analytics_demo_spark.streaming import tail
+
+
+def _jsonable(v: Any) -> Any:
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        return float(v)
+    return v
+
+
+def _rows(df: DataFrame) -> list[dict]:
+    return [{k: _jsonable(v) for k, v in r.asDict().items()} for r in df.collect()]
+
+
+def create_app(spark: SparkSession, sf_dir: str, query_log: QueryLog | None = None) -> Flask:
+    app = Flask(__name__)
+    log = query_log if query_log is not None else QueryLog()
+    app.config["QUERY_LOG"] = log
+    registry = all_queries()
+    catalog.register(spark, sf_dir)
+
+    def run_named(name: str) -> list[dict]:
+        with log.record(name, kind="rest") as ctx:
+            rows = _rows(registry[name].fn(spark, sf_dir))
+            ctx["rows"] = len(rows)
+        return rows
+
+    def api(route: str, name: str, shape):
+        """Register a GET route serving a registry query pivoted by
+        ``shape(rows) -> json-able``."""
+
+        def view():
+            try:
+                return jsonify(shape(run_named(name)))
+            except Exception as exc:  # mirror reference error contract
+                return jsonify({"error": str(exc)}), 500
+
+        app.add_url_rule(route, endpoint=route, view_func=view)
+
+    # ---- dashboard endpoints (app.py contracts) ----
+    api(
+        "/api/daily-events",
+        "daily_events",
+        lambda rows: {
+            "dates": [r["event_date"] for r in rows],
+            "events": [r["events"] for r in rows],
+            "unique_users": [r["unique_users"] for r in rows],
+        },
+    )
+    api(
+        "/api/event-types",
+        "event_type_stats",
+        lambda rows: {
+            "labels": [r["event_type"] for r in rows],
+            "values": [r["events"] for r in rows],
+        },
+    )
+    api(
+        "/api/top-countries",
+        "nation_revenue",
+        lambda rows: [
+            {
+                "country": r["nation"],
+                "region": r["region"],
+                "order_count": r["orders"],
+                "total_spent": r["revenue"],
+            }
+            for r in rows[:10]
+        ],
+    )
+    api(
+        "/api/revenue-by-month",
+        "monthly_order_trend",
+        lambda rows: {
+            "months": [str(r["yyyymm"]) for r in rows],
+            "revenue": [r["revenue"] for r in rows],
+            "orders": [r["orders"] for r in rows],
+        },
+    )
+    api(
+        "/api/top-products",
+        "top_parts_per_brand",
+        lambda rows: [
+            {
+                "product_name": f"part-{r['partkey']}",
+                "category": r["brand"],
+                "total_revenue": r["revenue"],
+                "rank_in_category": r["rn"],
+            }
+            for r in rows
+        ],
+    )
+    api(
+        "/api/user-segments",
+        "customer_segments",
+        lambda rows: [
+            {
+                "segment": r["segment"],
+                "user_count": r["customers"],
+                "total_balance": r["total_balance"],
+            }
+            for r in rows
+        ],
+    )
+    api("/api/conversion-funnel", "event_funnel", lambda rows: rows[0] if rows else {})
+    api(
+        "/api/hourly-activity",
+        "hourly_event_matrix",
+        lambda rows: {
+            "hours": [r["event_hour"] for r in rows],
+            "events": [r["events"] for r in rows],
+            "users": [r["unique_users"] for r in rows],
+        },
+    )
+
+    @app.route("/api/stats")
+    def stats():
+        try:
+            rows = run_named("table_counts")
+            return jsonify(rows[0] if rows else {})
+        except Exception as exc:
+            return jsonify({"error": str(exc)}), 500
+
+    @app.route("/api/search")
+    def search():
+        # parameterized DataFrame filter — NOT string interpolation
+        # (the reference's f-string SQL is its documented wart, P11).
+        term = request.args.get("q", "")
+        limit = min(int(request.args.get("limit", "50")), 1000)
+        try:
+            from pyspark.sql import functions as F
+
+            with log.record("search", kind="rest") as ctx:
+                df = (
+                    catalog.table(spark, sf_dir, "part")
+                    .filter(F.col("p_name").ilike(f"%{term}%"))
+                    .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+                    .orderBy("p_partkey")
+                    .limit(limit)
+                )
+                rows = _rows(df)
+                ctx["rows"] = len(rows)
+            return jsonify(rows)
+        except Exception as exc:
+            return jsonify({"error": str(exc)}), 500
+
+    # ---- live endpoints (app_interactive.py contracts) ----
+    @app.route("/api/live/metrics")
+    def live_metrics():
+        try:
+            rows = run_named("period_comparison")
+            return jsonify(
+                {
+                    "periods": {
+                        r["period"]: {"events": r["events"], "unique_users": r["unique_users"]}
+                        for r in rows
+                    }
+                }
+            )
+        except Exception as exc:
+            return jsonify({"error": str(exc)}), 500
+
+    @app.route("/api/live/timeline")
+    def live_timeline():
+        try:
+            rows = run_named("minute_timeline")
+            return jsonify(
+                {
+                    "minutes": [r["minute"] for r in rows],
+                    "events": [r["events"] for r in rows],
+                }
+            )
+        except Exception as exc:
+            return jsonify({"error": str(exc)}), 500
+
+    @app.route("/api/live/events-stream")
+    def events_stream():
+        """SSE change tail: cursor poll on monotonic event_id, 1 s
+        cadence (app_interactive.py:38-89 semantics). ``?once=1``
+        returns a single frame (testable without a hanging socket)."""
+        once = request.args.get("once") == "1"
+        cursor = int(request.args.get("cursor", "0"))
+        limit = min(int(request.args.get("limit", "50")), 500)
+        events = catalog.table(spark, sf_dir, "events")
+
+        def frame(after: int) -> tuple[str, int]:
+            batch = _rows(tail.poll(events, after, limit=limit))
+            new_cursor = batch[-1]["event_id"] if batch else after
+            return f"data: {json.dumps({'events': batch, 'cursor': new_cursor})}\n\n", new_cursor
+
+        if once:
+            payload, _ = frame(cursor)
+            return Response(payload, mimetype="text/event-stream")
+
+        def generate():
+            cur = cursor
+            while True:
+                payload, cur = frame(cur)
+                yield payload
+                time.sleep(1)
+
+        return Response(generate(), mimetype="text/event-stream")
+
+    # ---- validated ad-hoc SQL gateway (app_interactive.py:256-304) ----
+    @app.route("/api/query/execute", methods=["POST"])
+    def query_execute():
+        body = request.get_json(silent=True) or {}
+        sql = body.get("query", "")
+        try:
+            t0 = time.perf_counter()
+            with log.record("adhoc", kind="gateway", sql=sql) as ctx:
+                res = gateway.execute(spark, sql)
+                df = res.df.limit(int(body.get("limit", 1000)))
+                rows = _rows(df)
+                ctx["rows"] = len(rows)
+            return jsonify(
+                {
+                    "columns": df.columns,
+                    "rows": rows,
+                    "row_count": len(rows),
+                    "execution_time": round(time.perf_counter() - t0, 4),
+                }
+            )
+        except gateway.QueryRejected as exc:
+            return jsonify({"error": str(exc)}), 400
+        except Exception as exc:
+            return jsonify({"error": str(exc)}), 500
+
+    # ---- introspection (system.* analog, S10/X13/X14) ----
+    @app.route("/api/system/tables")
+    def system_tables():
+        from clickhouse_realtime_analytics_demo_spark.ops import introspect
+
+        return jsonify(introspect.table_stats(sf_dir))
+
+    @app.route("/api/system/query-log")
+    def system_query_log():
+        entries = log.entries()[-int(request.args.get("limit", "100")) :]
+        return jsonify(
+            [
+                {
+                    "name": e.name,
+                    "kind": e.kind,
+                    "duration_s": round(e.duration_s, 4),
+                    "rows": e.rows,
+                    "ok": e.ok,
+                    "error": e.error,
+                }
+                for e in entries
+            ]
+        )
+
+    @app.route("/api/system/explain/<name>")
+    def system_explain(name: str):
+        from clickhouse_realtime_analytics_demo_spark.ops import introspect
+
+        if name not in registry:
+            return jsonify({"error": f"unknown query {name!r}"}), 404
+        mode = request.args.get("mode", "formatted")
+        return jsonify({"name": name, "plan": introspect.explain_query(spark, sf_dir, name, mode)})
+
+    @app.route("/api/queries")
+    def queries_index():
+        return jsonify(
+            {n: {"doc": q.doc, "oracle_checked": q.oracle is not None} for n, q in registry.items()}
+        )
+
+    @app.route("/health")
+    def health():
+        return jsonify({"status": "ok", "spark": spark.version, "tables": list(catalog.TABLES)})
+
+    return app

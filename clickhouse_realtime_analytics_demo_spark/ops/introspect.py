@@ -1,0 +1,71 @@
+"""Storage/plan introspection — the ``system.parts`` / ``system.tables``
+/ EXPLAIN analog (SURVEY §2.1 S10, §4 X13; reference use sites
+examples/sample_queries.sql:460-543).
+
+Table stats come from parquet footers (row counts, uncompressed/
+compressed byte sizes) — metadata-only, no data scan, exactly how
+ClickHouse's system.parts answers without touching columns. Explain
+output is Catalyst's formatted plan, the counterpart of
+``EXPLAIN indexes=1`` / ``EXPLAIN PIPELINE``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_realtime_analytics_demo_spark.catalog import TABLES
+
+
+def table_stats(sf_dir: str, tables: tuple[str, ...] = TABLES) -> list[dict]:
+    """Per-table storage stats from parquet metadata only.
+
+    Returns rows shaped like the reference's system.parts queries
+    (sample_queries.sql:497-509): rows, compressed/uncompressed bytes,
+    compression ratio, row-group (≈ "part") count.
+    """
+    out = []
+    for name in tables:
+        path = Path(sf_dir) / f"{name}.parquet"
+        if not path.exists():
+            continue
+        meta = pq.ParquetFile(path).metadata
+        compressed = sum(
+            meta.row_group(g).column(c).total_compressed_size
+            for g in range(meta.num_row_groups)
+            for c in range(meta.num_columns)
+        )
+        uncompressed = sum(
+            meta.row_group(g).column(c).total_uncompressed_size
+            for g in range(meta.num_row_groups)
+            for c in range(meta.num_columns)
+        )
+        out.append(
+            {
+                "table": name,
+                "rows": meta.num_rows,
+                "row_groups": meta.num_row_groups,
+                "columns": meta.num_columns,
+                "compressed_bytes": compressed,
+                "uncompressed_bytes": uncompressed,
+                "compression_ratio": round(uncompressed / compressed, 2) if compressed else None,
+                "file_bytes": path.stat().st_size,
+            }
+        )
+    return out
+
+
+def explain(df: DataFrame, mode: str = "formatted") -> str:
+    """Formatted physical plan string (EXPLAIN surface, X13)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def explain_query(spark: SparkSession, sf_dir: str, name: str, mode: str = "formatted") -> str:
+    """Explain a registered query by name."""
+    from clickhouse_realtime_analytics_demo_spark.queries import all_queries
+
+    return explain(all_queries()[name].fn(spark, sf_dir), mode)

@@ -1,0 +1,117 @@
+"""REST/SSE surface: every endpoint returns the reference's JSON
+contract shape; gateway validation, SSE cursor monotonicity, query log
+and introspection endpoints."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+from clickhouse_realtime_analytics_demo_spark.app.rest import create_app
+from clickhouse_realtime_analytics_demo_spark.ops.query_log import QueryLog
+
+
+@pytest.fixture(scope="module")
+def client(spark):
+    app = create_app(spark, SF_DIR, query_log=QueryLog())
+    app.testing = True
+    with app.test_client() as c:
+        yield c
+
+
+def test_health(client):
+    r = client.get("/health")
+    assert r.status_code == 200 and r.get_json()["status"] == "ok"
+
+
+def test_daily_events_shape(client):
+    d = client.get("/api/daily-events").get_json()
+    assert set(d) == {"dates", "events", "unique_users"}
+    assert len(d["dates"]) == len(d["events"]) == len(d["unique_users"]) > 0
+    assert d["dates"] == sorted(d["dates"])  # ascending like the reference
+
+
+def test_event_types_shape(client):
+    d = client.get("/api/event-types").get_json()
+    assert set(d) == {"labels", "values"} and len(d["labels"]) == len(d["values"]) > 0
+
+
+def test_top_countries_records(client):
+    d = client.get("/api/top-countries").get_json()
+    assert isinstance(d, list) and len(d) <= 10
+    assert set(d[0]) == {"country", "region", "order_count", "total_spent"}
+
+
+def test_revenue_by_month(client):
+    d = client.get("/api/revenue-by-month").get_json()
+    assert set(d) == {"months", "revenue", "orders"}
+    assert d["months"] == sorted(d["months"])
+
+
+def test_conversion_funnel(client):
+    d = client.get("/api/conversion-funnel").get_json()
+    assert {"views", "clicks", "purchases", "click_rate", "purchase_rate"} <= set(d)
+
+
+def test_search_parameterized(client):
+    d = client.get("/api/search?q=green&limit=5").get_json()
+    assert isinstance(d, list) and len(d) <= 5
+    for row in d:
+        assert "green" in row["p_name"].lower()
+    # injection-shaped input must not error or leak — parameterized filter
+    r = client.get("/api/search?q=%27%3B%20DROP%20TABLE%20part%3B--")
+    assert r.status_code == 200 and r.get_json() == []
+
+
+def test_gateway_executes_clickhouse_dialect(client):
+    r = client.post(
+        "/api/query/execute",
+        json={"query": "SELECT event_type, count() AS n FROM events GROUP BY event_type"},
+    )
+    d = r.get_json()
+    assert r.status_code == 200
+    assert d["row_count"] > 0 and set(d["columns"]) == {"event_type", "n"}
+    assert d["execution_time"] >= 0
+
+
+def test_gateway_rejects_writes(client):
+    r = client.post("/api/query/execute", json={"query": "DROP TABLE events"})
+    assert r.status_code == 400 and "error" in r.get_json()
+
+
+def test_sse_tail_cursor(client):
+    r = client.get("/api/live/events-stream?once=1&cursor=0&limit=5")
+    assert r.mimetype == "text/event-stream"
+    payload = json.loads(r.get_data(as_text=True).removeprefix("data: "))
+    assert len(payload["events"]) == 5
+    ids = [e["event_id"] for e in payload["events"]]
+    assert ids == sorted(ids) and payload["cursor"] == ids[-1]
+    # resume from cursor: strictly later ids
+    r2 = client.get(f"/api/live/events-stream?once=1&cursor={payload['cursor']}&limit=5")
+    ids2 = [e["event_id"] for e in json.loads(r2.get_data(as_text=True).removeprefix("data: "))["events"]]
+    assert min(ids2) > payload["cursor"]
+
+
+def test_system_tables(client):
+    d = client.get("/api/system/tables").get_json()
+    byname = {t["table"]: t for t in d}
+    assert byname["events"]["rows"] > 0
+    assert byname["events"]["compression_ratio"] is not None
+
+
+def test_query_log_records(client):
+    client.get("/api/daily-events")
+    entries = client.get("/api/system/query-log").get_json()
+    assert any(e["name"] == "daily_events" and e["ok"] and e["rows"] > 0 for e in entries)
+
+
+def test_explain_endpoint(client):
+    d = client.get("/api/system/explain/daily_events").get_json()
+    assert "Physical Plan" in d["plan"]
+
+
+def test_explain_unknown_404(client):
+    assert client.get("/api/system/explain/nope").status_code == 404
