@@ -89,6 +89,62 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+# BPE-ish pre-tokenization classes: letter runs, digit runs, single
+# non-alphanumeric marks — the GPT-2-style split shape without a merges
+# table. Portable between Spark and DuckDB regex engines.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (see BPE_PATTERN). A closer proxy
+    for LLM token budgets than whitespace counting: punctuation and
+    number runs tokenize separately."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)).cast("bigint")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every character k-gram of the normalized text,
+    slide a window of ``w`` consecutive hashes, keep each window's
+    minimum; the distinct kept hashes are the doc's fingerprints.
+
+    Returns (id, fp) rows. Plan shape: pre-projected normalized text →
+    positional k-gram explode (one narrow Generate) → per-doc window
+    min (single shuffle on id — same key as every other per-doc op) →
+    distinct. The hash is md5-hex, compared lexicographically, so a SQL
+    oracle can reproduce the selection bit-for-bit; the classic 64-bit
+    rolling hash is an O(1)-per-gram optimization the JVM regex path
+    doesn't need at these gram sizes.
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    d = docs.select(F.col(id_col).alias("id"), norm.alias("norm"))
+    s = F.col("norm")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - k + 1, F.lit(1)))
+    grams = d.select(
+        "id",
+        F.length(s).alias("n_chars"),
+        F.posexplode_outer(F.transform(idx, lambda i: F.substring(s, i, k))).alias("pos", "gram"),
+    )
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    n_grams = F.greatest(F.col("n_chars") - k + 1, F.lit(1))
+    return (
+        grams.withColumn("win_min", F.min(F.md5("gram")).over(win))
+        # windows start at 0..n_grams-w (short docs: the single
+        # truncated window at 0 — frames shrink at partition end).
+        .filter(F.col("pos") <= F.greatest(n_grams - w, F.lit(0)))
+        .select("id", F.col("win_min").alias("fp"))
+        .distinct()
+    )
+
+
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full feature set to a documents DataFrame."""
     t = F.col(text_col)

@@ -172,6 +172,73 @@ def ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_bpe_tokens",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(length(regexp_extract_all(text, '{text.BPE_PATTERN}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(SUM(length(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS total_ws_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-token counts vs whitespace counts per language —
+    the LLM-token-budget estimate pass (letter runs / digit runs /
+    punctuation marks tokenize separately, GPT-2-split shape)."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(text.bpe_token_count(t)).alias("total_bpe_tokens"),
+            F.sum(text.token_count(t)).alias("total_ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id AS id,
+               length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_chars,
+               CAST(unnest(generate_series(1,
+                    GREATEST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) - 4, 1)))
+                 AS INTEGER) - 1 AS pos,
+               substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      CAST(unnest(generate_series(1,
+                           GREATEST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) - 4, 1)))
+                        AS INTEGER), 5) AS gram
+        FROM documents
+        WHERE doc_id < 100
+    ),
+    wins AS (
+        SELECT id, pos, n_chars,
+               MIN(md5(gram)) OVER (PARTITION BY id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+        FROM grams
+    )
+    SELECT DISTINCT id, win_min AS fp
+    FROM wins
+    WHERE pos <= GREATEST(GREATEST(n_chars - 5 + 1, 1) - 4, 0)
+    ORDER BY id, fp
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints, k=5-gram / w=4 windows —
+    the SIGMOD'03 local-dedup/plagiarism sketch, oracle-checked
+    bit-for-bit via portable md5-hex window minima."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return text.winnow_fingerprints(docs, k=5, w=4).orderBy("id", "fp")
+
+
 @register("dedup_minhash")  # rows-only: xxhash64 permutations have no DuckDB twin
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) near-dup pairs verified by exact
