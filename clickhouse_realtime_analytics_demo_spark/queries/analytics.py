@@ -8,7 +8,7 @@ These run as scheduled batch jobs in the engine (see
 exposed as a standalone query for the correctness harness.
 """
 
-from __future__ import annotations
+from __future__ import annotations  # noqa: I001
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -317,4 +317,63 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("events"),
         )
         .orderBy("week_start")
+    )
+
+
+@register(
+    "gap_sessions_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    ids AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+        FROM ids GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS sessions,
+           CAST(SUM(n_events) AS BIGINT) AS events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(epoch_us(session_end) - epoch_us(session_start)) // 1000000 AS BIGINT)
+             AS total_session_seconds
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def gap_sessions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True gap-based sessionization (30-min inactivity gap) — the
+    upgrade over the reference's fixed 30-min buckets
+    (examples/sample_queries.sql:414-438): a session spanning a bucket
+    edge stays whole. Batch form of streaming/sessions.py; the
+    streaming form is applyInPandasWithState."""
+    from clickhouse_realtime_analytics_demo_spark.streaming.sessions import gap_sessions
+
+    events = table(spark, sf_dir, "events")
+    s = gap_sessions(events, gap_minutes=30)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count("*").alias("sessions"),
+            F.sum("n_events").alias("events"),
+            F.max("n_events").alias("max_session_events"),
+            (
+                F.sum(F.unix_micros("session_end") - F.unix_micros("session_start"))
+                / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("total_session_seconds"),
+        )
+        .orderBy("user_id")
     )
