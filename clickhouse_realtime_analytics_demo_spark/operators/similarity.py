@@ -124,6 +124,115 @@ def lsh_topk(
     )
 
 
+def _assign_cells(embeddings: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, cell): nearest-centroid assignment by cosine.
+
+    Centroids are literal arrays folded into the plan (broadcast-by-
+    construction); the argmax over |C| dot products is map-side JVM
+    work — no shuffle, no Python.
+    """
+    dvec = F.col("dvec")
+    sims = F.array(
+        *[
+            dot(dvec, F.array(*[F.lit(x) for x in c])) / (norm(dvec) * F.lit(_l2(c)))
+            for c in centroids
+        ]
+    )
+    pre = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _to_double(F.col(vec_col)).alias("dvec"),
+    )
+    # materialize sims once (projection barrier — same Catalyst
+    # re-evaluation hazard as operators/dedup.py shingling).
+    with_sims = pre.select("id", "vec", sims.alias("sims"))
+    return with_sims.select(
+        "id",
+        "vec",
+        (F.array_position(F.col("sims"), F.array_max(F.col("sims"))) - 1).cast("int").alias("cell"),
+    )
+
+
+def _l2(v: list[float]) -> float:
+    return sum(x * x for x in v) ** 0.5 or 1.0
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    num_cells: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: deterministic seed centroids (the
+    ``num_cells`` lowest-id vectors) refined by ``lloyd_iters``
+    k-means steps, then a cell assignment per vector.
+
+    The Lloyd step is the iterative-algorithm pattern on DataFrames:
+    assign (map-side) → per-(cell, dim) mean via posexplode + groupBy
+    (one shuffle, |C|×dim tiny result) → collect centroids to the
+    driver (|C|×dim floats — bounded, never data-sized) → next round
+    folds them back in as literals. At 100 TB you train on a sample
+    and only the final assignment touches the full table.
+    """
+    seeds = embeddings.orderBy(id_col).limit(num_cells).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(lloyd_iters):
+        assigned = _assign_cells(embeddings, centroids, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode_outer(_to_double(F.col("vec"))).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .collect()
+        )
+        by_cell = {r.cell: [s.m for s in r.ms] for r in means}
+        centroids = [by_cell.get(i, centroids[i]) for i in range(num_cells)]
+    return _assign_cells(embeddings, centroids, id_col, vec_col), centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe only the ``nprobe`` cells whose centroids
+    are nearest the query, exact-cosine re-rank inside them.
+
+    Scanned fraction ≈ nprobe/num_cells of the corpus (vs 1/2^planes
+    for sign-LSH, with much better recall tuning). The cell filter is
+    a map-side predicate on the assignment — at scale the assignment
+    is precomputed at write time and the table is partitioned by cell,
+    turning the probe into partition pruning.
+    """
+    assigned, centroids = ivf_index(embeddings, num_cells, lloyd_iters, id_col, vec_col)
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    qvec = [float(x) for x in qrow[0][0]]
+    qn = _l2(qvec)
+
+    def cos_to_q(c: list[float]) -> float:
+        return sum(a * b for a, b in zip(qvec, c)) / (qn * _l2(c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: (-cos_to_q(centroids[i]), i))[:nprobe]
+    q = embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("query_vec"))
+    return (
+        assigned.filter(F.col("cell").isin(probe) & (F.col("id") != query_id))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("vec"), F.col("query_vec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "neighbor_id")
+        .limit(k)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -289,6 +289,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, query_id=0, k=10)
 
 
+@register("ann_ivf_topk")  # rows-only: k-means centroids have no SQL twin
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for vec_id=0 (16 cells, 1 Lloyd refinement,
+    probe 4): the partition-prunable scale path — recall measured vs
+    the exact baseline in tests/test_similarity_ivf.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_id=0, k=10, num_cells=16, nprobe=4)
+
+
 @register("embedding_near_dups")  # rows-only (LSH blocking)
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH-blocked, exact-cosine
