@@ -265,6 +265,29 @@ def create_app(spark: SparkSession, sf_dir: str, query_log: QueryLog | None = No
         except Exception as exc:
             return jsonify({"error": str(exc)}), 500
 
+    # ---- NL->SQL chat (chat_service.py contract) ----
+    @app.route("/api/chat", methods=["POST"])
+    def chat():
+        from clickhouse_realtime_analytics_demo_spark.app.chat import ChatService
+
+        svc = app.config.get("CHAT_SERVICE")
+        if svc is None:
+            svc = ChatService(spark, sf_dir)
+            app.config["CHAT_SERVICE"] = svc
+        body = request.get_json(silent=True) or {}
+        question = body.get("message") or body.get("question") or ""
+        if not question:
+            return jsonify({"error": "empty question"}), 400
+        try:
+            with log.record("chat", kind="gateway") as ctx:
+                out = svc.ask(question, limit=int(body.get("limit", 100)))
+                ctx["rows"] = out["row_count"]
+            return jsonify(out)
+        except gateway.QueryRejected as exc:
+            return jsonify({"error": str(exc)}), 400
+        except Exception as exc:
+            return jsonify({"error": str(exc)}), 500
+
     # ---- introspection (system.* analog, S10/X13/X14) ----
     @app.route("/api/system/tables")
     def system_tables():
