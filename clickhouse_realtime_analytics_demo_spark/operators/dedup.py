@@ -147,6 +147,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash-LSH banding.
 
@@ -156,8 +157,13 @@ def minhash_lsh_candidates(
 
     Scale: the join key is the band bucket, so work is proportional to
     the number of colliding docs, not |docs|². Huge buckets (boiler-
-    plate collisions) are the skew risk — AQE skew-join handles
-    moderate cases; a bucket-size cap can be layered on for 100 TB.
+    plate collisions) are the skew risk: AQE skew-join splits moderate
+    cases, and ``max_bucket_size`` is the 100 TB safety valve — buckets
+    larger than the cap are dropped before the self-join (a bucket of
+    B docs contributes B² candidate pairs; boilerplate mega-buckets
+    add quadratic work while true near-dup groups stay small). Docs
+    dropped from one band still collide in their other b-1 bands, the
+    standard MinHash-LSH cap trade-off.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
@@ -181,6 +187,15 @@ def minhash_lsh_candidates(
     bucketed = sigs.select(
         "id", F.explode_outer(F.array(*band_structs)).alias("bucket")
     ).select("id", "bucket.band", "bucket.band_hash")
+    if max_bucket_size is not None:
+        # shuffles on the same (band, band_hash) key the join uses, so
+        # the exchange is reused; only the count aggregate is extra.
+        sizes = bucketed.groupBy("band", "band_hash").agg(F.count("*").alias("bucket_n"))
+        bucketed = (
+            bucketed.join(sizes, ["band", "band_hash"])
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .drop("bucket_n")
+        )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (
