@@ -50,8 +50,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     registry = all_queries()
 
-    # Warmup: JVM, codegen, parquet footer caches.
+    # Warmup: JVM, codegen, parquet footer caches — one cheap query per
+    # table family so no headline entry is billed JVM/codegen startup.
     registry["table_counts"].fn(spark, sf_dir).collect()
+    registry["doc_quality"].fn(spark, sf_dir).collect()
+    registry["ann_cosine_topk"].fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

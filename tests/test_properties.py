@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis): dialect rewrite invariants and
+gap-session partition laws on randomized inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clickhouse_realtime_analytics_demo_spark.plans import dialect
+
+# ------------------------------------------------------------- dialect
+
+_ident = st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True)
+
+
+@given(_ident, _ident)
+def test_rewrite_idempotent_on_plain_sql(col, tab):
+    sql = f"SELECT {col} FROM {tab} WHERE {col} > 1 ORDER BY {col}"
+    assert dialect.rewrite(sql) == sql
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="'\\"), max_size=40))
+def test_string_literals_never_rewritten(s):
+    sql = f"SELECT uniq(x), '{s}' AS lit FROM t"
+    out = dialect.rewrite(sql)
+    assert f"'{s}'" in out
+    assert "approx_count_distinct(x)" in out
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+def test_numbers_rewrite_any_n(n):
+    out = dialect.rewrite(f"SELECT number FROM numbers({n})")
+    assert f"range({n})" in out and "numbers" not in out
+
+
+@given(st.lists(st.sampled_from(["toDate(a)", "uniq(b)", "countIf(c > 1)", "now()"]),
+                min_size=1, max_size=4))
+def test_rewrite_composes_across_select_list(calls):
+    out = dialect.rewrite(f"SELECT {', '.join(calls)} FROM t")
+    for bad in ("toDate(", "uniq(", "countIf(", "now()"):
+        assert bad not in out
+
+
+# --------------------------------------------------------- gap sessions
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user_id
+            st.integers(min_value=0, max_value=500),  # minutes offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_gap_sessions_partition_laws(spark, rows):
+    """Sessions partition each user's events; intra-session gaps are
+    <= threshold, inter-session gaps are > threshold."""
+    from clickhouse_realtime_analytics_demo_spark.streaming.sessions import gap_sessions
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [(u, t0 + dt.timedelta(minutes=m)) for u, m in rows]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp")
+    sessions = gap_sessions(df, gap_minutes=30).collect()
+
+    per_user_events: dict[int, list[dt.datetime]] = {}
+    for u, ts in data:
+        per_user_events.setdefault(u, []).append(ts)
+
+    by_user: dict[int, list] = {}
+    for s in sessions:
+        by_user.setdefault(s.user_id, []).append(s)
+    for u, evs in per_user_events.items():
+        ss = sorted(by_user[u], key=lambda s: s.session_start)
+        # partition: session event counts sum to the user's events
+        assert sum(s.n_events for s in ss) == len(evs)
+        # ordering + gap law between consecutive sessions
+        for a, b in zip(ss, ss[1:]):
+            assert a.session_end < b.session_start
+            assert (b.session_start - a.session_end) > dt.timedelta(minutes=30)
+        # bounds: starts/ends are real event times
+        evset = set(evs)
+        for s in ss:
+            assert s.session_start in evset and s.session_end in evset
