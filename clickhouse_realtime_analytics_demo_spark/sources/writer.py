@@ -38,8 +38,16 @@ def write_table(
     name: str,
     mode: str = "overwrite",
     files_per_month: int | None = None,
+    bloom_cols: tuple[str, ...] = (),
 ) -> None:
-    """Write a reference-shaped table with its partitioning + sort."""
+    """Write a reference-shaped table with its partitioning + sort.
+
+    ``bloom_cols`` enables parquet bloom filters per column — the
+    analog of the reference's bloom_filter skipping indices
+    (02-add-indices.sql:13-24, e.g. session_id): point/IN predicates
+    on high-cardinality columns OFF the sort key skip row groups the
+    min/max stats can't.
+    """
     sort_keys = SORT_KEYS.get(name, ())
     month_src = PARTITION_MONTH.get(name)
     if month_src is not None:
@@ -53,6 +61,8 @@ def write_table(
         )
     else:
         writer = df.sortWithinPartitions(*sort_keys).write.mode(mode)
+    for col in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
     writer.parquet(f"{path}/{name}")
 
 
