@@ -58,6 +58,42 @@ def load(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> d
 
 
 def register(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
-    """Register temp views so ``spark.sql`` queries resolve table names."""
+    """Register temp views so ``spark.sql`` queries resolve table names,
+    plus the engine's logical views."""
     for name, df in load(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+    register_views(spark, names)
+
+
+def register_views(spark: SparkSession, names: tuple[str, ...] = TABLES) -> None:
+    """Logical (non-materialized) views — the analog of the reference's
+    ``CREATE VIEW user_analytics`` (01-create-tables.sql:171-187: a
+    users⟕events join-aggregate recomputed at read time). Here the user
+    dimension IS the per-user activity profile over events + the
+    customer⟕orders profile over the TPC-H side."""
+    if "events" in names:
+        spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW user_analytics AS
+            SELECT user_id,
+                   count(*) AS total_events,
+                   count(DISTINCT event_type) AS distinct_event_types,
+                   min(ts) AS first_seen,
+                   max(ts) AS last_seen,
+                   sum(value) AS total_value
+            FROM events
+            GROUP BY user_id
+            """
+        )
+    if "customer" in names and "orders" in names:
+        spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW customer_analytics AS
+            SELECT c.c_custkey AS custkey,
+                   c.c_mktsegment AS mktsegment,
+                   count(o.o_orderkey) AS orders,
+                   sum(o.o_totalprice) AS total_spent
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey, c.c_mktsegment
+            """
+        )

@@ -216,3 +216,18 @@ def test_e2e_tostartofinterval_sessions(spark):
         LIMIT 100
     """
     _run_both(spark, ch, duck)
+
+
+def test_logical_views_registered(spark):
+    catalog.register(spark, SF_DIR)
+    ua = spark.sql("SELECT * FROM user_analytics ORDER BY total_events DESC LIMIT 5").collect()
+    assert len(ua) == 5 and ua[0].total_events >= ua[-1].total_events
+    ca = spark.sql(
+        "SELECT count(*) AS n, sum(orders) AS o FROM customer_analytics"
+    ).collect()[0]
+    assert ca.n > 0 and ca.o > 0
+    # view through the ClickHouse-dialect gateway too
+    res = gateway.execute(
+        spark, "SELECT uniq(user_id) AS u FROM user_analytics PREWHERE total_events > 1"
+    )
+    assert res.df.collect()[0].u > 0
