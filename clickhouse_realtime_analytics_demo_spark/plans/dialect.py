@@ -194,7 +194,20 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     + f" ELSE {a[-1].strip()} END)",
     "has": _rename("array_contains"),
     "numbers": lambda a: f"(SELECT id AS number FROM range({a[0].strip()}))",
+    # dictionary layer (06-add-dictionaries.sql.disabled:139-183;
+    # examples/sample_queries.sql:163-221) — plans/dictionaries.py
+    "dictget": lambda a: _dictionaries().dict_get_sql(a[0], a[1], a[2]),
+    "dictgetordefault": lambda a: _dictionaries().dict_get_sql(a[0], a[1], a[2], a[3]),
+    "dicthas": lambda a: _dictionaries().dict_has_sql(a[0], a[1]),
 }
+
+
+def _dictionaries():
+    # Deferred import: dictionaries.py imports pyspark; keep this
+    # module importable for pure string-rewrite unit tests.
+    from clickhouse_realtime_analytics_demo_spark.plans import dictionaries
+
+    return dictionaries
 
 # Keywords that terminate a PREWHERE condition at its own paren depth.
 _CLAUSE_KEYWORDS = frozenset(

@@ -1,0 +1,297 @@
+"""Dictionary layer (J7): dictGet dialect rewrite + registration.
+
+Covers the reference's dictionary surface end-to-end:
+- the four sample enrichment queries (examples/sample_queries.sql:
+  163-221) execute through the validated gateway verbatim,
+- dictGet values match the equivalent explicit join,
+- missing keys yield ClickHouse's typed defaults (not NULL),
+- dictGetOrDefault / dictHas,
+- hashed-layout (map-literal) and view-layout (correlated subquery)
+  rewrites, and the hashed-layout size cap,
+- the three oracle-checked registry queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_realtime_analytics_demo_spark.plans import dialect, gateway
+from clickhouse_realtime_analytics_demo_spark.plans.dictionaries import (
+    MAX_INLINE_ROWS,
+    DictionarySpec,
+    _load_inline,
+    dict_get_sql,
+    loaded_dictionaries,
+    register_dictionaries,
+)
+from clickhouse_realtime_analytics_demo_spark.sources import generator
+
+from tests.conftest import SF_DIR, compare_with_oracle
+
+
+@pytest.fixture(scope="module")
+def ref_views(spark):
+    """Reference-shaped fixture tables registered as temp views."""
+    generator.users(spark, n=200, partitions=2).createOrReplaceTempView("users")
+    generator.products(spark, n=50, partitions=1).createOrReplaceTempView("products")
+    generator.orders(spark, n=300, n_users=200, n_products=50, partitions=2).createOrReplaceTempView(
+        "orders"
+    )
+    generator.events(spark, n=1000, n_users=200, partitions=4).createOrReplaceTempView("events")
+    registered = register_dictionaries(spark)
+    assert {"dict_users", "dict_products", "dict_country_metadata", "dict_category_metadata"} <= set(
+        registered
+    )
+    return spark
+
+
+# --- reference sample queries 4.1-4.4 through the gateway -----------------
+
+
+def test_sample_4_1_event_user_enrichment(ref_views):
+    """sample_queries.sql:165-175 verbatim (dict_users enrichment)."""
+    res = gateway.execute(
+        ref_views,
+        """
+        SELECT
+            e.event_id,
+            e.user_id,
+            dictGet('dict_users', 'username', e.user_id) as username,
+            dictGet('dict_users', 'country', e.user_id) as country,
+            dictGet('dict_users', 'is_premium', e.user_id) as is_premium,
+            e.event_type,
+            e.revenue
+        FROM events e
+        WHERE e.event_date = today()
+        LIMIT 100
+        """,
+    )
+    assert res.df.columns == [
+        "event_id",
+        "user_id",
+        "username",
+        "country",
+        "is_premium",
+        "event_type",
+        "revenue",
+    ]
+    res.df.collect()  # executes (0 rows: fixture dates are fixed-past)
+
+
+def test_sample_4_2_order_product_enrichment(ref_views):
+    """sample_queries.sql:177-189 (dict_products enrichment), with a
+    deterministic date filter so rows flow; values checked against the
+    explicit join."""
+    res = gateway.execute(
+        ref_views,
+        """
+        SELECT
+            o.order_id,
+            o.user_id,
+            dictGet('dict_products', 'product_name', o.product_id) as product_name,
+            dictGet('dict_products', 'category', o.product_id) as category,
+            dictGet('dict_products', 'price', o.product_id) as product_price,
+            o.quantity,
+            o.total_amount
+        FROM orders o
+        WHERE o.status = 'completed'
+        ORDER BY o.order_id
+        LIMIT 50
+        """,
+    )
+    got = res.df.collect()
+    assert len(got) == 50
+    expected = {
+        (r.order_id): (r.product_name, r.category, r.price)
+        for r in ref_views.sql(
+            """
+            SELECT o.order_id, p.product_name, p.category, p.price
+            FROM orders o JOIN products p ON o.product_id = p.product_id
+            WHERE o.status = 'completed' ORDER BY o.order_id LIMIT 50
+            """
+        ).collect()
+    }
+    for r in got:
+        assert (r.product_name, r.category, r.product_price) == expected[r.order_id]
+
+
+def test_sample_4_3_multilevel_geo(ref_views):
+    """sample_queries.sql:191-203 verbatim: dictGet chained through a
+    lateral column alias (country_code) into the static country
+    metadata dictionary."""
+    res = gateway.execute(
+        ref_views,
+        """
+        SELECT
+            e.event_id,
+            dictGet('dict_users', 'country', e.user_id) as country_code,
+            dictGet('dict_country_metadata', 'country_name', country_code) as country_name,
+            dictGet('dict_country_metadata', 'region', country_code) as region,
+            dictGet('dict_country_metadata', 'continent', country_code) as continent,
+            dictGet('dict_country_metadata', 'currency', country_code) as currency,
+            e.event_type,
+            e.revenue
+        FROM events e
+        ORDER BY e.event_id
+        LIMIT 20
+        """,
+    )
+    rows = res.df.collect()
+    assert len(rows) == 20
+    by_code = {
+        "US": ("United States", "North America", "Americas", "USD"),
+        "UK": ("United Kingdom", "Europe", "Europe", "GBP"),
+        "DE": ("Germany", "Europe", "Europe", "EUR"),
+        "FR": ("France", "Europe", "Europe", "EUR"),
+        "CA": ("Canada", "North America", "Americas", "CAD"),
+        "AU": ("Australia", "Oceania", "Oceania", "AUD"),
+        "JP": ("Japan", "Asia", "Asia", "JPY"),
+        "BR": ("Brazil", "South America", "Americas", "BRL"),
+        "IN": ("India", "Asia", "Asia", "INR"),
+        "RU": ("Russia", "Europe/Asia", "Europe", "RUB"),
+    }
+    for r in rows:
+        assert (r.country_name, r.region, r.continent, r.currency) == by_code[r.country_code]
+
+
+def test_sample_4_4_category_commission(ref_views):
+    """sample_queries.sql:205-221 verbatim-shaped: static category
+    dictionary inside an aggregate, lateral alias (commission_rate)
+    reused inside the aggregate expression."""
+    res = gateway.execute(
+        ref_views,
+        """
+        SELECT
+            p.product_id,
+            p.product_name,
+            p.category,
+            dictGet('dict_category_metadata', 'category_display', p.category) as category_display,
+            dictGet('dict_category_metadata', 'parent_category', p.category) as parent_category,
+            dictGet('dict_category_metadata', 'commission_rate', p.category) as commission_rate,
+            SUM(o.total_amount) as revenue,
+            round(SUM(o.total_amount) * commission_rate / 100, 2) as estimated_commission
+        FROM orders o
+        JOIN products p ON o.product_id = p.product_id
+        WHERE o.status = 'completed'
+        GROUP BY p.product_id, p.product_name, p.category
+        ORDER BY revenue DESC
+        LIMIT 20
+        """,
+    )
+    rows = res.df.collect()
+    assert 0 < len(rows) <= 20
+    rates = {
+        "Electronics": "5.0", "Clothing": "10.0", "Books": "8.0", "Home & Garden": "7.0",
+        "Sports": "9.0", "Beauty": "12.0", "Toys": "10.0", "Automotive": "6.0",
+        "Health": "11.0", "Food": "15.0",
+    }
+    for r in rows:
+        assert float(r.commission_rate) == float(rates[r.category])
+        assert r.estimated_commission == round(r.revenue * r.commission_rate / 100, 2)
+
+
+# --- semantics ------------------------------------------------------------
+
+
+def test_missing_key_yields_typed_defaults(ref_views):
+    row = gateway.execute(
+        ref_views,
+        """
+        SELECT dictGet('dict_users', 'country', 999999999) AS s,
+               dictGet('dict_users', 'total_spent', 999999999) AS dec,
+               dictGet('dict_users', 'age', 999999999) AS i,
+               dictGet('dict_users', 'registration_date', 999999999) AS d,
+               dictGet('dict_country_metadata', 'country_name', 'XX') AS m,
+               dictGet('dict_country_metadata', 'timezone_offset', 'XX') AS tz
+        """,
+    ).df.collect()[0]
+    assert row.s == ""
+    assert float(row.dec) == 0.0
+    assert row.i == 0
+    assert str(row.d) == "1970-01-01"
+    assert row.m == ""
+    assert row.tz == 0
+
+
+def test_dict_get_or_default_and_dict_has(ref_views):
+    row = gateway.execute(
+        ref_views,
+        """
+        SELECT dictGetOrDefault('dict_country_metadata', 'currency', 'XX', 'N/A') AS cur,
+               dictGetOrDefault('dict_country_metadata', 'currency', 'JP', 'N/A') AS jp,
+               dictHas('dict_country_metadata', 'US') AS has_us,
+               dictHas('dict_country_metadata', 'XX') AS has_xx,
+               dictHas('dict_users', 1) AS has_u1,
+               dictHas('dict_users', 999999999) AS has_u_missing
+        """,
+    ).df.collect()[0]
+    assert (row.cur, row.jp) == ("N/A", "JPY")
+    assert (row.has_us, row.has_xx, row.has_u1, row.has_u_missing) == (True, False, True, False)
+
+
+def test_unknown_dictionary_and_attr_raise():
+    with pytest.raises(ValueError, match="unknown dictionary"):
+        dialect.rewrite("SELECT dictGet('dict_nope', 'x', 1)")
+    with pytest.raises(ValueError, match="no attribute"):
+        dialect.rewrite("SELECT dictGet('dict_country_metadata', 'nope', 'US')")
+
+
+def test_hashed_layout_is_pure_map_literal():
+    """Static dictGet must rewrite to a join-free constant expression."""
+    sql = dialect.rewrite("SELECT dictGet('dict_country_metadata', 'currency', c) FROM t")
+    assert "element_at(map(" in sql
+    assert "SELECT" == sql.lstrip().split()[0]
+    assert "JOIN" not in sql.upper()
+
+
+def test_view_layout_is_scalar_subquery():
+    sql = dict_get_sql("'dict_customer'", "'c_mktsegment'", "o_custkey")
+    assert sql == (
+        "coalesce((SELECT c_mktsegment FROM dict_customer "
+        "WHERE c_custkey = CAST((o_custkey) AS BIGINT)), '')"
+    )
+
+
+def test_inline_cap_refuses_unbounded_dims():
+    spec = DictionarySpec(
+        name="dict_too_big",
+        key="k",
+        key_type="BIGINT",
+        attrs={"v": ("STRING", "''")},
+        layout="hashed",
+    )
+    rows = [(i, "x") for i in range(MAX_INLINE_ROWS + 1)]
+    with pytest.raises(ValueError, match="exceeds hashed-layout cap"):
+        _load_inline(spec, rows)
+
+
+def test_hashed_from_table_matches_source(spark):
+    """dict_nation/dict_region load from the TPC-H tables at
+    registration (the LIFETIME reload analog) and the map literal
+    returns the same values as the table."""
+    from clickhouse_realtime_analytics_demo_spark.catalog import table
+
+    for name in ("nation", "region"):
+        table(spark, SF_DIR, name).createOrReplaceTempView(name)
+    registered = register_dictionaries(spark, names=("dict_nation", "dict_region"))
+    assert set(registered) == {"dict_nation", "dict_region"}
+    expected = {r.n_nationkey: r.n_name for r in spark.table("nation").collect()}
+    got = spark.sql(
+        dialect.rewrite(
+            "SELECT n_nationkey, dictGet('dict_nation', 'n_name', n_nationkey) AS nm FROM nation"
+        )
+    ).collect()
+    assert {r.n_nationkey: r.nm for r in got} == expected
+    info = loaded_dictionaries()
+    assert info["dict_nation"]["element_count"] == 25
+    assert info["dict_nation"]["layout"] == "HASHED"
+
+
+# --- oracle-checked registry queries --------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["dict_customer_segments", "dict_multilevel_geo", "dict_brand_revenue"]
+)
+def test_dict_query_oracles(spark, name):
+    compare_with_oracle(spark, name)
