@@ -241,16 +241,32 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket self-join →
     exact-cosine verify ≥ threshold. Same candidate-generation shape
-    as MinHash-LSH text dedup."""
+    as MinHash-LSH text dedup.
+
+    ``max_bucket_size`` is the quadratic-blowup valve (same trade-off
+    as operators/dedup.py MinHash banding): a degenerate signature
+    bucket of B vectors contributes B² candidate pairs — e.g. a
+    corpus with millions of zero/boilerplate embeddings all sharing
+    one signature. Buckets above the cap are dropped before the
+    self-join; true near-dup clusters stay far below any sane cap.
+    The size filter shuffles on the same ``sig`` key as the join, so
+    AQE reuses the exchange.
+    """
     planes = random_hyperplanes(dim, num_planes, seed)
     sigs = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_signature(F.col(vec_col), planes).alias("sig"),
     )
+    if max_bucket_size is not None:
+        sizes = sigs.groupBy("sig").agg(F.count("*").alias("bucket_n"))
+        sigs = (
+            sigs.join(sizes, "sig").filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
+        )
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (

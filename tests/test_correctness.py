@@ -23,13 +23,18 @@ def test_oracle_match(spark, name):
     compare_with_oracle(spark, name)
 
 
+# rows-only queries that must produce output (no zero-row escape
+# hatch): embedding_near_dups carries planted near-dup pairs
+_MIN_ROWS = {"embedding_near_dups": 5}
+
+
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_runs(spark, name):
     q = _ALL[name]
     df = q.fn(spark, SF_DIR)
     rows = df.collect()
     assert df.schema is not None
-    assert isinstance(rows, list)  # ran without error; row count may be 0
+    assert len(rows) >= _MIN_ROWS.get(name, 0)
 
 
 def test_entry_contract(spark):
