@@ -164,7 +164,11 @@ def create_app(spark: SparkSession, sf_dir: str, query_log: QueryLog | None = No
     def search():
         # parameterized DataFrame filter — NOT string interpolation
         # (the reference's f-string SQL is its documented wart, P11).
+        # LIKE metacharacters in the user term are escaped so a search
+        # for a literal '%' or '_' matches only literally (the term is
+        # data, not a pattern).
         term = request.args.get("q", "")
+        term = term.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
         limit = min(int(request.args.get("limit", "50")), 1000)
         try:
             from pyspark.sql import functions as F

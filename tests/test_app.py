@@ -66,6 +66,20 @@ def test_search_parameterized(client):
     assert r.status_code == 200 and r.get_json() == []
 
 
+def test_search_escapes_like_metacharacters(client):
+    # '%' as a literal term: no part name contains a literal percent,
+    # so an escaped filter returns []; an unescaped one would match
+    # EVERY row ('%%%' pattern). Same for '_' (any-char) which would
+    # otherwise match any 1-char position.
+    r = client.get("/api/search?q=%25")  # term = '%'
+    assert r.status_code == 200 and r.get_json() == []
+    r = client.get("/api/search?q=x_z")  # '_' literal, not wildcard
+    assert r.status_code == 200 and r.get_json() == []
+    # sanity: escaping must not break ordinary terms
+    d = client.get("/api/search?q=green&limit=3").get_json()
+    assert isinstance(d, list) and all("green" in row["p_name"].lower() for row in d)
+
+
 def test_gateway_executes_clickhouse_dialect(client):
     r = client.post(
         "/api/query/execute",
