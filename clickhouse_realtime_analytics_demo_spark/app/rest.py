@@ -299,6 +299,12 @@ def create_app(spark: SparkSession, sf_dir: str, query_log: QueryLog | None = No
 
         return jsonify(introspect.table_stats(sf_dir))
 
+    @app.route("/api/system/dictionaries")
+    def system_dictionaries():
+        from clickhouse_realtime_analytics_demo_spark.ops import introspect
+
+        return jsonify(introspect.dictionary_stats())
+
     @app.route("/api/system/query-log")
     def system_query_log():
         entries = log.entries()[-int(request.args.get("limit", "100")) :]

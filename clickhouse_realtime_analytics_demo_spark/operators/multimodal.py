@@ -93,19 +93,71 @@ def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
     return 16 + d[0] % 240, 16 + d[1] % 240
 
 
-def decode_image(payload: bytes, *, fake: bool = False) -> dict:
+def pil_available() -> bool:
+    """True when a real image codec (PIL) is importable."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode(payload: bytes) -> dict:
+    """Real image decode via PIL: true dimensions + an 8x8 average-
+    hash perceptual fingerprint; byte-level stats stay payload-based
+    so the field set matches the stub exactly."""
+    import io
+    import math
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    w, h = img.size
+    gray = img.convert("L").resize((8, 8))
+    px = list(gray.getdata())
+    mean_px = sum(px) / 64
+    bits = 0
+    for i, v in enumerate(px):
+        if v >= mean_px:
+            bits |= 1 << i
+    phash = bits - (1 << 64) if bits >= (1 << 63) else bits  # signed int64
+    n = len(payload)
+    counts: dict[int, int] = {}
+    for b in payload:
+        counts[b] = counts.get(b, 0) + 1
+    entropy = -sum((c / n) * math.log2(c / n) for c in counts.values()) if n else 0.0
+    return {
+        "width": w,
+        "height": h,
+        "n_bytes": n,
+        "byte_mean": sum(payload) / n if n else 0.0,
+        "byte_entropy": entropy,
+        "phash": phash,
+    }
+
+
+def decode_image(payload: bytes, *, fake: bool | None = None) -> dict:
     """Decode one image payload to a feature dict.
 
-    Real decode needs an image library that is not in this container:
-    plug PIL/torchvision here. With ``fake=True`` a deterministic
-    byte-level stand-in runs (histogram stats + sha-derived dims) so
-    the whole distributed pipeline is testable end-to-end.
+    ``fake=None`` (default) auto-selects: the real PIL decode when
+    the library is importable, else the deterministic byte-level
+    stand-in (histogram stats + sha-derived dims) — so the stub
+    boundary vanishes on deployments that ship an image codec.
+    ``fake=False`` demands the real codec and raises without one;
+    ``fake=True`` forces the stub (used by the synthetic-corpus
+    queries, whose payloads are not real image bytes).
     """
+    if fake is None:
+        fake = not pil_available()
     if not fake:
-        raise NotImplementedError(
-            "real image decode requires an image library (PIL/torchvision); "
-            "re-run with fake=True for the deterministic stub"
-        )
+        if not pil_available():
+            raise NotImplementedError(
+                "real image decode requires an image library (PIL/torchvision); "
+                "re-run with fake=True for the deterministic stub"
+            )
+        return _pil_decode(payload)
     import math
 
     n = len(payload)

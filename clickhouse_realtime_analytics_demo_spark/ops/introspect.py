@@ -19,11 +19,22 @@ from pyspark.sql import DataFrame, SparkSession
 from clickhouse_realtime_analytics_demo_spark.catalog import TABLES
 
 
+def format_readable_size(n: float) -> str:
+    """ClickHouse ``formatReadableSize`` (sample_queries.sql:504-505):
+    binary units, 2 decimals."""
+    for tier, label in ((1024**4, "TiB"), (1024**3, "GiB"), (1024**2, "MiB"), (1024, "KiB")):
+        if n >= tier:
+            return f"{round(n / tier, 2)} {label}"
+    return f"{round(n, 2)} B"
+
+
 def table_stats(sf_dir: str, tables: tuple[str, ...] = TABLES) -> list[dict]:
     """Per-table storage stats from parquet metadata only.
 
-    Returns rows shaped like the reference's system.parts queries
-    (sample_queries.sql:497-509): rows, compressed/uncompressed bytes,
+    Returns rows shaped like the reference's compression-effectiveness
+    query (sample_queries.sql:501-510: compressed_size,
+    uncompressed_size via formatReadableSize, compression_ratio):
+    rows, compressed/uncompressed bytes + readable strings,
     compression ratio, row-group (≈ "part") count.
     """
     out = []
@@ -50,11 +61,24 @@ def table_stats(sf_dir: str, tables: tuple[str, ...] = TABLES) -> list[dict]:
                 "columns": meta.num_columns,
                 "compressed_bytes": compressed,
                 "uncompressed_bytes": uncompressed,
+                "compressed_size": format_readable_size(compressed),
+                "uncompressed_size": format_readable_size(uncompressed),
                 "compression_ratio": round(uncompressed / compressed, 2) if compressed else None,
                 "file_bytes": path.stat().st_size,
             }
         )
     return out
+
+
+def dictionary_stats() -> list[dict]:
+    """``system.dictionaries`` analog (sample_queries.sql:513-521;
+    06-add-dictionaries.sql.disabled:221-234): name, layout, status,
+    element_count per registered dictionary."""
+    from clickhouse_realtime_analytics_demo_spark.plans.dictionaries import (
+        loaded_dictionaries,
+    )
+
+    return list(loaded_dictionaries().values())
 
 
 def explain(df: DataFrame, mode: str = "formatted") -> str:

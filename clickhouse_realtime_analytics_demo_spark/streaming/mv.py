@@ -24,15 +24,22 @@ Spark-first re-expression with the SAME part-based algebra:
 
 Scale: appends are tiny (|groups touched per batch|); compaction is a
 keyed shuffle over the MV (≪ raw); readers aggregate MV-sized data.
-Exactly-once: the file-source checkpoint tracks processed input files;
-the parquet append in ``foreachBatch`` is at-least-once on crash —
-a transactional sink (Delta MERGE on (keys, batch_id)) closes that
-gap in production; semantics here match the reference's demo fidelity.
+
+Exactly-once: the file-source checkpoint tracks processed input
+files; the sink is IDEMPOTENT on replay — each micro-batch writes
+its partial rows to a batch-id-keyed subdirectory
+(``<mv>/b=<batch_id>``) with overwrite mode, so a crash between the
+data write and the checkpoint commit re-writes the SAME directory
+with the SAME content instead of appending a duplicate part
+(``tests/test_streaming.py::test_mv_sink_idempotent_on_replay``).
+This is the parquet analog of a Delta MERGE keyed on batch_id.
 """
 
 from __future__ import annotations
 
+import shutil
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -173,22 +180,40 @@ def _reagg_exprs(spec: MVSpec) -> list[Column]:
     return out
 
 
+def write_batch(batch: DataFrame, spec: MVSpec, mv_path: str, batch_id: int) -> None:
+    """Idempotent micro-batch write: partial-aggregate rows land in a
+    batch-id-keyed subdirectory with overwrite mode. A foreachBatch
+    replay (crash between data write and checkpoint commit) re-runs
+    the same batch_id over the same checkpointed input files and
+    overwrites the directory with identical content — no double
+    counts, ever."""
+    apply_partial(batch, spec).write.mode("overwrite").parquet(f"{mv_path}/b={batch_id}")
+
+
+def _read_partials(spark: SparkSession, mv_path: str) -> DataFrame:
+    df = spark.read.parquet(mv_path)
+    # partition discovery surfaces the batch-id key as a column
+    return df.drop("b") if "b" in df.columns else df
+
+
 def compact(spark: SparkSession, mv_path: str, spec: MVSpec) -> None:
     """Background-merge analog: fold equal-key partial rows. Readers
-    never require this — it bounds MV size, like MergeTree merges."""
-    df = spark.read.parquet(mv_path)
-    merged = df.groupBy(*spec.keys).agg(*_reagg_exprs(spec))
-    # two-phase overwrite via a temp dir would be atomic on a real
-    # object store; local demo keeps it simple with an eager cache
-    merged.cache().count()
-    merged.write.mode("overwrite").parquet(mv_path)
-    merged.unpersist()
+    never require this — it bounds MV size, like MergeTree merges.
+    Two-phase: write the merged tree next to the live one, then swap
+    (the object-store equivalent is a prefix swap / manifest flip)."""
+    merged = _read_partials(spark, mv_path).groupBy(*spec.keys).agg(*_reagg_exprs(spec))
+    tmp = f"{mv_path}.compact-tmp"
+    merged.write.mode("overwrite").parquet(f"{tmp}/b=-1")
+    live, stash = Path(mv_path), Path(f"{mv_path}.compact-old")
+    live.rename(stash)
+    Path(tmp).rename(live)
+    shutil.rmtree(stash)
 
 
 def read_final(spark: SparkSession, mv_path: str, spec: MVSpec) -> DataFrame:
     """Reader view: re-aggregate partials (the reference's outer SUM /
     -Merge pattern), then finalize derived metrics."""
-    df = spark.read.parquet(mv_path).groupBy(*spec.keys).agg(*_reagg_exprs(spec))
+    df = _read_partials(spark, mv_path).groupBy(*spec.keys).agg(*_reagg_exprs(spec))
     for name, expr in spec.finals.items():
         df = df.withColumn(name, expr)
     drop = [c for c in df.columns if c.endswith("_hll")]
@@ -231,7 +256,7 @@ def start_incremental(
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        apply_partial(batch, spec).write.mode("append").parquet(mv_path)
+        write_batch(batch, spec, mv_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -114,6 +114,22 @@ def test_system_tables(client):
     byname = {t["table"]: t for t in d}
     assert byname["events"]["rows"] > 0
     assert byname["events"]["compression_ratio"] is not None
+    # compression-effectiveness parity (sample_queries.sql:501-510):
+    # readable sizes + ratio consistent with the raw byte columns
+    ev = byname["events"]
+    assert ev["compressed_size"].split(" ")[1] in {"B", "KiB", "MiB", "GiB", "TiB"}
+    assert ev["uncompressed_size"].split(" ")[1] in {"B", "KiB", "MiB", "GiB", "TiB"}
+    assert ev["compression_ratio"] == round(
+        ev["uncompressed_bytes"] / ev["compressed_bytes"], 2
+    )
+
+
+def test_system_dictionaries(client):
+    d = client.get("/api/system/dictionaries").get_json()
+    byname = {t["name"]: t for t in d}
+    assert byname["dict_country_metadata"]["status"] == "LOADED"
+    assert byname["dict_country_metadata"]["element_count"] == 10
+    assert byname["dict_users"]["layout"] == "VIEW"
 
 
 def test_query_log_records(client):

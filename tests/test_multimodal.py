@@ -32,9 +32,25 @@ def test_media_schema(media):
     assert row.meta.duration_ms == 10 * len(row.payload)
 
 
-def test_decode_requires_fake_flag():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"abc")
+def test_decode_codec_selection_is_env_conditional():
+    """fake=None auto-selects the codec: PIL when importable, else
+    the deterministic stub; fake=False demands the real codec."""
+    if multimodal.pil_available():
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (20, 10), (120, 30, 200)).save(buf, format="PNG")
+        png = buf.getvalue()
+        auto = multimodal.decode_image(png)  # real decode
+        assert (auto["width"], auto["height"]) == (20, 10)
+        assert auto == multimodal.decode_image(png, fake=False)
+    else:
+        auto = multimodal.decode_image(b"abc")  # stub fallback
+        assert auto == multimodal.decode_image(b"abc", fake=True)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"abc", fake=False)
 
 
 def test_distributed_features_match_driver_codec(media):

@@ -74,6 +74,35 @@ def test_mv_equivalence_after_stream(spark, tmp_path, mv_name):
     assert after == got_rows
 
 
+def test_mv_sink_idempotent_on_replay(spark, tmp_path):
+    """Crash-replay (VERDICT round 2 #7): foreachBatch re-delivers a
+    batch_id when the data write landed but the checkpoint commit did
+    not. Re-running the same batch must not double counts."""
+    spec = mv.mv_specs()["daily_user_activity"]
+    src = str(tmp_path / "src")
+    mv_path = str(tmp_path / "mv")
+    _ingest_batches(spark, src, [300])
+    batch = spark.read.parquet(src)
+
+    mv.write_batch(batch, spec, mv_path, batch_id=0)
+    want = _rows(mv.read_final(spark, mv_path, spec), spec.keys)
+    total = mv.read_final(spark, mv_path, spec).agg(F.sum("total_events")).collect()[0][0]
+    assert total == 300
+
+    # replay of the same micro-batch (same id, same checkpointed input)
+    mv.write_batch(batch, spec, mv_path, batch_id=0)
+    assert _rows(mv.read_final(spark, mv_path, spec), spec.keys) == want
+    replay_total = mv.read_final(spark, mv_path, spec).agg(F.sum("total_events")).collect()[0][0]
+    assert replay_total == 300  # no double counts
+
+    # a NEW batch id still accumulates
+    batch2 = generator.events(spark, n=100, n_users=50, id_offset=300, partitions=2)
+    mv.write_batch(batch2, spec, mv_path, batch_id=1)
+    assert (
+        mv.read_final(spark, mv_path, spec).agg(F.sum("total_events")).collect()[0][0] == 400
+    )
+
+
 def test_tail_poll_cursor(spark, tmp_path):
     src = str(tmp_path / "events")
     _ingest_batches(spark, src, [200])
