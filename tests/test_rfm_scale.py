@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -79,6 +80,11 @@ def test_user_rfm_oracle_still_green(spark):
     compare_with_oracle(spark, "user_rfm")
 
 
-def test_user_rfm_plan_has_no_unpartitioned_window(spark):
-    df = all_queries()["user_rfm"].fn(spark, "/root/testdata/sf0.001")
+def test_supplier_rankings_oracle_still_green(spark):
+    compare_with_oracle(spark, "supplier_rankings")
+
+
+@pytest.mark.parametrize("name", ["user_rfm", "supplier_rankings"])
+def test_plan_has_no_unpartitioned_window(spark, name):
+    df = all_queries()[name].fn(spark, "/root/testdata/sf0.001")
     assert unpartitioned_window_count(df) == 0
