@@ -205,10 +205,6 @@ def user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         money_sum(F.col("value")).alias("monetary"),
     )
-    # the base aggregate feeds several plan branches; Spark's
-    # ReuseExchange dedupes the identical agg subtree (measured
-    # faster than an explicit persist, which serializes a cache
-    # write before the branches)
     melted = base.selectExpr(
         "user_id AS uid",
         "stack(3, 'r', CAST(recency_days AS DOUBLE),"
@@ -217,22 +213,21 @@ def user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = exact_global_ranks(melted)
     bucket = ntile_from_rank(F.col("rank"), F.col("n"), 5)
-    scores = ranked.groupBy("uid").agg(
-        F.max(F.when(F.col("kind") == "r", bucket)).alias("r_score"),
-        F.max(F.when(F.col("kind") == "f", bucket)).alias("f_score"),
-        F.max(F.when(F.col("kind") == "m", bucket)).alias("m_score"),
-    )
+    # R/F/M values are recovered from the melted sort keys (exact
+    # inverses: sign flip and lossless casts), so no join back to the
+    # base aggregate — one less branch re-scanning events
+    kind, k = F.col("kind"), F.col("k")
     return (
-        base.join(scores, base.user_id == scores.uid)
-        .select(
-            "user_id",
-            "recency_days",
-            "frequency",
-            "monetary",
-            "r_score",
-            "f_score",
-            "m_score",
+        ranked.groupBy("uid")
+        .agg(
+            F.max(F.when(kind == "r", k)).cast("bigint").alias("recency_days"),
+            F.max(F.when(kind == "f", -k)).cast("long").alias("frequency"),
+            F.max(F.when(kind == "m", -k)).alias("monetary"),
+            F.max(F.when(kind == "r", bucket)).alias("r_score"),
+            F.max(F.when(kind == "f", bucket)).alias("f_score"),
+            F.max(F.when(kind == "m", bucket)).alias("m_score"),
         )
+        .withColumnRenamed("uid", "user_id")
         .orderBy("user_id")
     )
 
