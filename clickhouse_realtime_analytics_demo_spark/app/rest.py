@@ -25,7 +25,7 @@ import json
 import time
 from typing import Any
 
-from flask import Flask, Response, jsonify, request
+from flask import Flask, Response, jsonify, render_template, request
 from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_realtime_analytics_demo_spark import catalog
@@ -75,6 +75,17 @@ def create_app(spark: SparkSession, sf_dir: str, query_log: QueryLog | None = No
                 return jsonify({"error": str(exc)}), 500
 
         app.add_url_rule(route, endpoint=route, view_func=view)
+
+    # ---- render-only dashboard pages (templates/dashboard.html and
+    # templates_interactive/interactive_dashboard.html analogs: zero
+    # query logic, they consume the JSON endpoints below) ----
+    @app.route("/")
+    def dashboard():
+        return render_template("dashboard.html")
+
+    @app.route("/live")
+    def live_dashboard():
+        return render_template("live.html")
 
     # ---- dashboard endpoints (app.py contracts) ----
     api(

@@ -109,6 +109,24 @@ def test_sse_tail_cursor(client):
     assert min(ids2) > payload["cursor"]
 
 
+def test_dashboard_pages_render(client):
+    """Render-only HTML surfaces (reference dashboard.html /
+    interactive_dashboard.html analogs): served pages reference the
+    JSON endpoints they consume, and contain no query logic."""
+    r = client.get("/")
+    html = r.get_data(as_text=True)
+    assert r.status_code == 200 and "text/html" in r.content_type
+    for ep in ("/api/daily-events", "/api/event-types", "/api/top-countries", "/api/stats"):
+        assert ep in html
+    r = client.get("/live")
+    html = r.get_data(as_text=True)
+    assert r.status_code == 200
+    for ep in ("/api/live/metrics", "/api/live/timeline", "/api/live/events-stream",
+               "/api/query/execute"):
+        assert ep in html
+    assert "SELECT" not in html.replace("SELECT event_type", "")  # only the sample query
+
+
 def test_system_tables(client):
     d = client.get("/api/system/tables").get_json()
     byname = {t["table"]: t for t in d}
