@@ -86,3 +86,69 @@ def test_gap_sessions_partition_laws(spark, rows):
         evset = set(evs)
         for s in ss:
             assert s.session_start in evset and s.session_end in evset
+
+
+# ---------------------------------------------------- distributed ranking
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),  # kind
+            st.integers(min_value=-5, max_value=5),  # key (dense -> ties)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=7),  # num_buckets
+)
+def test_exact_ranks_law(spark, rows, buckets):
+    """exact_global_ranks == row_number over (kind order by k, uid)
+    for ANY data (dense keys force ties) and ANY bucket count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickhouse_realtime_analytics_demo_spark.operators.ranking import exact_global_ranks
+
+    data = [(kind, float(k), uid) for uid, (kind, k) in enumerate(rows)]
+    df = spark.createDataFrame(data, "kind string, k double, uid long").repartition(4)
+    got = {
+        (r.kind, r.uid): r.rank
+        for r in exact_global_ranks(df, num_buckets=buckets).collect()
+    }
+    want = {
+        (r.kind, r.uid): r.rank
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.partitionBy("kind").orderBy("k", "uid"))
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(deadline=None, max_examples=12, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=300),  # n
+    st.integers(min_value=1, max_value=12),  # k
+)
+def test_ntile_arithmetic_law(spark, n, k):
+    """ntile_from_rank (pure arithmetic) == SQL NTILE for any (n, k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickhouse_realtime_analytics_demo_spark.operators.ranking import ntile_from_rank
+
+    df = spark.range(1, n + 1).withColumnRenamed("id", "rank")
+    got = [
+        r.b
+        for r in df.select("rank", ntile_from_rank(F.col("rank"), n, k).alias("b"))
+        .orderBy("rank")
+        .collect()
+    ]
+    want = [
+        r.b
+        for r in spark.range(1, n + 1)
+        .select(F.ntile(k).over(Window.orderBy("id")).alias("b"))
+        .collect()
+    ]
+    assert got == want
