@@ -57,8 +57,10 @@ def exact_global_ranks(
     k, uid = F.col(key_col), F.col(uid_col)
     probs = [i / num_buckets for i in range(1, num_buckets)]
 
+    # low sketch accuracy on purpose: split-point quality affects only
+    # bucket balance, never rank values (offsets use exact counts)
     bounds_df = melted.groupBy(kind_col).agg(
-        F.percentile_approx(key_col, probs).alias("_bounds")
+        F.percentile_approx(key_col, probs, 1_000).alias("_bounds")
     )
     # Order-aligned bucket id: #split points strictly below the key.
     # Ties with a split point go LEFT (key > b is false) so equal
