@@ -445,22 +445,22 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+    # Pre-aggregate lineitem per order BELOW the join (aggregation
+    # pushdown): the one big shuffle then carries map-side-combined
+    # per-order partials, not raw lineitems, and the fact⋈fact join
+    # shrinks to |orders|⋈|orders|. Decimal partial sums are exact, so
+    # sum-of-sums stays bit-identical; inner joins keep the same
+    # order set on both shapes. (Also avoids the mixed distinct-agg
+    # Expand — the earlier two-phase form's motivation.)
+    ord_rev = li.groupBy("l_orderkey").agg(F.sum(lineitem_revenue()).alias("ord_rev"))
+    per_order = (
+        ord_rev.join(orders, ord_rev.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    # two-phase instead of countDistinct+sum in one agg: the mixed
-    # distinct aggregate plans an Expand (2x rows through the shuffle);
-    # pre-aggregating per order key makes both phases plain hash
-    # aggregates — measured 1.8x faster at sf0.1, and decimal sums are
-    # exact so sum-of-sums is bit-identical.
-    per_order = joined.groupBy(
-        F.col("n_name").alias("nation"), F.col("r_name").alias("region"), "o_orderkey"
-    ).agg(F.sum(lineitem_revenue()).alias("ord_rev"))
     return (
-        per_order.groupBy("nation", "region")
+        per_order.groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
             F.count("*").alias("orders"),
             F.sum("ord_rev").cast("double").alias("revenue"),
