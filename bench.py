@@ -55,6 +55,7 @@ def main() -> None:
     registry["table_counts"].fn(spark, sf_dir).collect()
     registry["doc_quality"].fn(spark, sf_dir).collect()
     registry["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    registry["minute_timeline"].fn(spark, sf_dir).collect()  # events family (nanos-ts path)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
