@@ -51,12 +51,41 @@ def _rows(df: DataFrame) -> list[dict]:
     return [{k: _jsonable(v) for k, v in r.asDict().items()} for r in df.collect()]
 
 
-def create_app(spark: SparkSession, sf_dir: str, query_log: QueryLog | None = None) -> Flask:
+def create_app(
+    spark: SparkSession,
+    sf_dir: str,
+    query_log: QueryLog | None = None,
+    lake_dir: str | None = None,
+) -> Flask:
     app = Flask(__name__)
     log = query_log if query_log is not None else QueryLog()
     app.config["QUERY_LOG"] = log
     registry = all_queries()
     catalog.register(spark, sf_dir)
+
+    # ---- HTTP ingest (INSERT ... FORMAT JSONEachRow parity,
+    # generate_data.py:44-59) — writes to the mutable lake, never to
+    # the read-only query dir ----
+    @app.route("/api/insert/<table>", methods=["POST"])
+    def insert_rows(table: str):
+        from clickhouse_realtime_analytics_demo_spark.sources import json_ingest
+
+        if lake_dir is None:
+            return jsonify({"error": "ingest lake not configured"}), 503
+        body = request.get_data(as_text=True)
+        if request.is_json:  # also accept a JSON array body
+            rows = request.get_json(silent=True)
+            if isinstance(rows, list):
+                body = "\n".join(json.dumps(r) for r in rows)
+        try:
+            with log.record(f"insert:{table}", kind="ingest") as ctx:
+                n = json_ingest.insert_json_rows(spark, lake_dir, table, body)
+                ctx["rows"] = n
+            return jsonify({"table": table, "rows": n})
+        except json_ingest.BadRows as exc:
+            return jsonify({"error": str(exc)}), 400
+        except Exception as exc:
+            return jsonify({"error": str(exc)}), 500
 
     def run_named(name: str) -> list[dict]:
         with log.record(name, kind="rest") as ctx:
