@@ -121,6 +121,18 @@ def _avg_if(args: list[str]) -> str:
     return f"avg(CASE WHEN {args[1].strip()} THEN {args[0].strip()} END)"
 
 
+def _regex_escaped_literal(arg: str) -> str:
+    """Spark ``split`` takes a REGEX; ClickHouse splitByChar/-String
+    take literal separators. Escape when the arg is a quoted literal;
+    pass through (wrapped) otherwise."""
+    s = arg.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        import re as _re
+
+        return "'" + _re.escape(s[1:-1]).replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return s
+
+
 def _rename(name: str) -> Callable[[list[str]], str]:
     def fn(args: list[str]) -> str:
         return f"{name}({', '.join(a.strip() for a in args)})"
@@ -194,6 +206,29 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     + f" ELSE {a[-1].strip()} END)",
     "has": _rename("array_contains"),
     "numbers": lambda a: f"(SELECT id AS number FROM range({a[0].strip()}))",
+    # type-conversion family (LLM/chat queries emit these constantly;
+    # ClickHouse docs sql-reference/functions/type-conversion-functions)
+    "tostring": lambda a: f"CAST({a[0].strip()} AS STRING)",
+    "toint8": lambda a: f"CAST({a[0].strip()} AS TINYINT)",
+    "toint16": lambda a: f"CAST({a[0].strip()} AS SMALLINT)",
+    "toint32": lambda a: f"CAST({a[0].strip()} AS INT)",
+    "toint64": lambda a: f"CAST({a[0].strip()} AS BIGINT)",
+    "touint8": lambda a: f"CAST({a[0].strip()} AS INT)",
+    "touint16": lambda a: f"CAST({a[0].strip()} AS INT)",
+    "touint32": lambda a: f"CAST({a[0].strip()} AS BIGINT)",
+    "touint64": lambda a: f"CAST({a[0].strip()} AS BIGINT)",
+    "tofloat32": lambda a: f"CAST({a[0].strip()} AS FLOAT)",
+    "tofloat64": lambda a: f"CAST({a[0].strip()} AS DOUBLE)",
+    "todecimal32": lambda a: f"CAST({a[0].strip()} AS DECIMAL(9,{a[1].strip()}))",
+    "todecimal64": lambda a: f"CAST({a[0].strip()} AS DECIMAL(18,{a[1].strip()}))",
+    # array family (sample_queries.sql uses groupArray/arrayStringConcat;
+    # arrayJoin is the CH idiom for explode)
+    "arrayjoin": _rename("explode"),
+    "arraylength": _rename("size"),
+    "arraydistinct": _rename("array_distinct"),
+    "arraysort": _rename("array_sort"),
+    "splitbychar": lambda a: f"split({a[1].strip()}, {_regex_escaped_literal(a[0])})",
+    "splitbystring": lambda a: f"split({a[1].strip()}, {_regex_escaped_literal(a[0])})",
     # dictionary layer (06-add-dictionaries.sql.disabled:139-183;
     # examples/sample_queries.sql:163-221) — plans/dictionaries.py
     "dictget": lambda a: _dictionaries().dict_get_sql(a[0], a[1], a[2]),

@@ -63,3 +63,25 @@ def test_chat_endpoint(spark):
     assert r.status_code == 200 and d["row_count"] > 0
     assert d["columns"] == ["event_type", "events"]
     assert c.post("/api/chat", json={}).status_code == 400
+
+
+def test_chat_llm_emitting_dictget_executes(spark):
+    """An LLM that emits the reference's dictGet idiom
+    (sample_queries.sql:163-221) runs through the chat path: the
+    dialect shim expands it to the dictionary layer's rewrite."""
+    from clickhouse_realtime_analytics_demo_spark.catalog import table
+    from clickhouse_realtime_analytics_demo_spark.plans.dictionaries import (
+        register_dictionaries,
+    )
+
+    for t in ("orders", "customer"):
+        table(spark, SF_DIR, t).createOrReplaceTempView(t)
+    register_dictionaries(spark)
+    llm = lambda p: (
+        "```sql\nSELECT dictGet('dict_customer', 'c_mktsegment', o_custkey) AS seg, "
+        "count() AS n FROM orders GROUP BY seg ORDER BY n DESC LIMIT 3\n```"
+    )
+    out = ChatService(spark, SF_DIR, llm=llm).ask("top segments?")
+    assert "dictGet" in out["sql"]
+    assert "dict_customer" in out["rewritten_sql"] and "dictGet" not in out["rewritten_sql"]
+    assert out["row_count"] == 3 and out["rows"][0]["n"] > 0

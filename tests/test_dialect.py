@@ -231,3 +231,26 @@ def test_logical_views_registered(spark):
         spark, "SELECT uniq(user_id) AS u FROM user_analytics PREWHERE total_events > 1"
     )
     assert res.df.collect()[0].u > 0
+
+
+def test_type_conversion_family(spark):
+    row = spark.sql(dialect.rewrite(
+        "SELECT toString(42) AS s, toInt64('7') AS i, toFloat64('2.5') AS f, "
+        "toDecimal64('3.14', 2) AS d, toUInt8(1) AS u"
+    )).collect()[0]
+    assert (row.s, row.i, row.f, float(row.d), row.u) == ("42", 7, 2.5, 3.14, 1)
+
+
+def test_array_family_and_split(spark):
+    row = spark.sql(dialect.rewrite(
+        "SELECT splitByChar('|', 'a|b|c') AS parts, "
+        "arrayLength(splitByChar('|', 'a|b|c')) AS n, "
+        "arrayDistinct(splitByString(',', 'x,x,y')) AS ds"
+    )).collect()[0]
+    assert list(row.parts) == ["a", "b", "c"]  # literal '|', not regex any-char
+    assert row.n == 3
+    assert sorted(row.ds) == ["x", "y"]
+    rows = spark.sql(dialect.rewrite(
+        "SELECT arrayJoin(splitByChar(',', 'p,q')) AS v"
+    )).collect()
+    assert [r.v for r in rows] == ["p", "q"]
