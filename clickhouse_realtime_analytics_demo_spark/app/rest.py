@@ -88,9 +88,13 @@ def create_app(
             return jsonify({"error": str(exc)}), 500
 
     def run_named(name: str) -> list[dict]:
+        from clickhouse_realtime_analytics_demo_spark.ops.query_log import scan_metrics
+
         with log.record(name, kind="rest") as ctx:
-            rows = _rows(registry[name].fn(spark, sf_dir))
+            df = registry[name].fn(spark, sf_dir)
+            rows = _rows(df)
             ctx["rows"] = len(rows)
+            ctx["scan"] = scan_metrics(df)  # read_rows/read_bytes parity
         return rows
 
     def api(route: str, name: str, shape):
@@ -355,6 +359,9 @@ def create_app(
                     "kind": e.kind,
                     "duration_s": round(e.duration_s, 4),
                     "rows": e.rows,
+                    "read_rows": e.read_rows,
+                    "read_bytes": e.read_bytes,
+                    "read_files": e.read_files,
                     "ok": e.ok,
                     "error": e.error,
                 }

@@ -27,13 +27,61 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass(frozen=True)
 class QueryLogEntry:
     name: str
-    kind: str  # registry | gateway | rest
+    kind: str  # registry | gateway | rest | ingest
     sql: str | None
     started_at: float  # unix seconds
     duration_s: float
     rows: int
     ok: bool
     error: str | None = None
+    # executor-side scan metrics (system.query_log read_rows /
+    # read_bytes parity, sample_queries.sql:483-495) — populated from
+    # the executed plan after materialization
+    read_rows: int = 0
+    read_bytes: int = 0
+    read_files: int = 0
+
+
+def scan_metrics(df: DataFrame) -> dict[str, int]:
+    """Sum file-scan metrics from a MATERIALIZED DataFrame's executed
+    plan (SQLMetrics are populated by the action): rows produced by
+    scans after pushdown, bytes of files hit, file count. The
+    ``read_rows``/``read_bytes`` columns of ClickHouse's
+    system.query_log, from Spark's own instrumentation."""
+
+    def walk(node):
+        yield node
+        name = node.getClass().getSimpleName()
+        # AQE wraps the tree: descend into the adaptive plan's final
+        # physical plan and into materialized query stages
+        if name == "AdaptiveSparkPlanExec":
+            yield from walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            yield from walk(node.plan())
+            return
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    out = {"read_rows": 0, "read_bytes": 0, "read_files": 0}
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        for node in walk(plan):
+            if "Scan" not in node.getClass().getSimpleName():
+                continue
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                key, value = kv._1(), kv._2().value()
+                if key == "numOutputRows":
+                    out["read_rows"] += value
+                elif key == "filesSize":
+                    out["read_bytes"] += value
+                elif key == "numFiles":
+                    out["read_files"] += value
+    except Exception:  # AQE re-plans / non-file sources: best-effort
+        pass
+    return out
 
 
 @dataclass
@@ -61,8 +109,20 @@ class QueryLog:
                 )
             )
             raise
+        scans = ctx.get("scan", {})
         self._append(
-            QueryLogEntry(name, kind, sql, t0, time.perf_counter() - tp, int(ctx["rows"]), True)
+            QueryLogEntry(
+                name,
+                kind,
+                sql,
+                t0,
+                time.perf_counter() - tp,
+                int(ctx["rows"]),
+                True,
+                read_rows=int(scans.get("read_rows", 0)),
+                read_bytes=int(scans.get("read_bytes", 0)),
+                read_files=int(scans.get("read_files", 0)),
+            )
         )
 
     def _append(self, e: QueryLogEntry) -> None:
@@ -78,11 +138,24 @@ class QueryLog:
         error rates, per-kind stats — the sample_queries.sql:483-495
         read patterns)."""
         rows = [
-            (e.name, e.kind, e.sql, e.started_at, e.duration_s, e.rows, e.ok, e.error)
+            (
+                e.name,
+                e.kind,
+                e.sql,
+                e.started_at,
+                e.duration_s,
+                e.rows,
+                e.ok,
+                e.error,
+                e.read_rows,
+                e.read_bytes,
+                e.read_files,
+            )
             for e in self.entries()
         ]
         return spark.createDataFrame(
             rows,
             "name string, kind string, sql string, started_at double, "
-            "duration_s double, rows bigint, ok boolean, error string",
+            "duration_s double, rows bigint, ok boolean, error string, "
+            "read_rows bigint, read_bytes bigint, read_files bigint",
         )

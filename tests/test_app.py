@@ -156,6 +156,16 @@ def test_query_log_records(client):
     assert any(e["name"] == "daily_events" and e["ok"] and e["rows"] > 0 for e in entries)
 
 
+def test_query_log_scan_metrics(client):
+    """system.query_log read_rows/read_bytes parity
+    (sample_queries.sql:483-495): executor scan metrics recorded."""
+    client.get("/api/daily-events")
+    entries = client.get("/api/system/query-log").get_json()
+    e = [x for x in entries if x["name"] == "daily_events" and x["ok"]][-1]
+    assert e["read_rows"] > 0  # events rows produced by the scan
+    assert e["read_bytes"] > 0 and e["read_files"] > 0
+
+
 def test_explain_endpoint(client):
     d = client.get("/api/system/explain/daily_events").get_json()
     assert "Physical Plan" in d["plan"]
