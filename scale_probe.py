@@ -1,0 +1,98 @@
+"""Scale probe: measure how headline operators scale with data size.
+
+Replicates the driver's sf0.1 tables K times (ids shifted per copy so
+keys stay unique; users/docs/vectors GROW with K, matching how a real
+corpus scales) into a scratch dir, then times representative queries
+at each K. Near-linear wall-clock growth = the plans have no
+super-linear term (quadratic self-join, single-task sort) hiding at
+bench scale — the measurable proxy for the 100 TB stance.
+
+Usage: python scale_probe.py [K ...]   (default 1 4 10)
+Prints one JSON line per K and writes SCALEPROBE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from clickhouse_realtime_analytics_demo_spark.catalog import table  # noqa: E402
+from clickhouse_realtime_analytics_demo_spark.queries import all_queries  # noqa: E402
+from clickhouse_realtime_analytics_demo_spark.session import get_spark  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+QUERIES = ("daily_events", "event_type_stats", "user_rfm", "dedup_exact", "ann_cosine_topk")
+# tables those queries read; replicated with per-copy id shifts
+REPLICATE = {
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def replicate(spark, out_dir: str, k: int) -> None:
+    for name, id_cols in REPLICATE.items():
+        src = table(spark, BASE_SF, name)
+        shifts = {c: src.agg(F.max(c)).collect()[0][0] + 1 for c in id_cols}
+        parts = []
+        for i in range(k):
+            df = src
+            for c, m in shifts.items():
+                df = df.withColumn(c, (F.col(c) + F.lit(i * m)).cast("long"))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    spark = get_spark(app_name="scale_probe")
+    registry = all_queries()
+    results: dict[int, dict[str, float]] = {}
+    for k in ks:
+        d = tempfile.mkdtemp(prefix=f"scaleprobe_k{k}_")
+        replicate(spark, d, k)
+        timings: dict[str, float] = {}
+        for name in QUERIES:
+            registry[name].fn(spark, d).collect()  # warm codegen for this K's plans
+            t0 = time.perf_counter()
+            registry[name].fn(spark, d).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        results[k] = timings
+        print(json.dumps({"k": k, "queries": timings}), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+    base = results[ks[0]]
+    lines = [
+        "# SCALEPROBE — wall-clock vs data size (replicated sf0.1, local[32])",
+        "",
+        "Warm second-run timings; ratio columns are relative to K="
+        f"{ks[0]} (linear scaling ⇒ ratio ≈ K).",
+        "",
+        "| query | " + " | ".join(f"K={k} (s) | ratio" for k in ks) + " |",
+        "|---|" + "---|" * (2 * len(ks)),
+    ]
+    for name in QUERIES:
+        cells = []
+        for k in ks:
+            t = results[k][name]
+            cells.append(f"{t}")
+            cells.append(f"{round(t / base[name], 1) if base[name] else '-'}x")
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
+    Path("SCALEPROBE.md").write_text("\n".join(lines) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
