@@ -105,13 +105,15 @@ def dict_multilevel_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
                count() AS orders,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM (
-            SELECT dictGet('dict_nation', 'n_name',
-                           dictGet('dict_customer', 'c_nationkey', o_custkey)) AS nation,
+            SELECT dictGet('dict_nation', 'n_name', nk) AS nation,
                    dictGet('dict_region', 'r_name',
-                           dictGet('dict_nation', 'n_regionkey',
-                                   dictGet('dict_customer', 'c_nationkey', o_custkey))) AS region,
+                           dictGet('dict_nation', 'n_regionkey', nk)) AS region,
                    o_totalprice
-            FROM orders
+            FROM (
+                SELECT dictGet('dict_customer', 'c_nationkey', o_custkey) AS nk,
+                       o_totalprice
+                FROM orders
+            )
         )
         GROUP BY nation, region
         ORDER BY nation
