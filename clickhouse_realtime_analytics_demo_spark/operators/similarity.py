@@ -241,18 +241,19 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket self-join →
     exact-cosine verify ≥ threshold. Same candidate-generation shape
     as MinHash-LSH text dedup.
 
-    ``max_bucket_size`` is the quadratic-blowup valve (same trade-off
-    as operators/dedup.py MinHash banding): a degenerate signature
-    bucket of B vectors contributes B² candidate pairs — e.g. a
-    corpus with millions of zero/boilerplate embeddings all sharing
-    one signature. Buckets above the cap are dropped before the
-    self-join; true near-dup clusters stay far below any sane cap.
+    ``max_bucket_size`` is the opt-in quadratic-blowup valve (default
+    None = report everything, matching operators/dedup.py): a
+    degenerate signature bucket of B vectors contributes B² candidate
+    pairs — e.g. a corpus with millions of zero/boilerplate embeddings
+    sharing one signature. Buckets above the cap are dropped before
+    the self-join — including any genuine giant near-dup cluster, the
+    standard LSH-cap trade-off, so enable it deliberately at scale.
     The size filter shuffles on the same ``sig`` key as the join, so
     AQE reuses the exchange.
     """

@@ -233,6 +233,7 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     # examples/sample_queries.sql:163-221) — plans/dictionaries.py
     "dictget": lambda a: _dictionaries().dict_get_sql(a[0], a[1], a[2]),
     "dictgetordefault": lambda a: _dictionaries().dict_get_sql(a[0], a[1], a[2], a[3]),
+    "dictgetornull": lambda a: _dictionaries().dict_get_or_null_sql(a[0], a[1], a[2]),
     "dicthas": lambda a: _dictionaries().dict_has_sql(a[0], a[1]),
 }
 

@@ -50,6 +50,7 @@ __all__ = [
     "DICTIONARIES",
     "DictionarySpec",
     "dict_get_sql",
+    "dict_get_or_null_sql",
     "dict_has_sql",
     "register_dictionaries",
     "loaded_dictionaries",
@@ -268,6 +269,9 @@ _add(
 # hashed-layout data loaded by register_dictionaries:
 # name -> {attr -> {key_literal_sql -> value_literal_sql}}
 _LOADED: dict[str, dict[str, dict[str, str]]] = {}
+# view-layout dictionaries whose temp view register_dictionaries
+# actually created (source view present at registration time)
+_REGISTERED_VIEWS: set[str] = set()
 
 
 def _sql_literal(v, sql_type: str) -> str:
@@ -338,6 +342,8 @@ def register_dictionaries(spark: SparkSession, names: tuple[str, ...] | None = N
         if spec.layout == "hashed":
             rows = [tuple(r) for r in spark.table(name).collect()]
             _load_inline(spec, rows)
+        else:
+            _REGISTERED_VIEWS.add(name)
         done.append(name)
     return done
 
@@ -348,12 +354,16 @@ def loaded_dictionaries() -> dict[str, dict]:
     out = {}
     for name, spec in DICTIONARIES.items():
         loaded = name in _LOADED
+        if spec.layout == "hashed":
+            status = "LOADED" if loaded else "NOT_LOADED"
+        else:
+            status = "LOADED" if name in _REGISTERED_VIEWS else "NOT_LOADED"
         out[name] = {
             "name": name,
             "layout": "HASHED" if spec.layout == "hashed" else "VIEW",
             "key": spec.key,
             "attributes": spec.attr_names(),
-            "status": "LOADED" if (loaded or spec.layout == "view") else "NOT_LOADED",
+            "status": status,
             "element_count": len(next(iter(_LOADED[name].values()))) if loaded else None,
         }
     return out
@@ -375,15 +385,13 @@ def _spec_and_attr(dname_arg: str, attr_arg: str) -> tuple[DictionarySpec, str]:
     return spec, attr
 
 
-def dict_get_sql(dname_arg: str, attr_arg: str, key_expr: str, default_sql: str | None = None) -> str:
-    """SQL for ``dictGet('dict', 'attr', key)`` (and dictGetOrDefault
-    via ``default_sql``). Hashed layout -> map-literal element_at;
-    view layout -> correlated scalar subquery (decorrelated by
-    Catalyst into a broadcast-able left outer join)."""
+def _lookup_sql(dname_arg: str, attr_arg: str, key_expr: str) -> tuple[str, str]:
+    """(lookup expression yielding NULL on a missing key, typed
+    default literal). Hashed layout -> map-literal element_at; view
+    layout -> correlated scalar subquery (decorrelated by Catalyst
+    into a broadcast-able left outer join)."""
     spec, attr = _spec_and_attr(dname_arg, attr_arg)
-    sql_type, default = spec.attrs[attr]
-    if default_sql is not None:
-        default = default_sql.strip()
+    _sql_type, default = spec.attrs[attr]
     key = f"CAST(({key_expr.strip()}) AS {spec.key_type})"
     if spec.layout == "hashed":
         entries = _LOADED.get(spec.name)
@@ -393,9 +401,28 @@ def dict_get_sql(dname_arg: str, attr_arg: str, key_expr: str, default_sql: str 
                 "call register_dictionaries(spark) first"
             )
         pairs = ", ".join(f"{k}, {v}" for k, v in entries[attr].items())
-        return f"coalesce(element_at(map({pairs}), {key}), {default})"
-    sub = f"(SELECT {attr} FROM {spec.name} WHERE {spec.key} = {key})"
-    return f"coalesce({sub}, {default})"
+        return f"element_at(map({pairs}), {key})", default
+    return f"(SELECT {attr} FROM {spec.name} WHERE {spec.key} = {key})", default
+
+
+def dict_get_sql(dname_arg: str, attr_arg: str, key_expr: str, default_sql: str | None = None) -> str:
+    """SQL for ``dictGet('dict', 'attr', key)`` (and dictGetOrDefault
+    via ``default_sql``): lookup coalesced to the attribute's typed
+    default, ClickHouse's missing-key behavior."""
+    lookup, default = _lookup_sql(dname_arg, attr_arg, key_expr)
+    if default_sql is not None:
+        default = default_sql.strip()
+    return f"coalesce({lookup}, {default})"
+
+
+def dict_get_or_null_sql(dname_arg: str, attr_arg: str, key_expr: str) -> str:
+    """SQL for ``dictGetOrNull``: NULL on a missing key instead of the
+    typed default. Use for CHAINED lookups — a defaulted 0/'' would
+    otherwise be a real key in the next dictionary and silently
+    misattribute rows (LEFT-JOIN-chain semantics need NULL to
+    propagate)."""
+    lookup, _default = _lookup_sql(dname_arg, attr_arg, key_expr)
+    return lookup
 
 
 def dict_has_sql(dname_arg: str, key_expr: str) -> str:

@@ -70,7 +70,10 @@ def validate(sql: str) -> None:
     stripped = sql.strip()
     if not stripped:
         raise QueryRejected("empty query")
-    if ";" in stripped.rstrip(";"):
+    # blank out literals/comments first so a ';' or keyword inside a
+    # string literal or SQL comment doesn't trip the checks
+    code_only = _STRING_OR_COMMENT.sub(" ", stripped)
+    if ";" in code_only.rstrip().rstrip(";"):
         raise QueryRejected("multiple statements are not allowed")
     first_word = stripped.split(None, 1)[0].upper().rstrip(";")
     if first_word not in _ALLOWED_PREFIXES:
@@ -78,8 +81,6 @@ def validate(sql: str) -> None:
             f"only read-only statements are allowed (got {first_word!r}); "
             f"permitted prefixes: {', '.join(_ALLOWED_PREFIXES)}"
         )
-    # blank out literals/comments so keywords inside strings don't trip
-    code_only = _STRING_OR_COMMENT.sub(" ", stripped)
     m = _BLOCKED_RE.search(code_only)
     if m:
         raise QueryRejected(f"blocked keyword: {m.group(1).upper()}")

@@ -107,10 +107,13 @@ def dict_multilevel_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT dictGet('dict_nation', 'n_name', nk) AS nation,
                    dictGet('dict_region', 'r_name',
-                           dictGet('dict_nation', 'n_regionkey', nk)) AS region,
+                           dictGetOrNull('dict_nation', 'n_regionkey', nk)) AS region,
                    o_totalprice
             FROM (
-                SELECT dictGet('dict_customer', 'c_nationkey', o_custkey) AS nk,
+                -- OrNull for the chained key: a defaulted 0 would be a
+                -- real n_nationkey and misattribute orphan orders to
+                -- nation 0; NULL propagates like the LEFT-JOIN chain
+                SELECT dictGetOrNull('dict_customer', 'c_nationkey', o_custkey) AS nk,
                        o_totalprice
                 FROM orders
             )

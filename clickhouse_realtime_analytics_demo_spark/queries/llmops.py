@@ -329,4 +329,6 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label"),
     )
     corpus = emb.unionByName(planted)
-    return similarity.cosine_near_dup_pairs(corpus, threshold=0.95).orderBy("id_a", "id_b")
+    return similarity.cosine_near_dup_pairs(
+        corpus, threshold=0.95, max_bucket_size=10_000
+    ).orderBy("id_a", "id_b")

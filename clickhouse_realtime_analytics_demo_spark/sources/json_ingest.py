@@ -23,6 +23,8 @@ distributed, codegen'd, no Python row loop — a 5000-row batch or a
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -80,9 +82,10 @@ def parse_json_rows(spark: SparkSession, table: str, ndjson: str) -> DataFrame:
     for col, expr in _derived(table).items():
         df = df.withColumn(col, F.coalesce(F.col(col), expr))
     required = [f.name for f in schema if not f.nullable]
-    bad = df.filter(
-        F.greatest(*[F.col(c).isNull().cast("int") for c in required]) == 1
+    any_null = functools.reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in required], F.lit(False)
     )
+    bad = df.filter(any_null)
     bad_rows = bad.select("value").limit(3).collect()
     if bad_rows:
         raise BadRows(

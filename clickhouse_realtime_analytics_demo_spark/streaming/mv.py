@@ -37,6 +37,7 @@ This is the parquet analog of a Delta MERGE keyed on batch_id.
 
 from __future__ import annotations
 
+import json
 import shutil
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -196,18 +197,83 @@ def _read_partials(spark: SparkSession, mv_path: str) -> DataFrame:
     return df.drop("b") if "b" in df.columns else df
 
 
+def _recover_compaction(live: Path) -> None:
+    """Replay or roll back an interrupted compact() (crash-safety):
+
+    - a hidden merge dir with ``_SUCCESS`` + ``_MANIFEST`` is complete
+      — finish its publish/delete steps;
+    - a published part still carrying ``_MANIFEST`` means the snapshot
+      deletion was cut short — finish it;
+    - a hidden merge dir without both markers is incomplete — discard
+      it (its source parts are untouched).
+    """
+    for d in sorted(live.glob(".compact-*")):
+        manifest = d / "_MANIFEST"
+        if (d / "_SUCCESS").exists() and manifest.exists():
+            publish_as, doomed = json.loads(manifest.read_text())
+            target = live / publish_as
+            if not target.exists():
+                d.rename(target)
+                _finish_deletes(live, target, doomed)
+            else:  # published by a concurrent/previous run
+                shutil.rmtree(d)
+        else:
+            shutil.rmtree(d)
+    for target in sorted(live.glob("b=*")):
+        manifest = target / "_MANIFEST"
+        if manifest.exists():
+            _, doomed = json.loads(manifest.read_text())
+            _finish_deletes(live, target, doomed)
+
+
+def _finish_deletes(live: Path, published: Path, doomed: list[str]) -> None:
+    for name in doomed:
+        victim = live / name
+        if victim.exists():
+            shutil.rmtree(victim)
+    (published / "_MANIFEST").unlink(missing_ok=True)
+
+
 def compact(spark: SparkSession, mv_path: str, spec: MVSpec) -> None:
     """Background-merge analog: fold equal-key partial rows. Readers
     never require this — it bounds MV size, like MergeTree merges.
-    Two-phase: write the merged tree next to the live one, then swap
-    (the object-store equivalent is a prefix swap / manifest flip)."""
-    merged = _read_partials(spark, mv_path).groupBy(*spec.keys).agg(*_reagg_exprs(spec))
-    tmp = f"{mv_path}.compact-tmp"
-    merged.write.mode("overwrite").parquet(f"{tmp}/b=-1")
-    live, stash = Path(mv_path), Path(f"{mv_path}.compact-old")
-    live.rename(stash)
-    Path(tmp).rename(live)
-    shutil.rmtree(stash)
+
+    Concurrent-stream-safe and crash-safe:
+
+    - only the part directories present in the snapshot are folded
+      and deleted — micro-batches landing mid-merge survive;
+    - the merged part is written to a dot-hidden directory (invisible
+      to parquet readers), stamped with a ``_MANIFEST`` naming the
+      parts it replaces, atomically renamed into place, and only then
+      are the snapshot parts deleted; a crash at ANY step is replayed
+      or rolled back by :func:`_recover_compaction` on the next call —
+      no permanent loss, no permanent double count.
+
+    Concurrent READERS during the publish→delete window can
+    transiently see both the merged part and not-yet-deleted inputs
+    (seconds); ClickHouse's atomic part-set swap has no transiently
+    visible state — schedule compaction off-peak if that matters.
+    """
+    live = Path(mv_path)
+    _recover_compaction(live)
+    snapshot = sorted(d for d in live.glob("b=*") if d.is_dir())
+    if len(snapshot) < 2:
+        return
+    ids = [int(d.name.split("=")[1]) for d in snapshot]
+    merged_id = min(min(ids), 0) - 1
+    merged = (
+        spark.read.parquet(*[str(d) for d in snapshot])
+        .groupBy(*spec.keys)
+        .agg(*_reagg_exprs(spec))
+    )
+    hidden = live / f".compact-{abs(merged_id)}"
+    merged.write.mode("overwrite").parquet(str(hidden))
+    (hidden / "_MANIFEST").write_text(
+        json.dumps([f"b={merged_id}", [d.name for d in snapshot]])
+    )
+    target = live / f"b={merged_id}"
+    hidden.rename(target)
+    _finish_deletes(live, target, [d.name for d in snapshot])
 
 
 def read_final(spark: SparkSession, mv_path: str, spec: MVSpec) -> DataFrame:

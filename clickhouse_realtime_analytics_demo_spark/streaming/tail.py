@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import threading
 from collections import deque
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,17 +68,29 @@ class EventTail:
         """
         self._buffer: deque[dict] = deque(maxlen=capacity)
         self._lock = threading.Lock()
+        # The live-edge cursor is decided ONCE per checkpoint and
+        # persisted beside it: a restart with an existing checkpoint
+        # must keep the original cursor, or events that arrived while
+        # the tail was down (already committed to the checkpoint's
+        # file log, hence never re-delivered as "new") would be
+        # silently dropped by the sink filter.
+        marker = Path(checkpoint_dir) / "tail_start_after"
         if start_after is None:
-            try:
-                row = (
-                    spark.read.schema(schemas.EVENTS)
-                    .parquet(source_dir)
-                    .agg(F.max("event_id"))
-                    .collect()
-                )
-                start_after = row[0][0] or 0
-            except Exception:  # empty/missing directory: start from 0
-                start_after = 0
+            if marker.exists():
+                start_after = int(marker.read_text())
+            else:
+                try:
+                    row = (
+                        spark.read.schema(schemas.EVENTS)
+                        .parquet(source_dir)
+                        .agg(F.max("event_id"))
+                        .collect()
+                    )
+                    start_after = row[0][0] or 0
+                except Exception:  # empty/missing directory: start from 0
+                    start_after = 0
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        marker.write_text(str(start_after))
         self.start_after = start_after
 
         def sink(batch: DataFrame, batch_id: int) -> None:

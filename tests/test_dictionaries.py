@@ -287,6 +287,37 @@ def test_hashed_from_table_matches_source(spark):
     assert info["dict_nation"]["layout"] == "HASHED"
 
 
+def test_chained_lookup_orphan_keys_match_left_join(spark):
+    """dictGetOrNull in a chained lookup: an orders row whose custkey
+    is absent from customer must land in the '' nation bucket — the
+    LEFT-JOIN-chain semantics — not be misattributed to the nation
+    whose key equals the typed default 0."""
+    from clickhouse_realtime_analytics_demo_spark.catalog import table
+
+    for name in ("customer", "nation", "region"):
+        table(spark, SF_DIR, name).createOrReplaceTempView(name)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW orders AS
+        SELECT 1 AS o_custkey, CAST(10.0 AS DOUBLE) AS o_totalprice
+        UNION ALL SELECT 999999999, CAST(70.0 AS DOUBLE)
+        """
+    )
+    register_dictionaries(spark)
+    rows = gateway.execute(
+        spark,
+        """
+        SELECT dictGet('dict_nation', 'n_name',
+                       dictGetOrNull('dict_customer', 'c_nationkey', o_custkey)) AS nation,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY nation ORDER BY nation
+        """,
+    ).df.collect()
+    by_nation = {r.nation: r.revenue for r in rows}
+    assert by_nation[""] == 70.0  # orphan key -> '' bucket, never nation 0
+    assert sum(by_nation.values()) == 80.0
+
+
 # --- oracle-checked registry queries --------------------------------------
 
 

@@ -74,6 +74,60 @@ def test_mv_equivalence_after_stream(spark, tmp_path, mv_name):
     assert after == got_rows
 
 
+def test_compact_crash_recovery(spark, tmp_path, monkeypatch):
+    """compact() must never lose or permanently duplicate rows, at
+    whatever step a crash lands; the next call replays/rolls back."""
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    spec = mv.mv_specs()["daily_user_activity"]
+    mv_path = str(tmp_path / "mv")
+    for b, off in ((0, 0), (1, 150)):
+        batch = generator.events(spark, n=150, n_users=50, id_offset=off, partitions=1)
+        mv.write_batch(batch, spec, mv_path, batch_id=b)
+
+    def total():
+        return mv.read_final(spark, mv_path, spec).agg(F.sum("total_events")).collect()[0][0]
+
+    want_rows = _rows(mv.read_final(spark, mv_path, spec), spec.keys)
+    assert total() == 300
+
+    # crash AFTER publish, BEFORE snapshot deletion
+    real_finish = mv._finish_deletes
+    monkeypatch.setattr(mv, "_finish_deletes", lambda *a: (_ for _ in ()).throw(RuntimeError))
+    with _pytest.raises(RuntimeError):
+        mv.compact(spark, mv_path, spec)
+    monkeypatch.setattr(mv, "_finish_deletes", real_finish)
+    mv.compact(spark, mv_path, spec)  # recovery completes the deletes
+    assert total() == 300
+    assert _rows(mv.read_final(spark, mv_path, spec), spec.keys) == want_rows
+
+    # crash BEFORE publish: a fresh incomplete hidden dir is discarded
+    junk = Path(mv_path) / ".compact-999"
+    junk.mkdir()
+    (junk / "part-00000.parquet").write_bytes(b"not parquet")
+    mv.write_batch(
+        generator.events(spark, n=50, n_users=50, id_offset=300, partitions=1),
+        spec,
+        mv_path,
+        batch_id=2,
+    )
+    mv.compact(spark, mv_path, spec)
+    assert not junk.exists()
+    assert total() == 350
+
+    # a part landing AFTER the snapshot is never deleted by the
+    # manifest-driven cleanup (concurrent-stream safety)
+    mv.write_batch(
+        generator.events(spark, n=25, n_users=50, id_offset=350, partitions=1),
+        spec,
+        mv_path,
+        batch_id=3,
+    )
+    assert total() == 375
+
+
 def test_mv_sink_idempotent_on_replay(spark, tmp_path):
     """Crash-replay (VERDICT round 2 #7): foreachBatch re-delivers a
     batch_id when the data write landed but the checkpoint commit did
@@ -129,6 +183,30 @@ def test_event_tail_stream(spark, tmp_path):
         assert more and more[0]["event_id"] == cursor + 1 and cursor2 > cursor
     finally:
         t.stop()
+
+
+def test_event_tail_restart_keeps_cursor(spark, tmp_path):
+    """A restart with an existing checkpoint must deliver events that
+    arrived while the tail was down — the live-edge cursor is decided
+    once per checkpoint and persisted, never recomputed."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _ingest_batches(spark, src, [100])
+    t = tail.EventTail(spark, src, ckpt)
+    t.query.processAllAvailable()
+    assert t.start_after == 100
+    t.stop()
+    # events land while the tail is down
+    generator.events(spark, n=50, n_users=50, id_offset=100, partitions=1).write.mode(
+        "append"
+    ).parquet(src)
+    t2 = tail.EventTail(spark, src, ckpt)
+    try:
+        assert t2.start_after == 100  # persisted, NOT recomputed to 150
+        t2.query.processAllAvailable()
+        rows, cursor = t2.drain(0, 1000)
+        assert [r["event_id"] for r in rows] == list(range(101, 151))
+    finally:
+        t2.stop()
 
 
 def test_event_tail_bounded_catchup(spark, tmp_path):
