@@ -53,7 +53,12 @@ def replicate(spark, out_dir: str, k: int) -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+        # keep output file sizes sane: a K-way union would otherwise
+        # write K x source-partition tiny files and the probe would
+        # measure file-listing overhead, not plan behavior
+        out.repartition(max(4, min(64, 2 * k))).write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
 
 
 def main() -> None:
@@ -67,9 +72,12 @@ def main() -> None:
         timings: dict[str, float] = {}
         for name in QUERIES:
             registry[name].fn(spark, d).collect()  # warm codegen for this K's plans
-            t0 = time.perf_counter()
-            registry[name].fn(spark, d).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(2):  # best-of-2: damp scheduler/GC noise
+                t0 = time.perf_counter()
+                registry[name].fn(spark, d).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
         results[k] = timings
         print(json.dumps({"k": k, "queries": timings}), flush=True)
         shutil.rmtree(d, ignore_errors=True)
@@ -77,8 +85,9 @@ def main() -> None:
     lines = [
         "# SCALEPROBE — wall-clock vs data size (replicated sf0.1, local[32])",
         "",
-        "Warm second-run timings; ratio columns are relative to K="
-        f"{ks[0]} (linear scaling ⇒ ratio ≈ K).",
+        "Best-of-2 warm timings (single noisy box — treat ratios, not"
+        f" absolutes); ratio columns are relative to K={ks[0]}"
+        " (linear scaling ⇒ ratio ≈ K).",
         "",
         "| query | " + " | ".join(f"K={k} (s) | ratio" for k in ks) + " |",
         "|---|" + "---|" * (2 * len(ks)),
