@@ -267,14 +267,17 @@ def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner fact⋈dim equi-join (J1: app.py:210-223 mv_product_revenue
     JOIN products).
 
-    Scale: customer is the smaller side → explicit broadcast() avoids
-    shuffling the fact table for the join; the only shuffle is the
-    final groupBy on mktsegment (10s of distinct values).
+    Scale: customer GROWS with scale factor, so no explicit
+    broadcast hint (a hint would override autoBroadcastJoinThreshold
+    and OOM the broadcast build at 100×). AQE still picks a broadcast
+    join while customer fits under the threshold, and degrades to a
+    shuffle join gracefully beyond it. Only catalog.BOUNDED_DIMS
+    (region/nation) and 1-row scalar aggregates get explicit hints.
     """
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.count("*").alias("orders"),
@@ -437,8 +440,10 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     05:183-184 — generalized to the TPC-H star).
 
     Scale: lineitem⋈orders is the one big (fact⋈fact) join — shuffle
-    on orderkey; customer/nation/region broadcast. Catalyst reorders
-    the dim joins after the fact join under CBO/AQE.
+    on orderkey. nation/region are BOUNDED_DIMS → explicit broadcast;
+    customer grows with SF, so it carries NO hint — AQE broadcasts it
+    while small and falls back to a shuffle join at scale instead of
+    dying on a multi-GB broadcast build.
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -455,7 +460,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_rev = li.groupBy("l_orderkey").agg(F.sum(lineitem_revenue()).alias("ord_rev"))
     per_order = (
         ord_rev.join(orders, ord_rev.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )

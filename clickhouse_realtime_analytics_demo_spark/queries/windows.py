@@ -26,13 +26,18 @@ from clickhouse_realtime_analytics_demo_spark.queries.registry import register
 
 
 def _part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared pre-aggregation: revenue per part with brand."""
+    """Shared pre-aggregation: revenue per part with brand.
+
+    part grows with scale factor → no explicit broadcast hint (it
+    would override autoBroadcastJoinThreshold and OOM at 100×); AQE
+    broadcasts while part is small and shuffle-joins beyond that.
+    """
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
         li.groupBy("l_partkey")
         .agg(F.sum(lineitem_revenue()).cast("double").alias("revenue"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
     )
 
 
