@@ -10,22 +10,33 @@ jobs):
 1. per-kind split points from ``percentile_approx`` (approximate
    boundaries, EXACT ranks — boundary quality only affects balance,
    never values), broadcast-joined back;
-2. order-aligned bucket id = #split points strictly below the key
-   (every key in bucket i sorts strictly before every key in bucket
-   i+1; ties share a bucket);
+2. order-aligned bucket id: #split points strictly below the key,
+   PLUS a uid-range sub-split when the key is a heavy tied value
+   (see "Tie-mass de-skew" below);
 3. ``row_number`` within (kind, bucket) — a partitioned window;
 4. per-bucket offsets = prefix sums of bucket counts, computed by a
-   self-join over the tiny (kinds x B)-row counts aggregate — no
-   window, no collect — and broadcast-joined back.
+   kind-partitioned window over the tiny (kinds x B)-row counts
+   aggregate — no unpartitioned window, no collect — and
+   broadcast-joined back.
 
 rank(row) == its row_number under ``ORDER BY key, uid`` globally,
-bit-identical, because buckets are order-aligned and offsets come
-from exact counts.
+bit-identical, because bucket id is a deterministic MONOTONE function
+of the lexicographic pair (key, uid) — so buckets are order-aligned —
+and offsets come from exact counts.
 
-Skew note: all rows tying on ``key`` land in one bucket (required
-for correctness). A column with one dominant value degrades that
-kind to a single task — same physics as the global window, but only
-for the tied mass, and only for that kind.
+Tie-mass de-skew (VERDICT round 3, Next #2): ``percentile_approx``
+returns actual data values, so a key holding mass m > 1/B appears as
+roughly ``d ≈ m*B`` DUPLICATE split points. Rather than collapsing
+those duplicates (which would put the whole tied run in one bucket —
+one task), the run is sub-split into d+1 uid-ranges using a per-kind
+uid quantile grid: bucket id for a row whose key equals a split value
+is ``#(bounds < k) + #(sub-boundaries <= uid)``. Both terms are
+monotone in (k, uid), so order alignment — and exactness — holds for
+ANY grid; grid quality only affects balance. The grid is the
+whole-kind uid distribution, which matches the within-run
+distribution well precisely when the run dominates the kind (the case
+that matters). Requires ``uid_col`` to be numeric (both callers and
+the melted convention use long ids).
 """
 
 from __future__ import annotations
@@ -35,6 +46,12 @@ from pyspark.sql import functions as F
 
 __all__ = ["exact_global_ranks", "ntile_from_rank"]
 
+# Resolution of the per-kind uid quantile grid used to sub-split
+# heavy tied runs. A run with d duplicate split points uses d+1
+# evenly spaced picks from this grid; 256 cells keep picks distinct
+# up to B-1 = num_buckets-1 duplicates for any sane num_buckets.
+_UID_GRID = 256
+
 
 def exact_global_ranks(
     melted: DataFrame,
@@ -42,34 +59,59 @@ def exact_global_ranks(
     key_col: str = "k",
     uid_col: str = "uid",
     num_buckets: int = 32,
+    keep_bucket: bool = False,
 ) -> DataFrame:
     """Add ``rank`` = row_number() over (partition by kind order by
     key, uid) and ``n`` = per-kind row count — computed distributed,
-    no unpartitioned window, fully lazy (one plan; the three side
+    no unpartitioned window, fully lazy (one plan; the side
     aggregates are broadcast-joined, never collected).
 
     ``melted`` holds one row per (kind, uid): ``kind`` names the
     ranking, ``key_col`` is a double sort key (negate for DESC),
-    ``uid_col`` is a unique tie-breaker. Callers whose upstream is
-    expensive should persist it — this plan scans it from several
-    branches.
+    ``uid_col`` is a NUMERIC unique tie-breaker. Callers whose
+    upstream is expensive should persist it — this plan scans it from
+    several branches. ``keep_bucket=True`` retains the internal
+    ``_bucket`` column (tests assert balance on it).
     """
     k, uid = F.col(key_col), F.col(uid_col)
     probs = [i / num_buckets for i in range(1, num_buckets)]
+    uprobs = [i / _UID_GRID for i in range(1, _UID_GRID)]
 
     # low sketch accuracy on purpose: split-point quality affects only
     # bucket balance, never rank values (offsets use exact counts)
     bounds_df = melted.groupBy(kind_col).agg(
-        F.percentile_approx(key_col, probs, 1_000).alias("_bounds")
+        F.percentile_approx(key_col, probs, 1_000).alias("_bounds"),
+        F.percentile_approx(uid.cast("double"), uprobs, 1_000).alias("_ugrid"),
     )
-    # Order-aligned bucket id: #split points strictly below the key.
-    # Ties with a split point go LEFT (key > b is false) so equal
-    # keys never straddle buckets.
-    bucketed = melted.join(F.broadcast(bounds_df), kind_col).withColumn(
-        "_bucket", F.size(F.filter("_bounds", lambda b: k > b))
+    bucketed = (
+        melted.join(F.broadcast(bounds_df), kind_col)
+        # pre-projected (not inlined in the lambda below): HOF lambdas
+        # re-evaluate referenced expressions per element
+        .withColumn("_below", F.size(F.filter("_bounds", lambda b: k > b)))
+        .withColumn("_dup", F.size(F.filter("_bounds", lambda b: b == k)))
+    )
+    # Sub-split a tied run that owns _dup split points into _dup+1
+    # uid-ranges: count sub-boundaries (evenly spaced _ugrid picks,
+    # clamped into the grid) at or below this row's uid.
+    dup = F.col("_dup")
+    pick_idx = lambda r: F.greatest(  # noqa: E731
+        F.lit(1),
+        F.least(
+            F.lit(_UID_GRID - 1),
+            F.floor((F.lit(_UID_GRID) * r) / (dup + F.lit(1))).cast("int"),
+        ),
+    )
+    sub = F.size(
+        F.filter(
+            F.sequence(F.lit(1), dup),
+            lambda r: F.element_at("_ugrid", pick_idx(r)) <= uid.cast("double"),
+        )
+    )
+    bucketed = bucketed.withColumn(
+        "_bucket", F.col("_below") + F.when(dup > 0, sub).otherwise(F.lit(0))
     )
 
-    # prefix sums over the tiny (kinds x B)-row counts aggregate via
+    # prefix sums over the tiny (kinds x ~B)-row counts aggregate via
     # a KIND-PARTITIONED window (never unpartitioned, never
     # data-sized) — offsets and per-kind totals in one pass
     counts = bucketed.groupBy(kind_col, "_bucket").agg(F.count("*").alias("_cnt"))
@@ -89,12 +131,13 @@ def exact_global_ranks(
     local = F.row_number().over(
         Window.partitionBy(kind_col, "_bucket").orderBy(k.asc(), uid.asc())
     )
-    return (
+    out = (
         bucketed.withColumn("_lrn", local)
         .join(F.broadcast(offsets), [kind_col, "_bucket"])
         .withColumn("rank", (F.col("_offset") + F.col("_lrn")).cast("long"))
-        .drop("_bounds", "_bucket", "_lrn", "_offset")
+        .drop("_bounds", "_ugrid", "_below", "_dup", "_lrn", "_offset")
     )
+    return out if keep_bucket else out.drop("_bucket")
 
 
 def ntile_from_rank(rank: Column, n: Column | int, k: int) -> Column:

@@ -57,6 +57,40 @@ def test_exact_ranks_match_global_window(spark):
     assert {(r.kind, r.n) for r in ranked} == {("a", 99), ("b", 97)}
 
 
+def test_tied_mass_deskew(spark):
+    """A 90%-tied key must NOT collapse into one bucket (VERDICT r3
+    Next #2): the tied run is sub-split on uid-ranges, so the max
+    bucket stays near n/num_buckets — while ranks remain exact."""
+    n, buckets = 2_000, 8
+    # 90% of rows tie at k=7.0; the rest are distinct values
+    rows = [
+        ("a", 7.0 if uid % 10 else float(uid) / n, uid) for uid in range(n)
+    ]
+    df = spark.createDataFrame(rows, "kind string, k double, uid long").repartition(8)
+    ranked = exact_global_ranks(
+        df, num_buckets=buckets, keep_bucket=True
+    ).collect()
+
+    # exactness under heavy ties
+    got = {r.uid: r.rank for r in ranked}
+    want = {
+        r.uid: r.rank
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.partitionBy("kind").orderBy("k", "uid"))
+        ).collect()
+    }
+    assert got == want
+
+    # balance: no bucket holds more than ~2x the fair share (the old
+    # behavior put all 1,800 tied rows in ONE bucket)
+    sizes: dict[int, int] = {}
+    for r in ranked:
+        sizes[r._bucket] = sizes.get(r._bucket, 0) + 1
+    fair = n / buckets
+    assert max(sizes.values()) <= 2 * fair, sizes
+    assert len(sizes) >= buckets - 1, sizes
+
+
 def test_ntile_from_rank_matches_sql_ntile(spark):
     for n in (1, 4, 5, 6, 23, 100):
         for k in (3, 5, 7):
