@@ -77,6 +77,9 @@ class DictionarySpec:
     layout: str = "view"  # "view" | "hashed"
     # view layout: SQL projecting (key, attrs...) from an existing view
     source_sql: str | None = None
+    # the view source_sql reads from (explicit, never re-parsed out of
+    # the SQL — joins/subqueries/aliases in source_sql stay legal)
+    source_table: str | None = None
     # hashed layout with static data: rows of (key, attr1, attr2, ...)
     inline_rows: tuple[tuple, ...] | None = None
 
@@ -157,6 +160,7 @@ _add(
             "SELECT user_id, username, email, age, country, "
             "registration_date, is_premium, total_spent FROM users"
         ),
+        source_table="users",
     )
 )
 _add(
@@ -175,6 +179,7 @@ _add(
             "SELECT product_id, product_name, category, price, "
             "created_date, is_active FROM products"
         ),
+        source_table="products",
     )
 )
 # Static metadata dictionaries (hashed layout, literal rows).
@@ -223,6 +228,7 @@ _add(
         },
         layout="hashed",
         source_sql="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        source_table="nation",
     )
 )
 _add(
@@ -233,6 +239,7 @@ _add(
         attrs={"r_name": ("STRING", "''")},
         layout="hashed",
         source_sql="SELECT r_regionkey, r_name FROM region",
+        source_table="region",
     )
 )
 _add(
@@ -249,6 +256,7 @@ _add(
         source_sql=(
             "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
         ),
+        source_table="customer",
     )
 )
 _add(
@@ -263,6 +271,7 @@ _add(
             "p_retailprice": ("DOUBLE", "CAST(0 AS DOUBLE)"),
         },
         source_sql="SELECT p_partkey, p_name, p_brand, p_type, p_retailprice FROM part",
+        source_table="part",
     )
 )
 

@@ -31,24 +31,58 @@ from clickhouse_realtime_analytics_demo_spark.queries import all_queries  # noqa
 from clickhouse_realtime_analytics_demo_spark.session import get_spark  # noqa: E402
 
 BASE_SF = "/root/testdata/sf0.1"
-QUERIES = ("daily_events", "event_type_stats", "user_rfm", "dedup_exact", "ann_cosine_topk")
-# tables those queries read; replicated with per-copy id shifts
-REPLICATE = {
-    "events": ("event_id", "user_id"),
-    "documents": ("doc_id",),
-    "embeddings": ("vec_id",),
+QUERIES = (
+    "daily_events",
+    "event_type_stats",
+    "user_rfm",
+    "dedup_exact",
+    "ann_cosine_topk",
+    # the three joins that dropped forced broadcast hints (round 4):
+    # confirm the AQE shuffle-join fallback scales
+    "segment_revenue",
+    "nation_revenue",
+    "top_parts_per_brand",
+)
+# Entity key spaces: shift amount = max(key)+1 from the OWNING table,
+# applied to every referencing column, so copy i of a fact references
+# copy i of its dimension (FK-consistent growth — users/customers/
+# parts/orders all GROW with K, matching how a real corpus scales).
+ENTITIES = {
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "partkey": ("part", "p_partkey"),
 }
+# table -> {column: entity}
+REPLICATE = {
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+    "customer": {"c_custkey": "custkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey"},
+    "part": {"p_partkey": "partkey"},
+}
+# bounded dims: copied once, never replicated (their cardinality is
+# scale-invariant — catalog.BOUNDED_DIMS)
+COPY = ("nation", "region")
 
 
 def replicate(spark, out_dir: str, k: int) -> None:
-    for name, id_cols in REPLICATE.items():
+    shifts = {
+        ent: table(spark, BASE_SF, tab).agg(F.max(col)).collect()[0][0] + 1
+        for ent, (tab, col) in ENTITIES.items()
+    }
+    for name, col_entities in REPLICATE.items():
         src = table(spark, BASE_SF, name)
-        shifts = {c: src.agg(F.max(c)).collect()[0][0] + 1 for c in id_cols}
         parts = []
         for i in range(k):
             df = src
-            for c, m in shifts.items():
-                df = df.withColumn(c, (F.col(c) + F.lit(i * m)).cast("long"))
+            for c, ent in col_entities.items():
+                df = df.withColumn(c, (F.col(c) + F.lit(i * shifts[ent])).cast("long"))
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -57,6 +91,10 @@ def replicate(spark, out_dir: str, k: int) -> None:
         # write K x source-partition tiny files and the probe would
         # measure file-listing overhead, not plan behavior
         out.repartition(max(4, min(64, 2 * k))).write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
+    for name in COPY:
+        table(spark, BASE_SF, name).write.mode("overwrite").parquet(
             f"{out_dir}/{name}.parquet"
         )
 
