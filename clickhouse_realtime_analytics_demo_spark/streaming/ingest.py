@@ -11,8 +11,22 @@ the reference (§3.2).
 
 ``run()`` is deliberately a plain thread loop, not a Structured
 Streaming query: the *source* side of the demo is an external producer
-in the reference too. Backpressure = the loop skips sleeping when a
-tick overruns (and reports it), so measured throughput is honest.
+in the reference too.
+
+Pacing is a fixed-rate schedule (absolute deadlines from t0), not
+per-tick relative sleeps: a tick that runs long borrows from the next
+sleeps until the schedule is caught up, so sustained throughput stays
+at the target as long as the *average* tick latency is below
+``tick_seconds``. No work is ever skipped — ``overruns`` counts ticks
+whose own latency exceeded ``tick_seconds`` (per-tick deadline
+misses), and ``tick_latencies`` records every tick for diagnosis, so
+measured throughput is honest.
+
+In local mode each tick pays a fixed driver cost (~0.3-0.7 s per
+Spark job on this class of box: plan analysis + scheduling + commit)
+that row count barely moves, so at high rates the right lever is
+batching more rows per tick, not shrinking the tick — the same
+adaptation any ingester makes when per-batch overhead dominates.
 """
 
 from __future__ import annotations
@@ -33,6 +47,7 @@ class IngestStats:
     orders_rows: int = 0
     overruns: int = 0
     elapsed_s: float = 0.0
+    tick_latencies: list[float] = field(default_factory=list)
 
     @property
     def events_per_s(self) -> float:
@@ -99,16 +114,23 @@ class IngestLoop:
     def run(self, seconds: float) -> IngestStats:
         """Blocking run for ``seconds``; returns measured stats."""
         t0 = time.perf_counter()
+        deadline = t0  # fixed-rate schedule: t0 + k * tick_seconds
         seq = 0
         while time.perf_counter() - t0 < seconds and not self._stop.is_set():
+            deadline += self.tick_seconds
             tick_start = time.perf_counter()
             self._tick(seq)
             seq += 1
-            spent = time.perf_counter() - tick_start
-            if spent < self.tick_seconds:
-                self._stop.wait(self.tick_seconds - spent)
-            else:
-                self.stats.overruns += 1  # honest throughput: no sleep skip-ahead
+            now = time.perf_counter()
+            spent = now - tick_start
+            self.stats.tick_latencies.append(spent)
+            if spent >= self.tick_seconds:
+                self.stats.overruns += 1
+            # catch-up pacing: schedule debt shrinks future sleeps (down
+            # to zero) instead of being forgiven — sustained rate holds
+            # whenever average tick latency < tick_seconds
+            if now < deadline:
+                self._stop.wait(deadline - now)
         self.stats.elapsed_s = time.perf_counter() - t0
         return self.stats
 

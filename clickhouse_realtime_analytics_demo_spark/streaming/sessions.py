@@ -48,6 +48,12 @@ def gap_sessions(
     Plan: single shuffle on user_id serves both window passes and the
     final group-by (same partitioning, no extra exchange).
     """
+    # parquet written without timezone info reads as TIMESTAMP_NTZ
+    # (Spark's inferTimestampNTZ default); unix_micros requires ltz.
+    # Session tz is UTC, so the cast is value-preserving and matches
+    # the SQL oracle's naive-timestamp arithmetic.
+    if isinstance(events.schema[ts_col].dataType, T.TimestampNTZType):
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(ts_col)
     # integer microseconds (unix_micros), not seconds or doubles:
     # exact, portable to the SQL oracle (epoch_us), no float rounding.
