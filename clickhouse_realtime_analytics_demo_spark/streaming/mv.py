@@ -234,20 +234,46 @@ def _finish_deletes(live: Path, published: Path, doomed: list[str]) -> None:
     (published / "_MANIFEST").unlink(missing_ok=True)
 
 
-def compact(spark: SparkSession, mv_path: str, spec: MVSpec) -> None:
+def _last_committed_batch(checkpoint_dir: str) -> int:
+    """Highest batch id with a commit record in the stream checkpoint's
+    ``commits/`` log — the ids Structured Streaming will never replay.
+    Returns -1 when nothing has committed yet."""
+    commits = Path(checkpoint_dir) / "commits"
+    ids = [int(p.name) for p in commits.glob("*") if p.name.isdigit()]
+    return max(ids, default=-1)
+
+
+def compact(
+    spark: SparkSession,
+    mv_path: str,
+    spec: MVSpec,
+    checkpoint_dir: str | None = None,
+) -> None:
     """Background-merge analog: fold equal-key partial rows. Readers
     never require this — it bounds MV size, like MergeTree merges.
 
-    Concurrent-stream-safe and crash-safe:
+    Crash-safe against ITS OWN crashes at any step (manifest +
+    recovery, below). Safe against the *stream's* crash-replay only
+    when the stream's replay window is excluded from the fold:
 
-    - only the part directories present in the snapshot are folded
-      and deleted — micro-batches landing mid-merge survive;
-    - the merged part is written to a dot-hidden directory (invisible
-      to parquet readers), stamped with a ``_MANIFEST`` naming the
-      parts it replaces, atomically renamed into place, and only then
-      are the snapshot parts deleted; a crash at ANY step is replayed
-      or rolled back by :func:`_recover_compaction` on the next call —
-      no permanent loss, no permanent double count.
+    - with ``checkpoint_dir`` (the maintenance stream's checkpoint),
+      only batch ids ≤ the last id in its ``commits/`` log are folded.
+      A batch whose data write landed but whose checkpoint commit did
+      not WILL be re-delivered with the same id on restart; folding it
+      first would let the replayed ``b=N`` re-appear next to the
+      merged part that already contains it — a permanent double count.
+      The commit gate closes that window. Previously-merged parts
+      (negative ids) are always foldable — they never replay.
+    - without ``checkpoint_dir``, the caller must guarantee the stream
+      is stopped AND fully committed (or never crashed mid-batch);
+      otherwise the race above applies.
+
+    Own-crash safety: the merged part is written to a dot-hidden
+    directory (invisible to parquet readers), stamped with a
+    ``_MANIFEST`` naming the parts it replaces, atomically renamed
+    into place, and only then are the snapshot parts deleted; a crash
+    at ANY step is replayed or rolled back by
+    :func:`_recover_compaction` on the next call.
 
     Concurrent READERS during the publish→delete window can
     transiently see both the merged part and not-yet-deleted inputs
@@ -257,6 +283,11 @@ def compact(spark: SparkSession, mv_path: str, spec: MVSpec) -> None:
     live = Path(mv_path)
     _recover_compaction(live)
     snapshot = sorted(d for d in live.glob("b=*") if d.is_dir())
+    if checkpoint_dir is not None:
+        last = _last_committed_batch(checkpoint_dir)
+        snapshot = [
+            d for d in snapshot if int(d.name.split("=")[1]) <= last
+        ]  # negative (already-merged) ids pass this gate by construction
     if len(snapshot) < 2:
         return
     ids = [int(d.name.split("=")[1]) for d in snapshot]

@@ -66,8 +66,9 @@ def test_mv_equivalence_after_stream(spark, tmp_path, mv_name):
     want_rows = _rows(want.select(*sorted(want.columns)), spec.keys)
     assert got_rows == want_rows
 
-    # compaction must not change reader results
-    mv.compact(spark, mv_path, spec)
+    # compaction must not change reader results (commit-gated against
+    # the live checkpoint, as a production maintenance job would run it)
+    mv.compact(spark, mv_path, spec, checkpoint_dir=ckpt)
     after = _rows(
         mv.read_final(spark, mv_path, spec).select(*sorted(got.columns)), spec.keys
     )
@@ -155,6 +156,52 @@ def test_mv_sink_idempotent_on_replay(spark, tmp_path):
     assert (
         mv.read_final(spark, mv_path, spec).agg(F.sum("total_events")).collect()[0][0] == 400
     )
+
+
+def test_compact_commit_gate_on_crash_replay(spark, tmp_path):
+    """VERDICT r4 #2: a crash between a micro-batch's directory write
+    and its checkpoint commit re-delivers that batch id on restart.
+    compact(checkpoint_dir=...) must skip the uncommitted batch —
+    folding it would let the replayed b=N re-appear next to the merged
+    part that already contains it, a permanent double count."""
+    from pathlib import Path
+
+    spec = mv.mv_specs()["daily_user_activity"]
+    mv_path = str(tmp_path / "mv")
+    ckpt = tmp_path / "ckpt"
+    commits = ckpt / "commits"
+    commits.mkdir(parents=True)
+
+    batches = [
+        generator.events(spark, n=n, n_users=50, id_offset=off, partitions=2)
+        for off, n in ((0, 200), (200, 150), (350, 100))
+    ]
+    # batches 0 and 1: data written AND checkpoint-committed
+    for i in (0, 1):
+        mv.write_batch(batches[i], spec, mv_path, batch_id=i)
+        (commits / str(i)).write_text("{}")
+    # batch 2: data write landed, then CRASH before the commit record
+    mv.write_batch(batches[2], spec, mv_path, batch_id=2)
+
+    mv.compact(spark, mv_path, spec, checkpoint_dir=str(ckpt))
+    # committed parts folded; the uncommitted (replayable) one survives
+    assert not (Path(mv_path) / "b=0").exists()
+    assert not (Path(mv_path) / "b=1").exists()
+    assert (Path(mv_path) / "b=2").exists()
+
+    # restart: streaming re-delivers batch 2 (same id, same checkpointed
+    # input files), the sink overwrites b=2, and the commit lands
+    mv.write_batch(batches[2], spec, mv_path, batch_id=2)
+    (commits / "2").write_text("{}")
+
+    src_all = batches[0].unionAll(batches[1]).unionAll(batches[2])
+    want = _rows(mv.batch_equivalent(src_all, spec), spec.keys)
+    assert _rows(mv.read_final(spark, mv_path, spec), spec.keys) == want
+
+    # the next compact may now fold the committed replay + merged part
+    mv.compact(spark, mv_path, spec, checkpoint_dir=str(ckpt))
+    assert not (Path(mv_path) / "b=2").exists()
+    assert _rows(mv.read_final(spark, mv_path, spec), spec.keys) == want
 
 
 def test_tail_poll_cursor(spark, tmp_path):
