@@ -445,7 +445,10 @@ def dict_has_sql(dname_arg: str, key_expr: str) -> str:
         entries = _LOADED.get(spec.name)
         if entries is None:
             raise ValueError(f"dictHas: hashed dictionary {dname!r} not loaded")
+        # probe a key -> true presence map, NOT an attribute's value
+        # map: a present key whose attribute value is NULL must still
+        # report 1, as ClickHouse dictHas does
         first_attr = next(iter(entries.values()))
-        pairs = ", ".join(f"{k}, {v}" for k, v in first_attr.items())
+        pairs = ", ".join(f"{k}, true" for k in first_attr)
         return f"(element_at(map({pairs}), {key}) IS NOT NULL)"
     return f"((SELECT count(*) FROM {spec.name} WHERE {spec.key} = {key}) > 0)"

@@ -125,6 +125,49 @@ def dict_multilevel_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dict_lookup_defaults",
+    oracle="""
+    SELECT s.s_suppkey % 30 AS probe_key,
+           coalesce(n.n_name, 'UNKNOWN NATION') AS nation,
+           CASE WHEN n.n_nationkey IS NULL THEN 0 ELSE 1 END AS has_key,
+           COUNT(*) AS suppliers
+    FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_suppkey % 30
+    GROUP BY 1, 2, 3
+    ORDER BY probe_key
+    """,
+)
+def dict_lookup_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dictGetOrDefault + dictHas through the gateway (VERDICT r4 #3;
+    reference use 06-add-dictionaries.sql.disabled:139-183).
+
+    Probe keys ``s_suppkey % 30`` cover both present (0-24) and absent
+    (25-29) dict_nation keys, so the caller-supplied default
+    ('UNKNOWN NATION', not the type default '') and the dictHas
+    present/absent split are both hash-checked against a LEFT JOIN
+    oracle. Hashed layout: both lookups are constant map literals —
+    zero joins; dictHas probes a key-presence map, NOT an attribute's
+    value map (a present key with a NULL attribute value must report
+    1 — unit-tested in tests/test_dictionaries.py)."""
+    return _gateway_query(
+        spark,
+        sf_dir,
+        ("supplier", "nation"),
+        """
+        SELECT probe_key, nation, has_key, count() AS suppliers
+        FROM (
+            SELECT s_suppkey % 30 AS probe_key,
+                   dictGetOrDefault('dict_nation', 'n_name', s_suppkey % 30,
+                                    'UNKNOWN NATION') AS nation,
+                   CAST(dictHas('dict_nation', s_suppkey % 30) AS INT) AS has_key
+            FROM supplier
+        )
+        GROUP BY probe_key, nation, has_key
+        ORDER BY probe_key
+        """,
+    )
+
+
+@register(
     "dict_brand_revenue",
     oracle="""
     SELECT coalesce(p.p_brand, '') AS brand,

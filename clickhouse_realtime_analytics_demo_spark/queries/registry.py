@@ -64,9 +64,13 @@ def all_queries() -> dict[str, Query]:
     # follow, highest-evidence-value first. Everything stays
     # registered and locally tested regardless of driver truncation
     # (see COVERAGE.md "Driver record cap").
+    # r5: the record window is exactly 50 oracle queries (see
+    # tests/test_registry_order.py), so rows-only order matters only
+    # if the window ever widens; flagship dedup leads (VERDICT r4 #4),
+    # embedding_near_dups follows (non-zero rows recorded r03+r04).
     rows_only_priority = [
-        "embedding_near_dups",  # VERDICT r2 #4: must evidence non-zero rows
         "dedup_minhash",
+        "embedding_near_dups",
         "dedup_simhash",
         "ann_ivf_topk",
         "ann_lsh_topk",

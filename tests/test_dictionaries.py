@@ -229,6 +229,41 @@ def test_dict_get_or_default_and_dict_has(ref_views):
     assert (row.has_us, row.has_xx, row.has_u1, row.has_u_missing) == (True, False, True, False)
 
 
+def test_dict_has_null_attribute_value(spark):
+    """A present key whose first attribute value is NULL must still
+    report dictHas = 1 (ClickHouse semantics). The r3-flagged bug
+    probed the first attribute's VALUE map, so a NULL value read as
+    key-absent; dictHas now probes a key-presence map."""
+    from clickhouse_realtime_analytics_demo_spark.plans import dictionaries as D
+
+    spec = DictionarySpec(
+        name="dict_nullable_test",
+        key="k",
+        key_type="BIGINT",
+        attrs={"v": ("STRING", "''")},
+        layout="hashed",
+    )
+    D.DICTIONARIES[spec.name] = spec
+    try:
+        _load_inline(spec, ((1, None), (2, "x")))
+        has = spark.sql(
+            "SELECT "
+            + D.dict_has_sql("'dict_nullable_test'", "1") + " AS has_null_attr, "
+            + D.dict_has_sql("'dict_nullable_test'", "2") + " AS has_plain, "
+            + D.dict_has_sql("'dict_nullable_test'", "3") + " AS has_missing"
+        ).collect()[0]
+        assert (has.has_null_attr, has.has_plain, has.has_missing) == (True, True, False)
+        # dictGet on the NULL-valued attribute still coalesces to the
+        # typed default, matching a non-Nullable ClickHouse attribute
+        got = spark.sql(
+            "SELECT " + dict_get_sql("'dict_nullable_test'", "'v'", "1") + " AS v"
+        ).collect()[0].v
+        assert got == ""
+    finally:
+        D.DICTIONARIES.pop(spec.name, None)
+        D._LOADED.pop(spec.name, None)
+
+
 def test_unknown_dictionary_and_attr_raise():
     with pytest.raises(ValueError, match="unknown dictionary"):
         dialect.rewrite("SELECT dictGet('dict_nope', 'x', 1)")
@@ -322,7 +357,13 @@ def test_chained_lookup_orphan_keys_match_left_join(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["dict_customer_segments", "dict_multilevel_geo", "dict_brand_revenue"]
+    "name",
+    [
+        "dict_customer_segments",
+        "dict_multilevel_geo",
+        "dict_brand_revenue",
+        "dict_lookup_defaults",
+    ],
 )
 def test_dict_query_oracles(spark, name):
     compare_with_oracle(spark, name)
