@@ -46,10 +46,13 @@ from pyspark.sql import functions as F
 
 __all__ = ["exact_global_ranks", "ntile_from_rank"]
 
-# Resolution of the per-kind uid quantile grid used to sub-split
-# heavy tied runs. A run with d duplicate split points uses d+1
-# evenly spaced picks from this grid; 256 cells keep picks distinct
-# up to B-1 = num_buckets-1 duplicates for any sane num_buckets.
+# Minimum resolution of the per-kind uid quantile grid used to
+# sub-split heavy tied runs. A run with d duplicate split points uses
+# d+1 evenly spaced picks from the grid; the effective grid scales
+# with num_buckets (max(256, 8*num_buckets)) so the picks stay
+# distinct for ANY num_buckets — a fixed 256 would let picks collide
+# above ~256 buckets and silently degrade the sub-split's balance
+# (ranks stay exact either way; only balance is at stake).
 _UID_GRID = 256
 
 
@@ -73,9 +76,23 @@ def exact_global_ranks(
     several branches. ``keep_bucket=True`` retains the internal
     ``_bucket`` column (tests assert balance on it).
     """
+    from pyspark.sql.types import NumericType
+
+    uid_type = melted.schema[uid_col].dataType
+    if not isinstance(uid_type, NumericType):
+        # the sub-split compares uid on the DOUBLE quantile grid while
+        # row_number orders by the raw column; a non-numeric uid would
+        # produce silently wrong ranks (string order != numeric order,
+        # non-numeric casts -> NULL) in an operator whose contract is
+        # bit-exactness — refuse loudly instead
+        raise TypeError(
+            f"exact_global_ranks: uid_col {uid_col!r} must be numeric, "
+            f"got {uid_type.simpleString()}"
+        )
+    uid_grid = max(_UID_GRID, 8 * num_buckets)
     k, uid = F.col(key_col), F.col(uid_col)
     probs = [i / num_buckets for i in range(1, num_buckets)]
-    uprobs = [i / _UID_GRID for i in range(1, _UID_GRID)]
+    uprobs = [i / uid_grid for i in range(1, uid_grid)]
 
     # low sketch accuracy on purpose: split-point quality affects only
     # bucket balance, never rank values (offsets use exact counts)
@@ -97,8 +114,8 @@ def exact_global_ranks(
     pick_idx = lambda r: F.greatest(  # noqa: E731
         F.lit(1),
         F.least(
-            F.lit(_UID_GRID - 1),
-            F.floor((F.lit(_UID_GRID) * r) / (dup + F.lit(1))).cast("int"),
+            F.lit(uid_grid - 1),
+            F.floor((F.lit(uid_grid) * r) / (dup + F.lit(1))).cast("int"),
         ),
     )
     sub = F.size(

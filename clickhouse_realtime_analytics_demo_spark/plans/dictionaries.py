@@ -344,7 +344,9 @@ def register_dictionaries(spark: SparkSession, names: tuple[str, ...] | None = N
             done.append(name)
             continue
         # table-backed: requires the source view to be registered
-        src_table = spec.source_sql.split(" FROM ")[-1].strip()
+        # (spec.source_table is declared, never parsed out of the SQL —
+        # joins/subqueries/aliases in source_sql stay legal)
+        src_table = spec.source_table
         if not any(t.name == src_table for t in spark.catalog.listTables()):
             continue
         spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {spec.source_sql}")

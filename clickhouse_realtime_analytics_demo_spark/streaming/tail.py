@@ -60,7 +60,13 @@ class EventTail:
         - the cursor starts at the directory's current max event_id
           (a tail feeds *new* events, like the reference's SSE loop
           that begins from the live edge; pass ``start_after`` to
-          override, e.g. 0 to replay history deliberately),
+          override, e.g. 0 to replay history deliberately —
+          **with a FRESH checkpoint_dir only**: the file source never
+          re-delivers files already committed to an existing
+          checkpoint, so "replay" against one could not deliver the
+          requested history, and moving the persisted cursor would
+          additionally drop in-flight events; passing ``start_after``
+          with an existing checkpoint therefore raises),
         - ``maxFilesPerTrigger`` bounds each micro-batch's file count,
         - each batch collects at most ``capacity`` rows (top-k by
           event_id, TakeOrderedAndProject — older rows would be
@@ -75,6 +81,16 @@ class EventTail:
         # file log, hence never re-delivered as "new") would be
         # silently dropped by the sink filter.
         marker = Path(checkpoint_dir) / "tail_start_after"
+        if start_after is not None and (
+            marker.exists() or (Path(checkpoint_dir) / "offsets").exists()
+        ):
+            raise ValueError(
+                "start_after was passed with an existing checkpoint at "
+                f"{checkpoint_dir!r}: the file source never re-delivers "
+                "committed files, so the requested replay cannot happen, "
+                "and overwriting the persisted cursor would drop events. "
+                "Use a fresh checkpoint_dir to replay from a cursor."
+            )
         if start_after is None:
             if marker.exists():
                 start_after = int(marker.read_text())

@@ -91,6 +91,17 @@ def test_tied_mass_deskew(spark):
     assert len(sizes) >= buckets - 1, sizes
 
 
+def test_non_numeric_uid_rejected(spark):
+    """r4 ADVICE: a string uid would silently produce wrong ranks
+    (string sort order diverges from the double-grid comparisons of
+    the tie sub-split) — the operator must refuse at entry."""
+    df = spark.createDataFrame(
+        [("a", 1.0, "u1"), ("a", 1.0, "u2")], "kind string, k double, uid string"
+    )
+    with pytest.raises(TypeError, match="must be numeric"):
+        exact_global_ranks(df)
+
+
 def test_ntile_from_rank_matches_sql_ntile(spark):
     for n in (1, 4, 5, 6, 23, 100):
         for k in (3, 5, 7):

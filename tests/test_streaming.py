@@ -256,6 +256,28 @@ def test_event_tail_restart_keeps_cursor(spark, tmp_path):
         t2.stop()
 
 
+def test_event_tail_start_after_rejects_existing_checkpoint(spark, tmp_path):
+    """r3 ADVICE / VERDICT r4 #6: with an existing checkpoint the file
+    source never re-delivers committed files, so start_after-replay is
+    impossible AND overwriting the persisted cursor would drop events.
+    EventTail must refuse instead of silently clobbering the cursor."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _ingest_batches(spark, src, [100])
+    t = tail.EventTail(spark, src, ckpt)
+    t.query.processAllAvailable()
+    t.stop()
+    with pytest.raises(ValueError, match="existing checkpoint"):
+        tail.EventTail(spark, src, ckpt, start_after=0)
+    # a fresh checkpoint_dir replays fine
+    t2 = tail.EventTail(spark, src, str(tmp_path / "ckpt_fresh"), start_after=0)
+    try:
+        t2.query.processAllAvailable()
+        rows, _ = t2.drain(0, 1000)
+        assert [r["event_id"] for r in rows] == list(range(1, 101))
+    finally:
+        t2.stop()
+
+
 def test_event_tail_bounded_catchup(spark, tmp_path):
     """Restarting a tail over a large pre-existing directory must NOT
     collect history (VERDICT round 2 #5): the cursor starts at the
