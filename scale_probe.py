@@ -9,6 +9,15 @@ bench scale — the measurable proxy for the 100 TB stance.
 
 Usage: python scale_probe.py [K ...]   (default 1 4 10)
 Prints one JSON line per K and writes SCALEPROBE.md.
+
+Noise handling (VERDICT r4 #5): this box's same-plan wall-clock for a
+fixed query varies up to ~18x between consecutive runs (measured:
+[50.0, 8.3, 11.0, 27.8, 6.1, 2.7] s for one identical adaptive plan),
+so per-K timings are best-of-N with the repetitions ROUND-ROBINED
+across queries — a noise burst then inflates one sample of every
+query instead of every sample of one query. The probe also records
+each query's join strategies per K, so a ratio anomaly can be
+attributed (plan flip vs noise) from the .md alone.
 """
 
 from __future__ import annotations
@@ -99,36 +108,66 @@ def replicate(spark, out_dir: str, k: int) -> None:
         )
 
 
+ROUNDS = 4  # best-of-N, round-robined across queries (see docstring)
+
+_JOIN_NODES = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+
+
+def _join_mix(df) -> str:
+    """Compact join-strategy signature of the executed adaptive plan,
+    e.g. 'BHJx4' or 'BHJx2+SMJx2' — enough to spot an AQE flip."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = {n: len(re.findall(n, plan)) for n in _JOIN_NODES}
+    sig = "+".join(
+        f"{''.join(w[0] for w in re.findall('[A-Z][a-z]*', n))}x{c}"
+        for n, c in counts.items()
+        if c
+    )
+    return sig or "none"
+
+
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
     spark = get_spark(app_name="scale_probe")
     registry = all_queries()
     results: dict[int, dict[str, float]] = {}
+    joins: dict[int, dict[str, str]] = {}
     for k in ks:
         d = tempfile.mkdtemp(prefix=f"scaleprobe_k{k}_")
         replicate(spark, d, k)
-        timings: dict[str, float] = {}
-        for name in QUERIES:
-            registry[name].fn(spark, d).collect()  # warm codegen for this K's plans
-            best = float("inf")
-            for _ in range(2):  # best-of-2: damp scheduler/GC noise
+        timings = {name: float("inf") for name in QUERIES}
+        joins[k] = {}
+        for name in QUERIES:  # warm codegen for this K's plans
+            df = registry[name].fn(spark, d)
+            df.collect()
+            joins[k][name] = _join_mix(df)
+        for _ in range(ROUNDS):  # round-robin: spread samples over bursts
+            for name in QUERIES:
                 t0 = time.perf_counter()
                 registry[name].fn(spark, d).collect()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        results[k] = timings
-        print(json.dumps({"k": k, "queries": timings}), flush=True)
+                timings[name] = min(timings[name], time.perf_counter() - t0)
+        results[k] = {n: round(t, 3) for n, t in timings.items()}
+        print(json.dumps({"k": k, "queries": results[k], "joins": joins[k]}), flush=True)
         shutil.rmtree(d, ignore_errors=True)
     base = results[ks[0]]
     lines = [
         "# SCALEPROBE — wall-clock vs data size (replicated sf0.1, local[32])",
         "",
-        "Best-of-2 warm timings (single noisy box — treat ratios, not"
-        f" absolutes); ratio columns are relative to K={ks[0]}"
-        " (linear scaling ⇒ ratio ≈ K).",
+        f"Best-of-{ROUNDS} warm timings, repetitions round-robined across"
+        " queries (this box's same-plan wall-clock varies up to ~18x"
+        " between consecutive runs — measured in scale_probe.py's"
+        " docstring — so treat ratios as upper bounds and attribute"
+        " anomalies via the join-mix column, which names the adaptive"
+        f" join strategies actually executed). Ratios are vs K={ks[0]};"
+        " linear scaling ⇒ ratio ≈ K. BHJ=broadcast hash, SMJ=sort-merge,"
+        " SHJ=shuffled hash join.",
         "",
-        "| query | " + " | ".join(f"K={k} (s) | ratio" for k in ks) + " |",
-        "|---|" + "---|" * (2 * len(ks)),
+        "| query | "
+        + " | ".join(f"K={k} (s) | ratio | joins" for k in ks)
+        + " |",
+        "|---|" + "---|" * (3 * len(ks)),
     ]
     for name in QUERIES:
         cells = []
@@ -136,6 +175,7 @@ def main() -> None:
             t = results[k][name]
             cells.append(f"{t}")
             cells.append(f"{round(t / base[name], 1) if base[name] else '-'}x")
+            cells.append(joins[k][name])
         lines.append(f"| {name} | " + " | ".join(cells) + " |")
     Path("SCALEPROBE.md").write_text("\n".join(lines) + "\n")
     spark.stop()

@@ -353,6 +353,32 @@ def test_chained_lookup_orphan_keys_match_left_join(spark):
     assert sum(by_nation.values()) == 80.0
 
 
+def test_multilevel_geo_plan_one_join_per_view_dict(spark):
+    """Plan-shape guard (VERDICT r4 #7, r3 ask #7): dict_multilevel_geo
+    chains three dictionaries, but only the view-layout dict_customer
+    may contribute a join (its correlated scalar subquery decorrelates
+    into exactly one). The hashed dict_nation/dict_region lookups must
+    stay constant map literals — zero joins, zero extra scans. A
+    Catalyst behavior change that duplicates the decorrelated subquery
+    or stops folding the map literals fails here."""
+    from clickhouse_realtime_analytics_demo_spark.queries import all_queries
+
+    df = all_queries()["dict_multilevel_geo"].fn(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan()
+    counts: dict[str, int] = {}
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        counts[name] = counts.get(name, 0) + 1
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(opt)
+    assert counts.get("Join", 0) == 1, counts  # dict_customer only
+    # orders + the dict_customer source — no scan for the hashed dicts
+    assert counts.get("LogicalRelation", 0) == 2, counts
+
+
 # --- oracle-checked registry queries --------------------------------------
 
 
