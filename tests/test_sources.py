@@ -67,3 +67,43 @@ def test_writer_bloom_filters(spark, tmp_path):
         return sum(f.stat().st_size for f in Path(d).rglob("*.parquet"))
 
     assert total(tmp_path / "bloom") > total(tmp_path / "plain")
+
+
+def test_catalog_normalizes_events_ts_forms(spark, tmp_path):
+    """The driver's events.ts physical parquet type has drifted across
+    testdata generations (TIMESTAMP(NANOS) in some rounds, tz-naive
+    micros -> TIMESTAMP_NTZ in round 5). catalog.table() must present
+    session-UTC TIMESTAMP for every form so unix_micros-based
+    consumers (gap sessions) never break at a round boundary."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_realtime_analytics_demo_spark.catalog import table
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [base + datetime.timedelta(seconds=i) for i in range(4)]
+    for unit in ("us", "ns"):  # tz-naive micros (NTZ) and nanos forms
+        d = tmp_path / f"sf_{unit}"
+        (d / "events.parquet").mkdir(parents=True)
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array(rows, pa.timestamp(unit)),
+                "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            }
+        )
+        pq.write_table(
+            t, str(d / "events.parquet" / "part-0.parquet"),
+            use_deprecated_int96_timestamps=False,
+            coerce_timestamps=None,
+            store_schema=False,
+        )
+        df = table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", unit
+        got = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
+        assert got == rows, unit
+        # strict consumers work on the normalized column
+        micros = df.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()
+        assert micros[1].us - micros[0].us == 1_000_000
