@@ -332,3 +332,29 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(
         corpus, threshold=0.95, max_bucket_size=10_000
     ).orderBy("id_a", "id_b")
+
+
+@register("doc_sample_stratified")  # rows-only: driver record is full at
+# 50 oracle slots (tests/test_registry_order.py); the EXACT DuckDB
+# equivalence — md5-prefix membership is portable SQL — is asserted
+# locally in tests/test_sampling.py instead.
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data pipeline op):
+    downsample the dominant language while keeping the tail — the
+    standard corpus-rebalancing step — with layout-independent
+    hash membership (operators/sampling.py: same rows at any
+    parallelism, re-derivable by any engine from (doc_id, seed))."""
+    from clickhouse_realtime_analytics_demo_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    rates = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+    s = sampling.sample_stratified(docs, "lang", rates, key_col="doc_id", seed="r5")
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("lang")
+    )
