@@ -38,7 +38,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sample_hash", "sample_stratified", "sample_reservoir", "hash_unit_prefix"]
+__all__ = [
+    "sample_hash",
+    "sample_stratified",
+    "sample_reservoir",
+    "split_hash",
+    "hash_unit_prefix",
+]
 
 _PREFIX_LEN = 15  # 60 bits: fits exact integer thresholds in a double-free path
 
@@ -91,6 +97,36 @@ def sample_stratified(
         F.lit(fraction_threshold(default_fraction)),
     )
     return df.filter(hash_unit_prefix(F.col(key_col), seed) < thr)
+
+
+def split_hash(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    seed: str = "s0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test): every row gets
+    exactly one label from ``splits`` (name -> weight; weights must
+    sum to 1) by which cumulative-threshold interval its hash draw
+    falls in — DISJOINT and EXHAUSTIVE by construction, stable under
+    repartitioning and appends, re-derivable by any engine. A pure
+    when-chain over the shared prefix column: one expression, no
+    shuffle, no join."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_unit_prefix(F.col(key_col), seed)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = u < F.lit(fraction_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])  # remainder bucket: exhaustive without float drift
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
 
 
 def sample_reservoir(df: DataFrame, k: int, key_col: str, seed: str = "s0") -> DataFrame:

@@ -128,3 +128,26 @@ def test_registry_query_runs_and_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want and len(got) == 5
+
+
+def test_split_hash_disjoint_exhaustive_and_consistent(spark):
+    docs = table(spark, SF_DIR_MID, "documents")
+    n = docs.count()
+    s = sampling.split_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="t")
+    by = {r.split: r.n for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by.values()) == n and set(by) == {"train", "val", "test"}
+    import math
+
+    for name, w in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
+        assert abs(by[name] - w * n) <= 5 * math.sqrt(n * w * (1 - w)), (name, by)
+    # consistency with sample_hash: the train split IS the 0.8 sample
+    train_ids = sorted(r.doc_id for r in s.filter(F.col("split") == "train").collect())
+    assert train_ids == _ids(sampling.sample_hash(docs, "doc_id", 0.8, seed="t"))
+    # layout-independent
+    s13 = sampling.split_hash(
+        docs.repartition(13), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="t"
+    )
+    t13 = sorted(r.doc_id for r in s13.filter(F.col("split") == "train").collect())
+    assert t13 == train_ids
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.split_hash(docs, "doc_id", {"a": 0.5, "b": 0.6})
