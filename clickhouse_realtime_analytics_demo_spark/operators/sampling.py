@@ -113,9 +113,13 @@ def split_hash(
     repartitioning and appends, re-derivable by any engine. A pure
     when-chain over the shared prefix column: one expression, no
     shuffle, no join."""
+    if not splits or any(w <= 0 for w in splits.values()):
+        raise ValueError(f"split weights must all be positive, got {splits}")
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
+    # NOTE: label boundaries follow dict insertion order; pass splits
+    # in a stable order (they are part of the reproducibility contract)
     u = hash_unit_prefix(F.col(key_col), seed)
     expr: Column | None = None
     cum = 0.0

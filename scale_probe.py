@@ -51,6 +51,12 @@ QUERIES = (
     "segment_revenue",
     "nation_revenue",
     "top_parts_per_brand",
+    # round 5: gap sessionization (user-partitioned window chain),
+    # the gateway dictionary path, single-pass basket pairs, sampling
+    "gap_sessions_stats",
+    "dict_lookup_defaults",
+    "copurchased_parts",
+    "doc_sample_stratified",
 )
 # Entity key spaces: shift amount = max(key)+1 from the OWNING table,
 # applied to every referencing column, so copy i of a fact references
@@ -64,6 +70,7 @@ ENTITIES = {
     "custkey": ("customer", "c_custkey"),
     "orderkey": ("orders", "o_orderkey"),
     "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
 }
 # table -> {column: entity}
 REPLICATE = {
@@ -74,6 +81,8 @@ REPLICATE = {
     "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
     "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey"},
     "part": {"p_partkey": "partkey"},
+    # s_nationkey references the bounded nation dim — unshifted
+    "supplier": {"s_suppkey": "suppkey"},
 }
 # bounded dims: copied once, never replicated (their cardinality is
 # scale-invariant — catalog.BOUNDED_DIMS)
