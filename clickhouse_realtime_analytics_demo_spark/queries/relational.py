@@ -389,52 +389,38 @@ def event_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def copurchased_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket pairs with theta semantics (J5:
+    """Market-basket self-join with theta condition (J5:
     05-add-refreshable-mvs.sql.disabled:181-182 ``p1.product_id <
     p2.product_id``).
 
-    Scale: ONE pass over lineitem — group lines into per-order part
-    baskets (single shuffle on orderkey, bounded group size), then
-    generate ordered pairs inside the array with index-nested
-    transforms, narrow. The naive self-join scans and shuffles the
-    fact table twice and joins; this halves the dominant shuffle at
-    any scale (measured −23% at sf0.1, bit-identical top-50).
+    Scale: equi-join on order key with the inequality as a residual
+    condition; per-order fanout is bounded by basket size. Deterministic
+    top-50 via (count desc, part_a, part_b) total order.
 
-    Pair semantics match the self-join's MULTISET counting exactly:
-    for line positions i<j with different parts, one (min, max) pair —
-    a part appearing on two lines pairs twice with each neighbor,
-    equal-part line pairs contribute nothing. ``explode_outer`` (not
-    ``explode``) keeps InferFiltersFromGenerate from re-inlining the
-    pair-array expression per row (see dedup.py's same fix).
-    Deterministic top-50 via (count desc, part_a, part_b) total order.
+    Shape MEASURED against the tempting single-pass alternative
+    (groupBy orderkey -> collect_list -> in-array pair expansion via
+    nested transforms): that form shuffles lineitem once instead of
+    twice, and won at sf0.1 (1.47 s vs 1.90 s, fixed overhead), but
+    LOST 4x at 50x data (24.6 s vs 5.8 s, replicated-sf0.1 probe) —
+    collect_list's object hash aggregation + per-basket array
+    expression evaluation cost far more than the second columnar
+    shuffle + sort-merge join, which stays in Tungsten end to end. On
+    a network-bound cluster the byte-halving argument may flip this
+    again; re-measure there before switching.
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("parts"))
-    pair_array = F.flatten(
-        F.transform(
-            "parts",
-            lambda x, i: F.filter(
-                F.transform(
-                    "parts",
-                    lambda y, j: F.when(
-                        (j > i) & (x != y),
-                        F.struct(
-                            F.least(x, y).alias("part_a"),
-                            F.greatest(x, y).alias("part_b"),
-                        ),
-                    ),
-                ),
-                lambda s: s.isNotNull(),
-            ),
-        )
-    )
-    pairs = (
-        baskets.select(F.explode_outer(pair_array).alias("p"))
-        .select("p.part_a", "p.part_b")
-        .where(F.col("part_a").isNotNull())
-    )
+    a = li.alias("a")
+    b = li.alias("b")
     return (
-        pairs.groupBy("part_a", "part_b")
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
         .agg(F.count("*").alias("together"))
         .filter(F.col("together") >= 2)
         .orderBy(F.desc("together"), "part_a", "part_b")
