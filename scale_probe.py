@@ -52,11 +52,13 @@ QUERIES = (
     "nation_revenue",
     "top_parts_per_brand",
     # round 5: gap sessionization (user-partitioned window chain),
-    # the gateway dictionary path, single-pass basket pairs, sampling
+    # the gateway dictionary path, basket pairs, sampling, and the
+    # flagship LSH dedup (shingle explode -> min-agg -> banded join)
     "gap_sessions_stats",
     "dict_lookup_defaults",
     "copurchased_parts",
     "doc_sample_stratified",
+    "dedup_minhash",
 )
 # Entity key spaces: shift amount = max(key)+1 from the OWNING table,
 # applied to every referencing column, so copy i of a fact references
@@ -94,6 +96,8 @@ def replicate(spark, out_dir: str, k: int) -> None:
         ent: table(spark, BASE_SF, tab).agg(F.max(col)).collect()[0][0] + 1
         for ent, (tab, col) in ENTITIES.items()
     }
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    digits = "0123456789"
     for name, col_entities in REPLICATE.items():
         src = table(spark, BASE_SF, name)
         parts = []
@@ -101,6 +105,24 @@ def replicate(spark, out_dir: str, k: int) -> None:
             df = src
             for c, ent in col_entities.items():
                 df = df.withColumn(c, (F.col(c) + F.lit(i * shifts[ent])).cast("long"))
+            if name == "documents" and i:
+                # Grow the corpus with NEW content, not K identical
+                # copies: a per-copy substitution cipher (length-
+                # preserving, distinct for i < 260) gives each copy
+                # disjoint shingle sets. Without this, every doc forms
+                # a K-clique of TRUE near-duplicates and the correct
+                # near-dup output itself is quadratic in K — the first
+                # probe run measured dedup_minhash at 213x for 100x
+                # "data" purely because the planted output had ~25M
+                # pairs; no algorithm is sub-quadratic in its output.
+                lrot, drot = i % 26, (i // 26) % 10
+                src_chars = letters + letters.upper() + digits
+                dst_chars = (
+                    letters[lrot:] + letters[:lrot]
+                    + (letters[lrot:] + letters[:lrot]).upper()
+                    + digits[drot:] + digits[:drot]
+                )
+                df = df.withColumn("text", F.translate("text", src_chars, dst_chars))
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
