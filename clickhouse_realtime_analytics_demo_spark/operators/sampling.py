@@ -31,6 +31,16 @@ reservoir is ``ORDER BY (u, key) LIMIT k`` → TakeOrderedAndProject:
 per-partition top-k then a k-row driver merge — k rows of driver
 memory, never a global sort. Keep k bounded (≤ ~10^6); above that,
 take a hash-sample at ~k/N and reservoir the remainder.
+
+NULL-key policy (uniform across all four operators): a NULL key has
+no stable identity to hash, so NULL-key rows are EXCLUDED — dropped
+from samples, splits, and reservoirs alike. This keeps the
+consistency contract exact ("the train split IS the fraction-0.8
+sample", splits disjoint-and-exhaustive *over non-NULL keys*) instead
+of NULL rows silently falling into the remainder split while being
+dropped from samples. Callers who need NULL-key rows must assign a
+surrogate key first (e.g. ``coalesce(key, uuid)``) — an explicit
+decision, not a silent default.
 """
 
 from __future__ import annotations
@@ -70,9 +80,11 @@ def fraction_threshold(fraction: float) -> str:
 
 def sample_hash(df: DataFrame, key_col: str, fraction: float, seed: str = "s0") -> DataFrame:
     """Deterministic fraction-``p`` sample: row kept iff
-    ``u(key, seed) < p``. Same rows at any parallelism or layout."""
+    ``u(key, seed) < p``. Same rows at any parallelism or layout.
+    NULL keys are excluded (module NULL-key policy)."""
     return df.filter(
-        hash_unit_prefix(F.col(key_col), seed) < F.lit(fraction_threshold(fraction))
+        F.col(key_col).isNotNull()
+        & (hash_unit_prefix(F.col(key_col), seed) < F.lit(fraction_threshold(fraction)))
     )
 
 
@@ -88,7 +100,8 @@ def sample_stratified(
     ``sampleBy``): stratum -> threshold rides as a map literal in the
     plan (like the hashed dictionary layout) — still one narrow
     filter, no join, no shuffle. Strata absent from ``fractions`` get
-    ``default_fraction``."""
+    ``default_fraction``. NULL keys are excluded (module NULL-key
+    policy)."""
     pairs: list[Column] = []
     for stratum, frac in fractions.items():
         pairs += [F.lit(stratum), F.lit(fraction_threshold(frac))]
@@ -96,7 +109,9 @@ def sample_stratified(
         F.element_at(F.create_map(*pairs), F.col(strata_col)),
         F.lit(fraction_threshold(default_fraction)),
     )
-    return df.filter(hash_unit_prefix(F.col(key_col), seed) < thr)
+    return df.filter(
+        F.col(key_col).isNotNull() & (hash_unit_prefix(F.col(key_col), seed) < thr)
+    )
 
 
 def split_hash(
@@ -109,10 +124,12 @@ def split_hash(
     """Deterministic dataset split (train/val/test): every row gets
     exactly one label from ``splits`` (name -> weight; weights must
     sum to 1) by which cumulative-threshold interval its hash draw
-    falls in — DISJOINT and EXHAUSTIVE by construction, stable under
-    repartitioning and appends, re-derivable by any engine. A pure
-    when-chain over the shared prefix column: one expression, no
-    shuffle, no join."""
+    falls in — DISJOINT and EXHAUSTIVE over non-NULL keys by
+    construction, stable under repartitioning and appends,
+    re-derivable by any engine. A pure when-chain over the shared
+    prefix column: one expression, no shuffle, no join. NULL keys are
+    excluded (module NULL-key policy) so every emitted label agrees
+    with the corresponding ``sample_hash`` membership."""
     if not splits or any(w <= 0 for w in splits.values()):
         raise ValueError(f"split weights must all be positive, got {splits}")
     total = sum(splits.values())
@@ -130,7 +147,7 @@ def split_hash(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])  # remainder bucket: exhaustive without float drift
     expr = last if expr is None else expr.otherwise(last)
-    return df.withColumn(out_col, expr)
+    return df.filter(F.col(key_col).isNotNull()).withColumn(out_col, expr)
 
 
 def sample_reservoir(df: DataFrame, k: int, key_col: str, seed: str = "s0") -> DataFrame:
@@ -138,8 +155,14 @@ def sample_reservoir(df: DataFrame, k: int, key_col: str, seed: str = "s0") -> D
     ``(u(key, seed), key)`` — a uniform simple random sample that is
     stable under data layout AND under appends that don't displace
     the winners. TakeOrderedAndProject keeps it distributed (no
-    global sort); k is driver-bounded, keep it ≤ ~10^6."""
+    global sort); k is driver-bounded, keep it ≤ ~10^6. NULL keys are
+    excluded (module NULL-key policy; they would otherwise sort first
+    under NULLS FIRST and crowd out every real winner)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     u = hash_unit_prefix(F.col(key_col), seed)
-    return df.orderBy(u.asc(), F.col(key_col).asc()).limit(k)
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .orderBy(u.asc(), F.col(key_col).asc())
+        .limit(k)
+    )

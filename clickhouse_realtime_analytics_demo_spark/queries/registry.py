@@ -76,6 +76,7 @@ def all_queries() -> dict[str, Query]:
         "ann_lsh_topk",
         "media_image_features",
         "approx_daily_uniques",
+        "doc_sample_stratified",
     ]
     with_oracle = {n: q for n, q in _REGISTRY.items() if q.oracle is not None}
     no_oracle = {n: q for n, q in _REGISTRY.items() if q.oracle is None}

@@ -115,7 +115,13 @@ def replicate(spark, out_dir: str, k: int) -> None:
                 # probe run measured dedup_minhash at 213x for 100x
                 # "data" purely because the planted output had ~25M
                 # pairs; no algorithm is sub-quadratic in its output.
-                lrot, drot = i % 26, (i // 26) % 10
+                # lrot in 1..25 for EVERY i>0 (was i % 26: at i=26,52,78
+                # the letter map degenerated to identity and digit-poor
+                # docs became near-identical to copy 0, partially
+                # re-planting the cross-copy cliques the cipher exists
+                # to prevent — r5 ADVICE). drot cycles independently so
+                # (lrot, drot) pairs stay distinct for i < 250.
+                lrot, drot = 1 + (i - 1) % 25, (i // 25) % 10
                 src_chars = letters + letters.upper() + digits
                 dst_chars = (
                     letters[lrot:] + letters[:lrot]

@@ -74,9 +74,13 @@ def test_ingest_headroom_2x_reference_rate(spark, tmp_path):
         spark, str(tmp_path / "lake"), events_per_tick=200, orders_per_tick=40,
         tick_seconds=1.0,
     )
-    stats = loop.run(seconds=8.0)
+    # 16 s (was 8): long enough that a single slow tick landing at the
+    # END of the window — which fixed-rate pacing cannot catch up
+    # before run() exits — amortizes below the 95% sustained gate
+    # instead of flaking it (r5 ADVICE): 3200/(16+0.4) = 195 >= 190.
+    stats = loop.run(seconds=16.0)
     lat = ", ".join(f"{s:.2f}" for s in stats.tick_latencies)
-    assert stats.ticks >= 7, f"only {stats.ticks} ticks; latencies: {lat}"
+    assert stats.ticks >= 15, f"only {stats.ticks} ticks; latencies: {lat}"
     # hard gate: sustained 2x throughput over the full run
     assert stats.events_per_s >= 190.0, (
         f"sustained rate {stats.events_per_s:.0f} ev/s < 190; latencies: {lat}"

@@ -151,3 +151,24 @@ def test_split_hash_disjoint_exhaustive_and_consistent(spark):
     assert t13 == train_ids
     with pytest.raises(ValueError, match="sum to 1"):
         sampling.split_hash(docs, "doc_id", {"a": 0.5, "b": 0.6})
+
+
+def test_null_key_policy_uniform(spark):
+    """NULL keys are excluded by every operator — never silently
+    routed to the remainder split (r5 ADVICE): split/sample/reservoir
+    must agree so 'the train split IS the 0.8 sample' stays exact."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (None, "a"), (3, "b"), (None, "b")],
+        "k long, g string",
+    )
+    assert sampling.sample_hash(df, "k", 1.0, seed="n").count() == 3
+    assert sampling.sample_stratified(df, "g", {"a": 1.0, "b": 1.0}, "k", seed="n").count() == 3
+    labeled = sampling.split_hash(df, "k", {"train": 0.8, "test": 0.2}, seed="n")
+    assert labeled.count() == 3 and labeled.filter(F.col("k").isNull()).count() == 0
+    # reservoir: NULL keys must not crowd out real winners via NULLS FIRST
+    res = sampling.sample_reservoir(df, k=5, key_col="k", seed="n").collect()
+    assert sorted(r.k for r in res) == [1, 2, 3]
+    # consistency contract: train split == fraction-0.8 sample, exactly
+    train = {r.k for r in labeled.filter(F.col("split") == "train").collect()}
+    samp = {r.k for r in sampling.sample_hash(df, "k", 0.8, seed="n").collect()}
+    assert train == samp
