@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # FAIR job scheduling: a no-op until a thread opts into a named
+        # pool (spark.scheduler.pool local property), at which point
+        # concurrent workloads share cores fairly instead of FIFO —
+        # without it, a full-scan dashboard query queues the 1 s ingest
+        # ticks and MV micro-batches behind it (measured: ingest
+        # sustained only 52 of 100 ev/s under FIFO mixed load;
+        # mixed_load_probe.py / MIXEDLOAD.md). Same setting a
+        # multi-tenant cluster serving live dashboards would run.
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

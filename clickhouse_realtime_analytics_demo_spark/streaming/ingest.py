@@ -48,6 +48,10 @@ class IngestStats:
     overruns: int = 0
     elapsed_s: float = 0.0
     tick_latencies: list[float] = field(default_factory=list)
+    # (perf_counter at tick completion, cumulative events, cumulative
+    # orders) — the write-side cursor trail a freshness probe compares
+    # against read-side visibility (mixed_load_probe.py)
+    tick_marks: list[tuple[float, int, int]] = field(default_factory=list)
 
     @property
     def events_per_s(self) -> float:
@@ -68,6 +72,13 @@ class IngestLoop:
     orders_per_tick: int = 20
     tick_seconds: float = 1.0
     n_users: int = 1000
+    # FAIR-scheduler pool for the per-tick write jobs: under mixed
+    # load (dashboards + MV maintenance on the same cluster) a named
+    # pool keeps ingest ticks from queueing behind full-scan queries
+    # (session.py sets spark.scheduler.mode=FAIR; pools are created on
+    # first use). None = default pool. Set on each writer THREAD —
+    # local properties don't inherit across Python threads.
+    scheduler_pool: str | None = None
     stats: IngestStats = field(default_factory=IngestStats)
     _stop: threading.Event = field(default_factory=threading.Event, repr=False)
     _thread: threading.Thread | None = field(default=None, repr=False)
@@ -78,6 +89,10 @@ class IngestLoop:
         # reason, stream_data_realtime.py:52-53): per-job driver
         # latency, not data volume, bounds the tick rate.
         def write_events() -> None:
+            if self.scheduler_pool:
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", self.scheduler_pool
+                )
             ev = generator.events(
                 self.spark,
                 n=self.events_per_tick,
@@ -89,6 +104,10 @@ class IngestLoop:
             writer.write_table(ev, self.out_dir, "events", mode="append")
 
         def write_orders() -> None:
+            if self.scheduler_pool:
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", self.scheduler_pool
+                )
             orders = generator.orders(
                 self.spark,
                 n=self.orders_per_tick,
@@ -110,6 +129,9 @@ class IngestLoop:
         if self.orders_per_tick:
             self.stats.orders_rows += self.orders_per_tick
         self.stats.ticks += 1
+        self.stats.tick_marks.append(
+            (time.perf_counter(), self.stats.events_rows, self.stats.orders_rows)
+        )
 
     def run(self, seconds: float) -> IngestStats:
         """Blocking run for ``seconds``; returns measured stats."""

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import shutil
+import threading
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -187,8 +188,22 @@ def write_batch(batch: DataFrame, spec: MVSpec, mv_path: str, batch_id: int) -> 
     replay (crash between data write and checkpoint commit) re-runs
     the same batch_id over the same checkpointed input files and
     overwrites the directory with identical content — no double
-    counts, ever."""
-    apply_partial(batch, spec).write.mode("overwrite").parquet(f"{mv_path}/b={batch_id}")
+    counts, ever.
+
+    ``coalesce(1)``: one part per micro-batch, exactly the "one part
+    per INSERT block" analog the module docstring claims. Without it
+    the partial agg inherits ``spark.sql.shuffle.partitions`` and a
+    ~100-row batch fans out into ~30 near-empty files, so after N
+    batches every MV reader (and the freshness-critical
+    ``read_final``) lists and opens ~30N tiny files — measured as the
+    dominant term in mixed-load freshness lag (MIXEDLOAD.md). The
+    partial rows per batch are bounded by |groups touched|, so a
+    single output task is the right size by construction; at much
+    larger per-batch group counts raise the coalesce factor, not the
+    default."""
+    apply_partial(batch, spec).coalesce(1).write.mode("overwrite").parquet(
+        f"{mv_path}/b={batch_id}"
+    )
 
 
 def _read_partials(spark: SparkSession, mv_path: str) -> DataFrame:
@@ -335,7 +350,7 @@ def start_incremental(
     mv_path: str,
     spec: MVSpec,
     checkpoint_dir: str,
-    trigger_seconds: int = 1,
+    trigger_seconds: float = 1,
     max_files_per_trigger: int | None = None,
 ):
     """Launch the streaming maintenance job for one MV.
@@ -358,6 +373,77 @@ def start_incremental(
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .trigger(processingTime=f"{int(trigger_seconds * 1000)} milliseconds")
+        .start()
+    )
+
+
+def start_incremental_multi(
+    spark: SparkSession,
+    source_dir: str,
+    mv_root: str,
+    specs: list[MVSpec],
+    checkpoint_dir: str,
+    trigger_seconds: float = 1,
+    max_files_per_trigger: int | None = None,
+):
+    """One maintenance stream serving ALL MVs attached to a source —
+    the ClickHouse shape: a single INSERT block is read once and every
+    attached MV aggregates from that same in-memory block
+    (ARCHITECTURE.md's insert-triggered MV cascade), instead of N
+    streams each re-listing and re-reading the same input files every
+    trigger. Under mixed load this cuts driver scheduling pressure and
+    source listing N-fold; the micro-batch is persisted once and each
+    MV's partial aggregation reads the cached block.
+
+    Each MV still gets its own table dir (``<mv_root>/<name>``) and
+    the same idempotent ``b=<batch_id>`` write, so crash-replay
+    semantics are identical to N independent streams; the shared
+    checkpoint means all MVs advance in lockstep (exactly like the
+    reference, where one INSERT commits to all MVs atomically or not
+    at all).
+    """
+    sources = {s.source for s in specs}
+    if len(sources) != 1:
+        raise ValueError(f"all specs must share one source, got {sources}")
+    schema = schemas.EVENTS if specs[0].source == "events" else schemas.ORDERS
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.persist()
+        # materialize the cache once so the per-MV jobs read it instead
+        # of racing to compute it N times
+        batch.count()
+        try:
+            # per-MV partial aggs are independent tiny jobs over the
+            # cached block — run them concurrently (serial writes made
+            # the 4-MV batch ~1.8 s; the trigger budget is 1 s)
+            errors: list[Exception] = []
+
+            def one(spec: MVSpec) -> None:
+                try:
+                    write_batch(batch, spec, f"{mv_root}/{spec.name}", batch_id)
+                except Exception as exc:  # surface to the stream, don't swallow
+                    errors.append(exc)
+
+            threads = [threading.Thread(target=one, args=(s,)) for s in specs]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            if errors:
+                raise errors[0]
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{int(trigger_seconds * 1000)} milliseconds")
         .start()
     )
