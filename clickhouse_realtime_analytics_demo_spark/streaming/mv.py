@@ -294,6 +294,20 @@ def compact(
     transiently see both the merged part and not-yet-deleted inputs
     (seconds); ClickHouse's atomic part-set swap has no transiently
     visible state — schedule compaction off-peak if that matters.
+
+    Cadence policy (measured, `scale_probe.py mv` / SCALEPROBE.md "MV
+    maintenance vs part count"): append cost is FLAT in part count
+    (~0.2 s/batch — the sink never lists existing parts), so
+    compaction exists purely for READERS. ``read_final`` degrades
+    ~linearly with live parts (354 ms at 11 parts → 1.7 s at 515;
+    ≈2.6 ms/part of listing+open overhead), while the post-compact
+    floor is flat (~0.2 s) and ``compact()`` itself costs 0.6–2.2 s
+    over the whole 8–512 range. **Compact when live parts exceed ~128**
+    (:func:`maybe_compact`): reads stay within ~2× their floor, and at
+    the reference ingest rate (a part every 1–2 s) that is one 0.9 s
+    fold every 2–4 minutes — <1% duty cycle. There is no part count at
+    which compaction hurts ingest (appends don't see parts), so the
+    threshold trades only reader latency against fold frequency.
     """
     live = Path(mv_path)
     _recover_compaction(live)
@@ -320,6 +334,26 @@ def compact(
     target = live / f"b={merged_id}"
     hidden.rename(target)
     _finish_deletes(live, target, [d.name for d in snapshot])
+
+
+def maybe_compact(
+    spark: SparkSession,
+    mv_path: str,
+    spec: MVSpec,
+    checkpoint_dir: str | None = None,
+    max_parts: int = 128,
+) -> bool:
+    """Apply the measured cadence policy (see :func:`compact`): fold
+    only when the live part count exceeds ``max_parts``. Returns True
+    if a compaction ran. Cheap to call every maintenance tick — the
+    no-op path is a single directory listing."""
+    live = Path(mv_path)
+    if not live.exists():
+        return False
+    if sum(1 for d in live.glob("b=*") if d.is_dir()) <= max_parts:
+        return False
+    compact(spark, mv_path, spec, checkpoint_dir=checkpoint_dir)
+    return True
 
 
 def read_final(spark: SparkSession, mv_path: str, spec: MVSpec) -> DataFrame:

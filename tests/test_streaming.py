@@ -316,3 +316,23 @@ def test_ttl_partition_drop(spark, tmp_path):
     assert report["dropped_partitions"] == [202401]
     remaining = spark.read.parquet(path)
     assert remaining.filter(F.col("event_date") < F.lit("2024-02-01")).count() == 0
+
+
+def test_maybe_compact_threshold(spark, tmp_path):
+    """Cadence policy (SCALEPROBE.md MV rows): fold only past
+    max_parts; below it the call is a no-op listing."""
+    from clickhouse_realtime_analytics_demo_spark.sources import generator
+
+    spec = mv.mv_specs()["daily_user_activity"]
+    path = str(tmp_path / "mv")
+    for i in range(6):
+        batch = generator.events(spark, n=50, n_users=20, seed=i, partitions=1,
+                                 id_offset=i * 50)
+        mv.write_batch(batch, spec, path, i)
+    before = mv.read_final(spark, path, spec).agg(F.sum("total_events")).collect()[0][0]
+    assert mv.maybe_compact(spark, path, spec, max_parts=8) is False
+    assert sum(1 for d in (tmp_path / "mv").glob("b=*")) == 6
+    assert mv.maybe_compact(spark, path, spec, max_parts=4) is True
+    assert sum(1 for d in (tmp_path / "mv").glob("b=*")) == 1
+    after = mv.read_final(spark, path, spec).agg(F.sum("total_events")).collect()[0][0]
+    assert after == before == 300
