@@ -44,6 +44,15 @@ def get_spark(
         # mixed_load_probe.py / MIXEDLOAD.md). Same setting a
         # multi-tenant cluster serving live dashboards would run.
         .config("spark.scheduler.mode", "FAIR")
+        # TTL retention drops whole partition directories while queries
+        # and MV streams are live (streaming/retention.py). A reader
+        # that listed files before the drop must skip them, not throw —
+        # the same tolerance ClickHouse readers have for parts detached
+        # mid-query, and the standard lakehouse setting for
+        # retention-on-live-tables. Rows in a dropped file are expired
+        # by definition, so skipping loses nothing that TTL didn't
+        # already claim.
+        .config("spark.sql.files.ignoreMissingFiles", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

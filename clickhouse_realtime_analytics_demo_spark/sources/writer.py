@@ -22,10 +22,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clickhouse_realtime_analytics_demo_spark.sources import schemas
 from clickhouse_realtime_analytics_demo_spark.sources.schemas import (
     PARTITION_MONTH,
     SORT_KEYS,
 )
+
+# known lake-table schemas, keyed like write_table's ``name``
+_KNOWN_SCHEMAS = {
+    "events": schemas.EVENTS,
+    "orders": schemas.ORDERS,
+    "users": schemas.USERS,
+    "products": schemas.PRODUCTS,
+}
 
 
 def yyyymm(col_name: str) -> F.Column:
@@ -67,7 +76,22 @@ def write_table(
 
 
 def read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{path}/{name}")
+    """Read a lake table, supplying the known schema when we have one.
+
+    An explicit schema matters twice: (1) scale — schema inference
+    reads a parquet footer per file in a driver-side job, which at
+    100 TB is a full-metadata pass before the query even plans;
+    (2) liveness — the footer-inference job races TTL partition drops
+    (``ignoreMissingFiles`` covers scan execution but NOT inference's
+    footer reads; a file dropped between listing and footer read
+    fails the whole query — reproduced in tests/test_retention_load).
+    Partition columns (``yyyymm``) absent from the schema are
+    appended by partition discovery, unchanged."""
+    reader = spark.read
+    schema = _KNOWN_SCHEMAS.get(name)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(f"{path}/{name}")
 
 
 def month_predicate(col_name: str, start_yyyymm: int, end_yyyymm: int) -> F.Column:

@@ -9,6 +9,36 @@ retention = DROP whole yyyymm partition directories older than the
 cutoff (metadata-only, no rewrite), plus an optional row-level rewrite
 ONLY for the single boundary month. Non-blocking for readers in the
 same way (old partitions disappear between queries).
+
+Semantics under LIVE load (tests/test_retention_load.py; the
+reference's TTL likewise runs in the background against live inserts,
+04-add-ttl.sql:46-99):
+
+- **readers**: a query that listed files before a drop skips the
+  missing ones (``spark.sql.files.ignoreMissingFiles``, session.py) —
+  rows in a dropped file are expired by definition, so nothing
+  unexpired is lost. No reader error, no retry needed.
+- **MV streams**: input files committed to the checkpoint and later
+  dropped are never re-read, so maintenance streams are unaffected; a
+  file dropped in the narrow window between listing and read is
+  skipped by the same setting (its rows were expired).
+- **MVs keep their aggregates**: retention on the RAW table does not
+  retract MV rows — the rollup deliberately outlives the raw data
+  (the reference keeps 90 d of events under longer-lived MV
+  summaries). MV totals equal the aggregation over ALL ingested rows,
+  dropped or not.
+- **backdated inserts**: a row older than the cutoff written AFTER a
+  TTL pass survives until the next pass — eventual, bounded-staleness
+  expiry, exactly like part-level TTL between background merges.
+- **one divergence from ClickHouse**: the reference's MVs populate
+  SYNCHRONOUSLY at INSERT, so a row always reaches every MV before
+  TTL can touch it; our maintenance streams lag by up to a trigger.
+  A part dropped in that window expires its rows from the MV too
+  (they were, by definition, already past the cutoff — but the
+  reference would have rolled them up first). Operationally moot —
+  TTL cadence is hours/days, MV lag is seconds — but if exact parity
+  matters, gate ``apply_ttl`` on the maintenance checkpoint having
+  consumed the candidate partitions, as the live-load test does.
 """
 
 from __future__ import annotations
