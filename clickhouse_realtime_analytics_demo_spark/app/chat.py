@@ -91,6 +91,44 @@ def rule_based_llm(prompt: str) -> str:
     return "```sql\nSELECT count() AS n FROM events\n```"
 
 
+def ollama_llm(
+    host: str = "localhost",
+    port: int = 11434,
+    model: str = "llama3",
+    timeout_s: float = 60.0,
+) -> Callable[[str], str]:
+    """LLM callable speaking the Ollama HTTP contract the reference
+    uses (chat_service.py:100-124): POST /api/generate with
+    {model, prompt, stream: false, options}, read the JSON body's
+    "response" field. Stdlib-only, so it works against a real Ollama
+    daemon or the deterministic stub in tests/test_chat_ollama.py —
+    the engine-side chain (extraction → safety gate → dialect rewrite
+    → execute) is identical either way."""
+    import json as _json
+    import urllib.request
+
+    url = f"http://{host}:{port}/api/generate"
+
+    def call(prompt: str) -> str:
+        payload = _json.dumps(
+            {
+                "model": model,
+                "prompt": prompt,
+                "stream": False,
+                # reference options, chat_service.py:107-111
+                "options": {"temperature": 0.1, "top_p": 0.9, "max_tokens": 1000},
+            }
+        ).encode()
+        req = urllib.request.Request(
+            url, data=payload, headers={"Content-Type": "application/json"}
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = _json.loads(resp.read().decode())
+        return body.get("response", "No response generated")
+
+    return call
+
+
 @dataclass
 class ChatService:
     spark: SparkSession
