@@ -1,0 +1,107 @@
+"""Physical-plan regression snapshots for the 15 headline queries
+(VERDICT r5 next-round #6): the round-5 quality came from plan
+discipline — no unpartitioned windows, pre-agg below joins,
+TakeOrderedAndProject for top-k, no cartesian products, no Python in
+the hot path. This locks those properties so a Spark upgrade or a
+refactor can't silently regress a plan while staying correct.
+
+Snapshots are of the EXECUTED adaptive plan at the test SF (sf0.001,
+8-core session): at this scale AQE resolves every equi-join to
+broadcast-hash, which is itself part of the contract being locked (a
+regression to sort-merge here means a broadcast threshold or a
+pre-aggregation was lost). Larger-scale join-strategy behavior is
+covered separately by SCALEPROBE.md's join-mix column — this test is
+about shape, not scale.
+
+The two BroadcastNestedLoopJoin allowances are single-row broadcasts
+by construction: kpi_snapshot joins uncorrelated scalar-subquery
+results (1 row), ann_cosine_topk joins the query vector (1 row).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_realtime_analytics_demo_spark.queries import all_queries
+
+from tests.conftest import SF_DIR
+
+# query -> (expected join-node counts, TakeOrderedAndProject expected)
+SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
+    "daily_events": ({}, False),
+    "hourly_event_matrix": ({}, False),
+    "event_type_stats": ({}, False),
+    "segment_revenue": ({"BroadcastHashJoinExec": 1}, False),
+    "nation_revenue": ({"BroadcastHashJoinExec": 4}, False),
+    "top_parts_per_brand": ({"BroadcastHashJoinExec": 1}, False),
+    "top_customers": ({}, True),
+    "session_stats": ({}, False),
+    "cohort_retention": ({"BroadcastHashJoinExec": 1}, False),
+    "user_rfm": ({"BroadcastHashJoinExec": 3}, False),
+    "kpi_snapshot": ({"BroadcastNestedLoopJoinExec": 1}, False),
+    "copurchased_parts": ({"BroadcastHashJoinExec": 1}, True),
+    "dedup_exact": ({}, False),
+    "dedup_minhash": ({"BroadcastHashJoinExec": 3}, False),
+    "ann_cosine_topk": ({"BroadcastNestedLoopJoinExec": 1}, True),
+}
+
+_JOIN_NODES = (
+    "BroadcastHashJoinExec",
+    "SortMergeJoinExec",
+    "ShuffledHashJoinExec",
+    "BroadcastNestedLoopJoinExec",
+    "CartesianProductExec",
+)
+_PYTHON_NODES = ("BatchEvalPythonExec", "ArrowEvalPythonExec", "MapInPandasExec")
+_BNLJ_ALLOWED = {"kpi_snapshot", "ann_cosine_topk"}  # 1-row broadcasts
+
+
+def _walk(node):
+    yield node
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk(node.executedPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _walk(node.plan())
+        return
+    for i in range(node.children().size()):
+        yield from _walk(node.children().apply(i))
+
+
+@pytest.mark.parametrize("name", sorted(SNAPSHOT))
+def test_headline_plan_shape(spark, name):
+    expected_joins, expect_top = SNAPSHOT[name]
+    df = all_queries()[name].fn(spark, SF_DIR)
+    df.collect()  # materialize so AQE's FINAL plan is snapshotted
+    joins: dict[str, int] = {}
+    take_ordered = 0
+    for node in _walk(df._jdf.queryExecution().executedPlan()):
+        cls = node.getClass().getSimpleName()
+        if cls in _JOIN_NODES:
+            joins[cls] = joins.get(cls, 0) + 1
+        elif cls == "TakeOrderedAndProjectExec":
+            take_ordered += 1
+        elif cls == "WindowExec":
+            # the one property with no legitimate exception: a window
+            # without PARTITION BY serializes the whole input on one
+            # task at any scale
+            assert node.partitionSpec().size() > 0, (
+                f"{name}: unpartitioned WindowExec in the executed plan"
+            )
+        else:
+            assert cls not in _PYTHON_NODES, (
+                f"{name}: Python eval node {cls} in a headline plan"
+            )
+
+    assert joins.get("CartesianProductExec", 0) == 0, f"{name}: cartesian product"
+    if name not in _BNLJ_ALLOWED:
+        assert joins.get("BroadcastNestedLoopJoinExec", 0) == 0, (
+            f"{name}: unexpected nested-loop join {joins}"
+        )
+    assert joins == expected_joins, (
+        f"{name}: join shape drifted: expected {expected_joins}, executed {joins}"
+    )
+    assert (take_ordered > 0) == expect_top, (
+        f"{name}: TakeOrderedAndProject expected={expect_top}, found {take_ordered}"
+    )
