@@ -72,3 +72,37 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two co-bucketed saved tables on their bucket key."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def cap_group_size(
+    df: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    max_rows: int,
+) -> DataFrame:
+    """Drop groups larger than ``max_rows`` before a quadratic
+    expansion (self-join pair generation, basket mining, LSH
+    buckets) — the generic form of the MinHash bucket cap
+    (operators/dedup.py:minhash_lsh_candidates).
+
+    Why this exists (measured, SCALEPROBE.md "Skewed-key probe"): a
+    hot key whose JOIN OUTPUT explodes quadratically is invisible to
+    AQE's skew-join split, which keys on shuffle-INPUT partition
+    bytes — a 10^4-row basket is ~160 KB in, 5·10^7 pairs out, and
+    its shuffle partition looks perfectly uniform. No runtime
+    re-planner can save a computation whose correct output is
+    quadratic; the scale-safe options are bounding the group (this)
+    or broadcasting one side so the expansion spreads across input
+    splits. Pathological groups (boilerplate buckets, degenerate
+    mega-baskets) carry little analytic signal, so dropping them is
+    the standard trade.
+
+    The count aggregate shuffles on the same keys as the downstream
+    join, so AQE reuses the exchange; only the count itself is extra.
+    """
+    keys = list(key_cols)
+    sizes = df.groupBy(*keys).agg(F.count("*").alias("__group_n"))
+    return (
+        df.join(sizes, keys)
+        .filter(F.col("__group_n") <= max_rows)
+        .drop("__group_n")
+    )

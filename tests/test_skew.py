@@ -82,3 +82,18 @@ def test_unbucketed_join_does_shuffle(spark):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_cap_group_size(spark):
+    """Groups above the cap vanish entirely; groups at/below pass
+    through untouched (the pre-quadratic-expansion safety valve)."""
+    from clickhouse_realtime_analytics_demo_spark.operators.skew import cap_group_size
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(10)] + [(2, i) for i in range(3)] + [(3, 0)],
+        "k long, v long",
+    )
+    out = cap_group_size(df, ["k"], max_rows=3)
+    got = {(r.k, r.v) for r in out.collect()}
+    assert {k for k, _ in got} == {2, 3}
+    assert len(got) == 4
