@@ -201,15 +201,91 @@ def write_batch(batch: DataFrame, spec: MVSpec, mv_path: str, batch_id: int) -> 
     single output task is the right size by construction; at much
     larger per-batch group counts raise the coalesce factor, not the
     default."""
-    apply_partial(batch, spec).coalesce(1).write.mode("overwrite").parquet(
-        f"{mv_path}/b={batch_id}"
+    _canonicalize(apply_partial(batch, spec), batch.sparkSession, spec).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{mv_path}/b={batch_id}")
+
+
+_SCHEMA_CACHE: dict = {}  # spec name -> canonical partial-table StructType
+
+
+def _mv_schema(spark: SparkSession, spec: MVSpec):
+    """CANONICAL partial-table schema: the spec's partial aggregation
+    analyzed over an empty source frame, with decimal columns widened
+    to precision 38. Widening makes the type a FIXED POINT of folding:
+    Spark's SUM over decimal(p,s) yields decimal(min(38,p+10),s), so a
+    decimal(20,2) partial re-aggregates to (30,2) then (38,2) — parts
+    written at different fold depths would carry heterogeneous
+    physical types (the latent bug this fixes: a fixed read schema hit
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH on compacted parts; inference
+    only worked by accident of which footer it sampled). At precision
+    38 the sum type maps to itself, so every part — fresh or folded N
+    times — has the same schema.
+
+    Explicit schemas also mean no per-file footer inference job (a
+    full-metadata pass at scale, and it races compactor deletes)."""
+    if spec.name not in _SCHEMA_CACHE:
+        from pyspark.sql import types as T
+
+        src = schemas.EVENTS if spec.source == "events" else schemas.ORDERS
+        empty = spark.createDataFrame([], src)
+        base = apply_partial(empty, spec).schema
+        fields = [
+            T.StructField(
+                f.name,
+                T.DecimalType(38, f.dataType.scale)
+                if isinstance(f.dataType, T.DecimalType)
+                else f.dataType,
+                f.nullable,
+            )
+            for f in base
+        ]
+        _SCHEMA_CACHE[spec.name] = T.StructType(fields)
+    return _SCHEMA_CACHE[spec.name]
+
+
+def _canonicalize(df: DataFrame, spark: SparkSession, spec: MVSpec) -> DataFrame:
+    """Cast a partial-aggregate frame to the canonical schema — every
+    write path (fresh micro-batch AND compacted merge) lands the same
+    physical types."""
+    schema = _mv_schema(spark, spec)
+    return df.select(
+        *[F.col(f.name).cast(f.dataType) for f in schema]
     )
 
 
-def _read_partials(spark: SparkSession, mv_path: str) -> DataFrame:
-    df = spark.read.parquet(mv_path)
-    # partition discovery surfaces the batch-id key as a column
-    return df.drop("b") if "b" in df.columns else df
+def _read_partials(spark: SparkSession, mv_path: str, spec: MVSpec) -> DataFrame:
+    """Manifest-aware snapshot read of the MV's live parts.
+
+    Readers are ATOMIC with respect to compaction (ClickHouse's
+    part-set swap semantics, recovered on raw directories): a merged
+    part is renamed in atomically carrying a ``_MANIFEST`` naming the
+    parts it replaces, and those doomed parts are excluded here even
+    if their deletion hasn't finished — so a reader sees either the
+    originals (merged not yet published) or the merged part alone
+    (published, inputs excluded by manifest), never both. The residual
+    race is listing-vs-delete on already-doomed dirs, covered by
+    ``ignoreMissingFiles`` (session.py); at production scale the same
+    algebra rides on a table format with snapshot isolation
+    (Delta/Iceberg) instead of directory listings.
+    """
+    live = Path(mv_path)
+    parts = sorted(d for d in live.glob("b=*") if d.is_dir())
+    doomed: set[str] = set()
+    for d in parts:
+        manifest = d / "_MANIFEST"
+        if manifest.exists():
+            try:
+                _, names = json.loads(manifest.read_text())
+                doomed.update(names)
+            except (OSError, ValueError):
+                continue  # manifest deleted/incomplete mid-read: its
+                # deletes finished (or never published) — nothing to exclude
+    included = [str(d) for d in parts if d.name not in doomed]
+    schema = _mv_schema(spark, spec)
+    if not included:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*included)
 
 
 def _recover_compaction(live: Path) -> None:
@@ -321,10 +397,14 @@ def compact(
         return
     ids = [int(d.name.split("=")[1]) for d in snapshot]
     merged_id = min(min(ids), 0) - 1
-    merged = (
-        spark.read.parquet(*[str(d) for d in snapshot])
+    merged = _canonicalize(
+        # explicit schema: no footer-inference job over the snapshot
+        spark.read.schema(_mv_schema(spark, spec))
+        .parquet(*[str(d) for d in snapshot])
         .groupBy(*spec.keys)
-        .agg(*_reagg_exprs(spec))
+        .agg(*_reagg_exprs(spec)),
+        spark,
+        spec,
     )
     hidden = live / f".compact-{abs(merged_id)}"
     merged.write.mode("overwrite").parquet(str(hidden))
@@ -356,10 +436,61 @@ def maybe_compact(
     return True
 
 
+@dataclass
+class Compactor:
+    """Background-merge thread — the ClickHouse background merge pool
+    analog. Periodically applies :func:`maybe_compact` (the measured
+    cadence policy) to each registered MV, commit-gated against that
+    MV's maintenance-stream checkpoint so a crash-replayable batch is
+    never folded early (see :func:`compact`). Runs its Spark jobs in
+    the ``maintenance`` FAIR pool next to the streams it serves.
+
+    ``targets``: list of (mv_path, spec, checkpoint_dir). ``stats``
+    counts compactions performed, for tests and ops introspection.
+    """
+
+    spark: SparkSession
+    targets: list[tuple[str, MVSpec, str | None]]
+    interval_s: float = 30.0
+    max_parts: int = 128
+    stats: dict[str, int] = field(default_factory=dict)
+    _stop: threading.Event = field(default_factory=threading.Event, repr=False)
+    _thread: threading.Thread | None = field(default=None, repr=False)
+
+    def _run(self) -> None:
+        self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", "maintenance")
+        while not self._stop.is_set():
+            for mv_path, spec, ckpt in self.targets:
+                if self._stop.is_set():
+                    break
+                try:
+                    if maybe_compact(
+                        self.spark, mv_path, spec,
+                        checkpoint_dir=ckpt, max_parts=self.max_parts,
+                    ):
+                        self.stats[spec.name] = self.stats.get(spec.name, 0) + 1
+                except Exception:
+                    # background merges must never kill the pipeline;
+                    # a failed fold retries next tick (compact() is
+                    # crash-safe against its own interruptions)
+                    pass
+            self._stop.wait(self.interval_s)
+
+    def start(self) -> "Compactor":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join()
+
+
 def read_final(spark: SparkSession, mv_path: str, spec: MVSpec) -> DataFrame:
     """Reader view: re-aggregate partials (the reference's outer SUM /
     -Merge pattern), then finalize derived metrics."""
-    df = _read_partials(spark, mv_path).groupBy(*spec.keys).agg(*_reagg_exprs(spec))
+    df = _read_partials(spark, mv_path, spec).groupBy(*spec.keys).agg(*_reagg_exprs(spec))
     for name, expr in spec.finals.items():
         df = df.withColumn(name, expr)
     drop = [c for c in df.columns if c.endswith("_hll")]

@@ -336,3 +336,57 @@ def test_maybe_compact_threshold(spark, tmp_path):
     assert sum(1 for d in (tmp_path / "mv").glob("b=*")) == 1
     after = mv.read_final(spark, path, spec).agg(F.sum("total_events")).collect()[0][0]
     assert after == before == 300
+
+
+def test_compactor_folds_during_live_stream(spark, tmp_path):
+    """Background Compactor runs against an MV whose maintenance
+    stream is LIVE: only committed batches fold (the commit gate), the
+    stream keeps appending afterwards, and totals never double-count."""
+    from clickhouse_realtime_analytics_demo_spark.streaming.ingest import IngestLoop
+
+    d = str(tmp_path)
+    spec = mv.mv_specs()["daily_user_activity"]
+    loop = IngestLoop(spark, d, events_per_tick=40, orders_per_tick=0,
+                      tick_seconds=0.2)
+    q = mv.start_incremental(
+        spark, f"{d}/events/yyyymm=*", f"{d}/mv", spec, f"{d}/ckpt",
+        max_files_per_trigger=8,
+    )
+    comp = mv.Compactor(
+        spark, [(f"{d}/mv", spec, f"{d}/ckpt")], interval_s=0.5, max_parts=3
+    ).start()
+
+    def total():
+        try:
+            return (
+                mv.read_final(spark, f"{d}/mv", spec)
+                .agg(F.sum("total_events")).collect()[0][0] or 0
+            )
+        except Exception:
+            return 0
+
+    deadline = time.time() + 90
+    loop.start(seconds=600.0)
+    try:
+        # enough ticks that several compactions can trigger at max_parts=3
+        while loop.stats.ticks < 20 and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        loop.stop()
+    try:
+        written = loop.stats.events_rows
+        while total() < written and time.time() < deadline:
+            time.sleep(0.3)
+        assert q.exception() is None, q.exception()
+        assert total() == written  # no double counts through any fold
+    finally:
+        q.stop()
+        comp.stop()
+    assert comp.stats.get("daily_user_activity", 0) >= 1, comp.stats
+    # folding actually bounded the table: live parts stay near max_parts
+    import pathlib
+    parts = sum(1 for p in pathlib.Path(f"{d}/mv").glob("b=*"))
+    assert parts < 20, parts
+    # and the final read still matches after one last quiesced fold
+    mv.compact(spark, f"{d}/mv", spec, checkpoint_dir=f"{d}/ckpt")
+    assert total() == written
