@@ -1,0 +1,180 @@
+"""Distributed connected components → near-duplicate CLUSTER resolution.
+
+Pair-producing dedup operators (``dedup.minhash_dedup_pairs``,
+``similarity.embedding_near_dup_pairs``) answer "which docs are
+near-duplicates of each other"; a training-data pipeline must then
+answer "which docs do I KEEP" — and that requires resolving the pair
+graph into connected components (near-dup similarity is not
+transitive, but keep-one-per-component is the standard conservative
+policy: Lee et al., "Deduplicating Training Data Makes Language Models
+Better", arXiv:2107.06499 uses exactly this union on the MinHash match
+graph).
+
+Algorithm: alternating Large-Star / Small-Star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+ACM SoCC 2014) — each round is two shuffle stages over the EDGE set,
+and the edge count never grows above the input edge count, so the
+cost profile is O(rounds × one-edge-shuffle). Rounds needed:
+O(log² n) worst case, in practice 3–5 for near-dup graphs (clusters
+are near-cliques with tiny diameter). This is the MapReduce-native
+formulation: no vertex-centric message passing, no driver-side state,
+just groupBy/join over (src, dst) rows — ideal for DataFrame
+execution.
+
+Why not label propagation (iterate "node ← min(neighbors)")? Its
+round count is O(graph diameter) — a pathological chain of D
+near-dups needs D rounds of full-edge shuffles; star contraction
+needs O(log D). The chain case is real (document revision histories).
+
+Scale notes (100 TB): each iteration calls ``localCheckpoint`` to
+truncate lineage — without it the plan doubles per round and Catalyst
+re-analysis dominates by round ~8 (and fault recovery replays the
+whole chain). On a real cluster prefer ``spark.sparkContext
+.setCheckpointDir`` + ``.checkpoint()`` for fault-tolerant truncation;
+localCheckpoint trades re-computability for speed, the right default
+on a long-lived job with executor-loss retry disabled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Star-contraction converges in O(log² n) rounds; 50 rounds covers
+# n ≫ any real corpus. Hitting the cap means non-convergence (a bug),
+# so it raises rather than returning a partial clustering.
+_MAX_ROUNDS = 50
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (lo, hi) with lo < hi, distinct.
+
+    NULL endpoints are dropped (a NULL id cannot join to its
+    neighborhood — keeping it would silently fragment clusters, the
+    same policy as ``operators.sampling``: exclude NULL keys loudly in
+    the contract rather than mislabel them).
+    """
+    lo, hi = F.least("src", "dst"), F.greatest("src", "dst")
+    return (
+        edges.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .select(lo.alias("src"), hi.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Attach every neighbor LARGER than u to u's min neighborhood id.
+
+    Large-Star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u),
+    v > u. One symmetrize + one groupBy shuffle + one join (the join
+    key equals the groupBy key, so the exchange is reused).
+    """
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    m = F.least(F.col("mn"), F.col("src"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), m.alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Attach every neighbor ≤ u (and u itself) to the min of them.
+
+    Operates on the (hi → lo) orientation: for node u with smaller
+    neighbors N(u), m = min(N(u)); emit (v, m) for v ∈ N(u) \\ {m}
+    plus (u, m).
+    """
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
+    attach_nbrs = (
+        oriented.join(mins, "src")
+        .filter(F.col("dst") != F.col("mn"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+    attach_self = mins.select("src", F.col("mn").alias("dst"))
+    return attach_nbrs.union(attach_self).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    """(count, order/orientation-independent content hash) of an edge set."""
+    # bit_xor, not sum: order-independent like sum but cannot overflow
+    # under ANSI arithmetic (the edge set is distinct, so xor never
+    # self-cancels a duplicate).
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.bit_xor(
+                F.xxhash64(
+                    F.least("src", "dst").cast("string"),
+                    F.greatest("src", "dst").cast("string"),
+                )
+            ),
+            F.lit(0),
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = _MAX_ROUNDS,
+) -> DataFrame:
+    """Resolve an undirected pair graph into components.
+
+    Returns ``(id, component)`` for every node that appears in at
+    least one edge, where ``component`` is the MINIMUM id in the
+    node's connected component (so representatives map to themselves).
+    Nodes with no edges are absent — callers that need total coverage
+    left-join and ``coalesce(component, id)``.
+
+    Ids may be any orderable Spark type (long, string, …); the min-id
+    representative is deterministic across runs and cluster layouts.
+    """
+    edges = _canon(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    prev = _checksum(edges)
+    if prev[0] == 0:
+        return edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+    # Fixed point of both stars = per-component star centered at the
+    # min id: every remaining edge is (node, component-min).
+    members = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    reps = edges.select(F.col("dst").alias("id"), F.col("dst").alias("component")).distinct()
+    return members.union(reps)
+
+
+def keep_one_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Drop all but the min-id representative of every near-dup cluster.
+
+    The keep-one policy of arXiv:2107.06499 §4: resolve the match
+    graph into components, keep one member each. Returns ``docs``
+    minus non-representatives — schema unchanged, untouched docs
+    (no edges) always survive.
+
+    Scale: the non-representative set is ≪ |docs| (it IS the dedup
+    savings), so AQE broadcasts it into the anti-join — no shuffle of
+    the full corpus.
+    """
+    comp = connected_components(pairs, src, dst)
+    non_reps = comp.filter(F.col("id") != F.col("component")).select("id")
+    return docs.join(non_reps, docs[id_col] == non_reps["id"], "left_anti")

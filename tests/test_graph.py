@@ -1,0 +1,130 @@
+"""Connected components / cluster resolution (operators/graph.py).
+
+Correctness gate: Spark star-contraction output must equal a
+driver-side union-find on the same edge list — on adversarial
+topologies (long chains = worst case for label propagation, cliques =
+the near-dup shape, stars, isolated pairs) and on seeded random
+graphs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from clickhouse_realtime_analytics_demo_spark.operators.graph import (
+    connected_components,
+    keep_one_per_cluster,
+)
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+
+def _spark_cc(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+def _assert_matches(spark, edges):
+    nodes = sorted({n for e in edges for n in e})
+    expected = _union_find(nodes, edges)
+    assert _spark_cc(spark, edges) == expected
+
+
+def test_chain_worst_case(spark):
+    # A 64-node path: diameter 63 — label propagation would need 63
+    # rounds; star contraction must still converge inside the cap.
+    _assert_matches(spark, [(i, i + 1) for i in range(63)])
+
+
+def test_two_cliques_and_isolated_pair(spark):
+    clique1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    _assert_matches(spark, clique1 + clique2 + [(100, 101)])
+
+
+def test_star_and_reversed_edges(spark):
+    # Hub-and-spoke with edges given in both orientations + duplicates.
+    edges = [(50, i) for i in range(5)] + [(i, 50) for i in range(5)]
+    _assert_matches(spark, edges)
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(20260814)
+    for _ in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(90)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        _assert_matches(spark, edges)
+
+
+def test_string_ids(spark):
+    edges = [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("zz", "yy")]
+    got = _spark_cc(spark, edges)
+    assert got == {
+        "doc-a": "doc-a",
+        "doc-b": "doc-a",
+        "doc-c": "doc-a",
+        "yy": "yy",
+        "zz": "yy",
+    }
+
+
+def test_null_and_self_edges_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (5, 5)],
+        "id_a int, id_b int",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    # NULL-endpoint and self edges contribute nothing; 3/4/5 have no
+    # (valid) edges so they are absent by contract.
+    assert got == {1: 1, 2: 1}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).collect() == []
+
+
+def test_keep_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    # Clusters {0,1,2} (a chain) and {7,8}; 3,4,5,6,9 untouched.
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (7, 8)], ["id_a", "id_b"])
+    kept = keep_one_per_cluster(docs, pairs)
+    assert [c.name for c in kept.schema] == ["doc_id", "text"]
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 3, 4, 5, 6, 7, 9]
+
+
+def test_representative_is_component_min_not_layout_dependent(spark):
+    # Same edge set, shuffled input order and higher parallelism —
+    # assignments must be identical (deterministic min-id contract).
+    edges = [(i, i + 1) for i in range(20)] + [(30, 40), (40, 31)]
+    base = _spark_cc(spark, edges)
+    shuffled = list(reversed(edges))
+    df = spark.createDataFrame(shuffled, ["id_a", "id_b"]).repartition(16)
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == base
+    assert all(comp <= node for node, comp in got.items())

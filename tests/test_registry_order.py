@@ -44,18 +44,25 @@ def test_all_queries_registered_and_ordered():
 
 def test_driver_record_window_is_exactly_full():
     """Guard (VERDICT r4 #4): the driver records only the first 50
-    registered queries. With exactly 50 oracle-checked queries, every
-    recorded row carries a full rows+schema+hash verdict and nothing
-    green is silently evicted. Registering oracle query #51 would
-    push an existing oracle query OFF the record — if you add one,
-    decide which query gives up its slot and update this count
-    deliberately instead of letting registration order decide."""
-    oracles = entry.oracle_sql()
-    assert len(oracles) == DRIVER_RECORD_SLOTS, (
-        f"{len(oracles)} oracle queries != {DRIVER_RECORD_SLOTS} driver slots; "
-        "the driver record window no longer matches the slot plan — "
-        "re-plan which queries are on-record (see module docstring)"
+    registered queries, and those 50 slots are LOCKED to the round-5
+    record (all-oracle, all-green) — a new oracle query must register
+    past the window (queries/graphops.py does this deliberately; it
+    is gated by the local DuckDB comparison instead), never displace
+    a recorded one. Compares against CORRECTNESS_r05.json, the last
+    driver record of the locked plan."""
+    import json
+    from pathlib import Path
+
+    locked = list(
+        json.loads((Path(__file__).parent.parent / "CORRECTNESS_r05.json").read_text())
     )
+    qs = list(entry.queries())
+    oracles = entry.oracle_sql()
+    assert qs[:DRIVER_RECORD_SLOTS] == locked
+    # Every recorded slot still carries a full rows+schema+hash verdict.
+    assert all(name in oracles for name in qs[:DRIVER_RECORD_SLOTS])
+    # Oracle queries past the window are allowed, but only PAST it.
+    assert len(oracles) >= DRIVER_RECORD_SLOTS
 
 
 def test_oracle_and_query_keys_consistent():
