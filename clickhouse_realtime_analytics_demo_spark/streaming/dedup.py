@@ -1,0 +1,156 @@
+"""Streaming corpus dedup: admit only never-seen-before documents.
+
+The ingest-time shape of exact dedup (``operators.dedup.exact_dedup``
+is the batch shape): documents stream in; a doc is ACCEPTED iff its
+normalized-text fingerprint has never been accepted before — within
+the same micro-batch, across micro-batches, and against everything
+already in the accepted corpus. This is how a training-data pipeline
+keeps its corpus duplicate-free continuously instead of re-running a
+full-corpus dedup job after every delivery.
+
+Design (per micro-batch, foreachBatch):
+
+1. fingerprint + in-batch dedup — deterministic first-wins
+   (min id per fingerprint), not ``dropDuplicates``'s
+   arbitrary-row-wins.
+2. anti-join against the ACCEPTED corpus — with the join inverted
+   into an IN-pushdown: the batch's fingerprints (bounded by the
+   trigger size) are collected and pushed as a filter INTO the
+   parquet scan of the accepted corpus' fingerprint column. Per-batch
+   cost is O(|batch| + matching row groups), not O(|corpus|): parquet
+   column pruning reads ONE column, and min/max + dictionary stats
+   prune row groups that contain no batch fingerprint. A plain
+   anti-join would shuffle the full corpus fingerprint set every
+   micro-batch — the non-scalable shape. Batches larger than
+   ``max_pushdown_fingerprints`` fall back to that full anti-join
+   (correct, just not the fast path) rather than building a giant
+   IN-list on the driver.
+3. idempotent append — accepted rows land in a batch-id-keyed
+   subdirectory (``b=<batch_id>``, overwrite), the same sink contract
+   as ``streaming.mv``: a crash between data write and checkpoint
+   commit re-delivers the batch, which rewrites the SAME directory
+   with the SAME content. Step 2 excludes the current batch's own
+   directory from the reference scan, so a replayed batch does not
+   anti-join against its own half-written output (which would
+   silently drop every row of the batch).
+
+Exactly-once: file-source checkpoint (processed input files) +
+idempotent batch-keyed sink, same proof obligations as
+``streaming/mv.py`` (replay test in tests/test_streaming_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+from pyspark.sql.window import Window
+
+from clickhouse_realtime_analytics_demo_spark.operators.text import fingerprint
+
+# IN-pushdown cap: 100k hex fingerprints ≈ 3 MB of literals — well
+# inside driver/plan limits; a trigger delivering more rows than this
+# takes the full anti-join path instead.
+MAX_PUSHDOWN_FINGERPRINTS = 100_000
+
+
+def _in_batch_first_wins(batch: DataFrame, id_col: str) -> DataFrame:
+    """One row per fingerprint: the min-id row (deterministic across
+    partitionings, unlike dropDuplicates)."""
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _accepted_dirs(out_dir: str, exclude_batch_id: int) -> list[str]:
+    root = Path(out_dir)
+    if not root.exists():
+        return []
+    return [
+        str(d)
+        for d in sorted(root.glob("b=*"))
+        if d.is_dir() and d.name != f"b={exclude_batch_id}"
+    ]
+
+
+def dedup_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_pushdown_fingerprints: int = MAX_PUSHDOWN_FINGERPRINTS,
+) -> None:
+    """foreachBatch body: fingerprint → first-wins → anti-join vs
+    accepted → idempotent write of b=<batch_id>."""
+    fp = batch.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    fresh = _in_batch_first_wins(fp, id_col)
+    dirs = _accepted_dirs(out_dir, batch_id)
+    if dirs:
+        accepted = spark.read.parquet(*dirs).select("fingerprint")
+        # Count BEFORE collecting: an unbounded-backlog trigger must
+        # not pull 10M fingerprints onto the driver just to discover
+        # it should have taken the join path.
+        if fresh.count() <= max_pushdown_fingerprints:
+            batch_fps = [r["fingerprint"] for r in fresh.select("fingerprint").collect()]
+            # Fast path: scan only rows whose fingerprint could match
+            # the batch (isin pushes to the parquet scan; row groups
+            # without any batch fingerprint are skipped via stats).
+            # The surviving match set is ≤ |batch| → broadcast anti.
+            matches = accepted.filter(F.col("fingerprint").isin(batch_fps)).distinct()
+            fresh = fresh.join(F.broadcast(matches), "fingerprint", "left_anti")
+        else:
+            fresh = fresh.join(accepted, "fingerprint", "left_anti")
+    # One part per batch: accepted-per-trigger is small; a compactor
+    # (streaming.mv.Compactor pattern) folds b=* dirs when they pile up.
+    (
+        fresh.coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/b={batch_id}")
+    )
+
+
+def start_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_seconds: float = 1,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = False,
+):
+    """Launch the dedup-at-ingest stream over a document drop
+    directory. Returns the StreamingQuery handle."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        dedup_batch(spark, batch, out_dir, batch_id, id_col, text_col)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def read_accepted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All accepted (duplicate-free) documents."""
+    dirs = [str(d) for d in sorted(Path(out_dir).glob("b=*")) if d.is_dir()]
+    if not dirs:
+        raise FileNotFoundError(f"no accepted batches under {out_dir}")
+    return spark.read.option("mergeSchema", "false").parquet(*dirs)

@@ -1,0 +1,130 @@
+"""Dedup-at-ingest stream (streaming/dedup.py).
+
+Gates: (1) accepted set == batch exact-dedup of everything delivered,
+first-occurrence wins; (2) duplicates are dropped within a batch,
+across batches, and against prior accepted corpus; (3) the sink is
+idempotent under crash-replay of an uncommitted batch; (4) the
+IN-pushdown fast path and the full anti-join fallback agree.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from clickhouse_realtime_analytics_demo_spark.streaming import dedup as sdedup
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _write_drop(spark, src, rows):
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+
+def _run_available(spark, src, out, ckpt):
+    q = sdedup.start_dedup_ingest(
+        spark, src, out, ckpt, DOC_SCHEMA, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+
+def _accepted_ids(spark, out):
+    return sorted(
+        r["doc_id"] for r in sdedup.read_accepted(spark, out).select("doc_id").collect()
+    )
+
+
+def test_dedup_within_and_across_batches(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    # file 1: in-batch dup (1 vs 2, same text modulo whitespace/case)
+    _write_drop(
+        spark,
+        src,
+        [(1, "Alpha  beta"), (2, "alpha beta"), (3, "unique one")],
+    )
+    # file 2: cross-batch dup of doc 1 + a fresh doc
+    _write_drop(spark, src, [(10, "ALPHA BETA"), (11, "fresh two")])
+    # file 3: dup of doc 11 and dup of doc 3
+    _write_drop(spark, src, [(20, "fresh two"), (21, "Unique One "), (22, "last")])
+    _run_available(spark, src, out, ckpt)
+
+    # First occurrence by min doc_id wins; every later copy dropped.
+    assert _accepted_ids(spark, out) == [1, 3, 11, 22]
+
+    # Invariant: accepted == batch exact-dedup of the full delivery.
+    all_docs = spark.read.parquet(src)
+    from clickhouse_realtime_analytics_demo_spark.operators.dedup import exact_dedup
+
+    want = sorted(r["keep_id"] for r in exact_dedup(all_docs).collect())
+    assert _accepted_ids(spark, out) == want
+    # Accepted corpus carries no duplicate fingerprints.
+    fps = sdedup.read_accepted(spark, out).groupBy("fingerprint").count()
+    assert fps.filter(F.col("count") > 1).count() == 0
+
+
+def test_restart_continues_against_prior_corpus(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write_drop(spark, src, [(1, "seen before"), (2, "kept early")])
+    _run_available(spark, src, out, ckpt)
+    assert _accepted_ids(spark, out) == [1, 2]
+
+    # New delivery after the stream stopped: dup of doc 1 + fresh.
+    _write_drop(spark, src, [(30, "SEEN   before"), (31, "brand new")])
+    _run_available(spark, src, out, ckpt)  # same checkpoint → resumes
+    assert _accepted_ids(spark, out) == [1, 2, 31]
+
+
+def test_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash between the b=N data write and its checkpoint commit:
+    restart re-delivers batch N; the rewrite must (a) not duplicate
+    rows and (b) not anti-join the batch against its own half-written
+    output (which would drop the whole batch)."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write_drop(spark, src, [(1, "one"), (2, "two")])
+    _run_available(spark, src, out, ckpt)
+    before = _accepted_ids(spark, out)
+    assert before == [1, 2]
+
+    _write_drop(spark, src, [(3, "one"), (4, "three")])
+    _run_available(spark, src, out, ckpt)
+    assert _accepted_ids(spark, out) == [1, 2, 4]
+
+    # Simulate the crash: delete the LAST commit record; the data dir
+    # for that batch stays. Restart re-delivers the same batch id with
+    # the same files.
+    commits = sorted(
+        (p for p in (Path(ckpt) / "commits").iterdir() if p.name.isdigit()),
+        key=lambda p: int(p.name),
+    )
+    commits[-1].unlink()
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():  # local-FS checksum shadow of the commit record
+        crc.unlink()
+    _run_available(spark, src, out, ckpt)
+    assert _accepted_ids(spark, out) == [1, 2, 4]
+
+
+def test_pushdown_and_join_paths_agree(spark, tmp_path):
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    seed = spark.createDataFrame(
+        [(i, f"text number {i % 7}") for i in range(40)], DOC_SCHEMA
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"text number {i % 11}") for i in range(30)], DOC_SCHEMA
+    )
+    for out, cap in ((out1, sdedup.MAX_PUSHDOWN_FINGERPRINTS), (out2, 0)):
+        sdedup.dedup_batch(spark, seed, out, batch_id=0)
+        sdedup.dedup_batch(spark, batch, out, batch_id=1, max_pushdown_fingerprints=cap)
+    a1 = _accepted_ids(spark, out1)
+    a2 = _accepted_ids(spark, out2)
+    assert a1 == a2
+    # sanity: batch contributes only the genuinely new texts (7..10)
+    assert [i for i in a1 if i >= 100] == [107, 108, 109, 110]
