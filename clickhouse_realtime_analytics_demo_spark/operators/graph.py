@@ -126,6 +126,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = _MAX_ROUNDS,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve an undirected pair graph into components.
 
@@ -137,12 +138,18 @@ def connected_components(
 
     Ids may be any orderable Spark type (long, string, …); the min-id
     representative is deterministic across runs and cluster layouts.
+
+    ``stats`` (optional dict) receives ``{"rounds": N}`` — the number
+    of large+small star rounds run including the final no-change
+    confirmation round (probe/telemetry hook).
     """
     edges = _canon(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     prev = _checksum(edges)
     if prev[0] == 0:
+        if stats is not None:
+            stats["rounds"] = 0
         return edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
-    for _ in range(max_rounds):
+    for rounds in range(1, max_rounds + 1):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _checksum(edges)
         if cur == prev:
@@ -150,6 +157,8 @@ def connected_components(
         prev = cur
     else:
         raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
     # Fixed point of both stars = per-component star centered at the
     # min id: every remaining edge is (node, component-min).
     members = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))

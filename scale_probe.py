@@ -672,7 +672,109 @@ def write_skew_section(rows: list[dict]) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n")
 
 
+def cc_probe(spark, sizes=(120_000, 1_200_000, 4_800_000)) -> list[dict]:
+    """Connected components (operators/graph.py) vs edge volume.
+
+    Planted graphs with KNOWN component structure, generated entirely
+    executor-side (spark.range + expressions): `clusters` arms are
+    size-6 near-dup-like groups (chain-linked — the minimum edge set
+    that still forces transitive resolution); `+chain` arms add one
+    4096-node path, the diameter worst case that defeats label
+    propagation (4095 rounds) but costs star contraction only ~log
+    rounds. Every arm's output is ASSERTED against the known component
+    count and node total, so this is a correctness-at-scale gate too,
+    not just a timer.
+    """
+    from clickhouse_realtime_analytics_demo_spark.operators.graph import (
+        connected_components,
+    )
+
+    cluster_size, chain_len = 6, 4096
+    rows: list[dict] = []
+    for n in sizes:
+        intra = (
+            spark.range(n)
+            .filter((F.col("id") % cluster_size) != cluster_size - 1)
+            .filter(F.col("id") + 1 < n)
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        )
+        chain = (
+            spark.range(n, n + chain_len - 1)
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        )
+        for arm, edges, want_comps, want_nodes in (
+            ("clusters", intra, n // cluster_size, n),
+            (
+                "clusters+chain4096",
+                intra.union(chain),
+                n // cluster_size + 1,
+                n + chain_len,
+            ),
+        ):
+            edges = edges.localCheckpoint(eager=True)  # time CC, not range codegen
+            n_edges = edges.count()
+            best, stats = float("inf"), {}
+            for _ in range(2):
+                t0 = time.perf_counter()
+                got = connected_components(edges, stats=stats)
+                comps, nodes = got.agg(
+                    F.countDistinct("component"), F.count("*")
+                ).collect()[0]
+                best = min(best, time.perf_counter() - t0)
+            assert comps == want_comps, (arm, n, comps, want_comps)
+            assert nodes == want_nodes, (arm, n, nodes, want_nodes)
+            rows.append(
+                {
+                    "arm": arm,
+                    "edges": n_edges,
+                    "rounds": stats["rounds"],
+                    "s": round(best, 3),
+                    "components": comps,
+                }
+            )
+            print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def write_cc_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## Connected components"
+    if marker in text:
+        text = text[: text.index(marker)]
+    base = {r["arm"]: r["s"] for r in rows if r["edges"] <= rows[0]["edges"] * 1.5}
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py cc`: star-contraction connected components"
+        " (the cluster-resolution step behind keep-one-per-cluster"
+        " dedup) on planted graphs with known structure — size-6"
+        " chained clusters, plus an arm with a 4096-node path (the"
+        " diameter worst case: label propagation would need 4095"
+        " rounds; star contraction stays logarithmic). Output is"
+        " asserted against the known component count at every size,"
+        " so these timings are also a correctness-at-scale gate."
+        " Best-of-2; rounds = large+small star iterations including"
+        " the final no-change confirmation.",
+        "",
+        "| arm | edges | rounds | wall (s) | ratio |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        ratio = round(r["s"] / base[r["arm"]], 1) if base.get(r["arm"]) else "-"
+        lines.append(
+            f"| {r['arm']} | {r['edges']:,} | {r['rounds']} | {r['s']} | {ratio}x |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "cc":
+        spark = get_spark(app_name="scale_probe_cc")
+        rows = cc_probe(spark)
+        write_cc_section(rows)
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         spark = get_spark(app_name="scale_probe_skew")
         rows = skew_probe(spark)
