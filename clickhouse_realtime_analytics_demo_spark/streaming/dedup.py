@@ -49,6 +49,7 @@ from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
 from clickhouse_realtime_analytics_demo_spark.operators.text import fingerprint
+from clickhouse_realtime_analytics_demo_spark.streaming import parts as parts_store
 
 # IN-pushdown cap: 100k hex fingerprints ≈ 3 MB of literals — well
 # inside driver/plan limits; a trigger delivering more rows than this
@@ -68,13 +69,14 @@ def _in_batch_first_wins(batch: DataFrame, id_col: str) -> DataFrame:
 
 
 def _accepted_dirs(out_dir: str, exclude_batch_id: int) -> list[str]:
-    root = Path(out_dir)
-    if not root.exists():
+    if not Path(out_dir).exists():
         return []
+    # Manifest-aware: after a compaction, the merged part (negative
+    # batch id) stands in for the parts it replaced.
     return [
         str(d)
-        for d in sorted(root.glob("b=*"))
-        if d.is_dir() and d.name != f"b={exclude_batch_id}"
+        for d in parts_store.live_part_dirs(out_dir)
+        if d.name != f"b={exclude_batch_id}"
     ]
 
 
@@ -127,9 +129,14 @@ def start_dedup_ingest(
     trigger_seconds: float = 1,
     max_files_per_trigger: int | None = None,
     available_now: bool = False,
+    compact_max_parts: int | None = 128,
 ):
     """Launch the dedup-at-ingest stream over a document drop
-    directory. Returns the StreamingQuery handle."""
+    directory. Returns the StreamingQuery handle.
+
+    ``compact_max_parts``: fold the accepted store once its part count
+    passes this threshold (in the sink thread, commit-gated — see
+    :func:`compact_accepted`); None disables."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -137,6 +144,10 @@ def start_dedup_ingest(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         dedup_batch(spark, batch, out_dir, batch_id, id_col, text_col)
+        if compact_max_parts is not None:
+            maybe_compact_accepted(
+                spark, out_dir, checkpoint_dir, max_parts=compact_max_parts
+            )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
@@ -149,8 +160,53 @@ def start_dedup_ingest(
 
 
 def read_accepted(spark: SparkSession, out_dir: str) -> DataFrame:
-    """All accepted (duplicate-free) documents."""
-    dirs = [str(d) for d in sorted(Path(out_dir).glob("b=*")) if d.is_dir()]
+    """All accepted (duplicate-free) documents (manifest-aware: atomic
+    vs a concurrent compaction, same contract as MV reads)."""
+    dirs = [str(d) for d in parts_store.live_part_dirs(out_dir)]
     if not dirs:
         raise FileNotFoundError(f"no accepted batches under {out_dir}")
     return spark.read.option("mergeSchema", "false").parquet(*dirs)
+
+
+def compact_accepted(
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> bool:
+    """Fold the accepted store's committed ``b=*`` parts into one.
+
+    Appends never list existing parts, so compaction exists purely for
+    READERS — including the per-batch reference scan itself, whose
+    file-listing cost grows with part count (same physics as
+    ``mv.compact``'s measured cadence, SCALEPROBE.md "MV maintenance
+    vs part count"). The fold is pure concatenation (rows are already
+    unique by construction); all crash-safety and the commit gate come
+    from :func:`parts.compact_parts`. Call it from the ingest loop's
+    own cadence (e.g. :func:`maybe_compact_accepted` after each
+    batch): inside the sink thread the gate excludes exactly the
+    in-flight batch, and there is no reader/compactor concurrency to
+    reason about.
+    """
+    return parts_store.compact_parts(
+        out_dir,
+        read_parts=lambda ps: spark.read.option("mergeSchema", "false").parquet(*ps),
+        fold=lambda df: df,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
+def maybe_compact_accepted(
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    max_parts: int = 128,
+) -> bool:
+    """Compact only past the measured part-count threshold (the MV
+    cadence policy applied to the accepted store); the no-op path is
+    one directory listing."""
+    root = Path(out_dir)
+    if not root.exists():
+        return False
+    if sum(1 for d in root.glob("b=*") if d.is_dir()) <= max_parts:
+        return False
+    return compact_accepted(spark, out_dir, checkpoint_dir=checkpoint_dir)

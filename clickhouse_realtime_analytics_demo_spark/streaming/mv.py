@@ -37,8 +37,6 @@ This is the parquet analog of a Delta MERGE keyed on batch_id.
 
 from __future__ import annotations
 
-import json
-import shutil
 import threading
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -47,6 +45,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_realtime_analytics_demo_spark.sources import schemas
+from clickhouse_realtime_analytics_demo_spark.streaming import parts as parts_store
 
 
 @dataclass(frozen=True)
@@ -269,69 +268,19 @@ def _read_partials(spark: SparkSession, mv_path: str, spec: MVSpec) -> DataFrame
     algebra rides on a table format with snapshot isolation
     (Delta/Iceberg) instead of directory listings.
     """
-    live = Path(mv_path)
-    parts = sorted(d for d in live.glob("b=*") if d.is_dir())
-    doomed: set[str] = set()
-    for d in parts:
-        manifest = d / "_MANIFEST"
-        if manifest.exists():
-            try:
-                _, names = json.loads(manifest.read_text())
-                doomed.update(names)
-            except (OSError, ValueError):
-                continue  # manifest deleted/incomplete mid-read: its
-                # deletes finished (or never published) — nothing to exclude
-    included = [str(d) for d in parts if d.name not in doomed]
+    included = [str(d) for d in parts_store.live_part_dirs(mv_path)]
     schema = _mv_schema(spark, spec)
     if not included:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*included)
 
 
-def _recover_compaction(live: Path) -> None:
-    """Replay or roll back an interrupted compact() (crash-safety):
-
-    - a hidden merge dir with ``_SUCCESS`` + ``_MANIFEST`` is complete
-      — finish its publish/delete steps;
-    - a published part still carrying ``_MANIFEST`` means the snapshot
-      deletion was cut short — finish it;
-    - a hidden merge dir without both markers is incomplete — discard
-      it (its source parts are untouched).
-    """
-    for d in sorted(live.glob(".compact-*")):
-        manifest = d / "_MANIFEST"
-        if (d / "_SUCCESS").exists() and manifest.exists():
-            publish_as, doomed = json.loads(manifest.read_text())
-            target = live / publish_as
-            if not target.exists():
-                d.rename(target)
-                _finish_deletes(live, target, doomed)
-            else:  # published by a concurrent/previous run
-                shutil.rmtree(d)
-        else:
-            shutil.rmtree(d)
-    for target in sorted(live.glob("b=*")):
-        manifest = target / "_MANIFEST"
-        if manifest.exists():
-            _, doomed = json.loads(manifest.read_text())
-            _finish_deletes(live, target, doomed)
-
-
-def _finish_deletes(live: Path, published: Path, doomed: list[str]) -> None:
-    for name in doomed:
-        victim = live / name
-        if victim.exists():
-            shutil.rmtree(victim)
-    (published / "_MANIFEST").unlink(missing_ok=True)
-
-
-def _last_committed_batch(checkpoint_dir: str) -> int:
-    """Highest batch id with a commit record in the stream checkpoint's
-    ``commits/`` log — the ids Structured Streaming will never replay.
-    Returns -1 when nothing has committed yet."""
-    commits = Path(checkpoint_dir) / "commits"
-    ids = [int(p.name) for p in commits.glob("*") if p.name.isdigit()]
-    return max(ids, default=-1)
+# Part-store mechanics (manifest recovery, commit gate) moved to
+# streaming/parts.py — shared with the dedup-at-ingest accepted store.
+# Kept as module attributes so tests can monkeypatch the delete step.
+_recover_compaction = parts_store.recover_compaction
+_finish_deletes = parts_store.finish_deletes
+_last_committed_batch = parts_store.last_committed_batch
 
 
 def compact(
@@ -385,35 +334,18 @@ def compact(
     which compaction hurts ingest (appends don't see parts), so the
     threshold trades only reader latency against fold frequency.
     """
-    live = Path(mv_path)
-    _recover_compaction(live)
-    snapshot = sorted(d for d in live.glob("b=*") if d.is_dir())
-    if checkpoint_dir is not None:
-        last = _last_committed_batch(checkpoint_dir)
-        snapshot = [
-            d for d in snapshot if int(d.name.split("=")[1]) <= last
-        ]  # negative (already-merged) ids pass this gate by construction
-    if len(snapshot) < 2:
-        return
-    ids = [int(d.name.split("=")[1]) for d in snapshot]
-    merged_id = min(min(ids), 0) - 1
-    merged = _canonicalize(
+    schema = _mv_schema(spark, spec)
+    parts_store.compact_parts(
+        mv_path,
         # explicit schema: no footer-inference job over the snapshot
-        spark.read.schema(_mv_schema(spark, spec))
-        .parquet(*[str(d) for d in snapshot])
-        .groupBy(*spec.keys)
-        .agg(*_reagg_exprs(spec)),
-        spark,
-        spec,
+        read_parts=lambda ps: spark.read.schema(schema).parquet(*ps),
+        fold=lambda df: _canonicalize(
+            df.groupBy(*spec.keys).agg(*_reagg_exprs(spec)), spark, spec
+        ),
+        checkpoint_dir=checkpoint_dir,
+        # tests monkeypatch mv._finish_deletes to simulate crashes
+        finish=lambda *a: _finish_deletes(*a),
     )
-    hidden = live / f".compact-{abs(merged_id)}"
-    merged.write.mode("overwrite").parquet(str(hidden))
-    (hidden / "_MANIFEST").write_text(
-        json.dumps([f"b={merged_id}", [d.name for d in snapshot]])
-    )
-    target = live / f"b={merged_id}"
-    hidden.rename(target)
-    _finish_deletes(live, target, [d.name for d in snapshot])
 
 
 def maybe_compact(

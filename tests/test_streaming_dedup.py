@@ -128,3 +128,55 @@ def test_pushdown_and_join_paths_agree(spark, tmp_path):
     assert a1 == a2
     # sanity: batch contributes only the genuinely new texts (7..10)
     assert [i for i in a1 if i >= 100] == [107, 108, 109, 110]
+
+
+def test_compact_accepted_preserves_set_and_reference_scan(spark, tmp_path):
+    out = str(tmp_path / "out")
+    sdedup.dedup_batch(spark, spark.createDataFrame([(1, "a"), (2, "b")], DOC_SCHEMA), out, 0)
+    sdedup.dedup_batch(spark, spark.createDataFrame([(3, "c"), (4, "a")], DOC_SCHEMA), out, 1)
+    sdedup.dedup_batch(spark, spark.createDataFrame([(5, "d")], DOC_SCHEMA), out, 2)
+    before = _accepted_ids(spark, out)
+    assert before == [1, 2, 3, 5]
+
+    assert sdedup.compact_accepted(spark, out)
+    # one merged part replaces the three batch parts
+    parts = sorted(p.name for p in Path(out).glob("b=*") if p.is_dir())
+    assert parts == ["b=-1"]
+    assert _accepted_ids(spark, out) == before
+
+    # the reference scan still rejects dups of pre-compaction docs
+    sdedup.dedup_batch(spark, spark.createDataFrame([(9, "A"), (10, "e")], DOC_SCHEMA), out, 3)
+    assert _accepted_ids(spark, out) == [1, 2, 3, 5, 10]
+
+
+def test_compact_accepted_commit_gate(spark, tmp_path):
+    """An uncommitted (replayable) batch must survive the fold."""
+    out, ckpt = str(tmp_path / "out"), tmp_path / "ckpt"
+    commits = ckpt / "commits"
+    commits.mkdir(parents=True)
+    for b, rows in enumerate(([(1, "a")], [(2, "b")], [(3, "c")])):
+        sdedup.dedup_batch(spark, spark.createDataFrame(rows, DOC_SCHEMA), out, b)
+    for b in (0, 1):  # batch 2: data landed, commit did not
+        (commits / str(b)).write_text("{}")
+
+    sdedup.compact_accepted(spark, out, checkpoint_dir=str(ckpt))
+    parts = sorted(p.name for p in Path(out).glob("b=*") if p.is_dir())
+    assert parts == ["b=-1", "b=2"]
+    assert _accepted_ids(spark, out) == [1, 2, 3]
+
+
+def test_stream_with_auto_compaction(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    texts = [(i, f"t{i % 5}") for i in range(8)]
+    for i, row in enumerate(texts):
+        _write_drop(spark, src, [row])
+    q = sdedup.start_dedup_ingest(
+        spark, src, out, ckpt, DOC_SCHEMA,
+        available_now=True, max_files_per_trigger=1, compact_max_parts=2,
+    )
+    q.awaitTermination(180)
+    q.stop()
+    assert _accepted_ids(spark, out) == [0, 1, 2, 3, 4]
+    # compaction kept the live part count at/below threshold + in-flight
+    n_parts = sum(1 for p in Path(out).glob("b=*") if p.is_dir())
+    assert n_parts <= 4
