@@ -366,7 +366,17 @@ def ngram_jaccard_pairs(
     sh = char_ngram_sets(docs, text_col, id_col, n, keep=keep)
     if block_col:
         sh = sh.withColumnRenamed(block_col, "block")
-    a = sh.alias("a")
+    # Spread the PROBE side explicitly: per-pair array-intersect cost
+    # is ~1000x a normal row, but the bytes are tiny, so (a) the
+    # parquet scan arrives as one split and (b) AQE's byte-based
+    # coalescing squeezes any ENSURE_REQUIREMENTS exchange back to one
+    # partition — measured 5000 docs = 122k pair evals in a SINGLE
+    # task (79 s) vs 32 tasks (4 s). An explicit numPartitions
+    # repartition is user-specified, which AQE never coalesces, and a
+    # broadcast of the build side preserves it through the join.
+    spark = docs.sparkSession
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 16)
+    a = sh.repartition(n_parts, "id").alias("a")
     b = sh.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:

@@ -143,7 +143,15 @@ def connected_components(
     of large+small star rounds run including the final no-change
     confirmation round (probe/telemetry hook).
     """
-    edges = _canon(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    # Checkpoint the canonical edge set ONCE at entry: the checksum,
+    # the symmetrize-union (which references edges twice), and round 1
+    # would otherwise each re-evaluate the caller's pair pipeline —
+    # for near-dup inputs that is the expensive Jaccard/LSH verify
+    # join, measured 3 redundant executions before the first round's
+    # checkpoint cut lineage.
+    edges = _canon(
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint(eager=True)
     prev = _checksum(edges)
     if prev[0] == 0:
         if stats is not None:

@@ -17,8 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_realtime_analytics_demo_spark.catalog import table
-from clickhouse_realtime_analytics_demo_spark.operators import dedup, graph
+from clickhouse_realtime_analytics_demo_spark.operators import dedup, graph, sampling, text
 from clickhouse_realtime_analytics_demo_spark.queries.registry import register
+
+# DuckDB mirror of operators.text.quality_score (same closed form the
+# doc_quality oracle uses)
+_QUALITY_SQL = (
+    "0.5*LEAST(CAST(length(string_split_regex(trim(text),'\\s+')) AS DOUBLE)/50.0,1.0)"
+    " + 0.5*(CAST(length(regexp_replace(text,'[^A-Za-z0-9]','','g')) AS DOUBLE)"
+    "/GREATEST(CAST(n_chars AS DOUBLE),1.0))"
+)
 
 
 @register(
@@ -62,6 +70,95 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3, n=3, block_col="source")
     return graph.connected_components(pairs).orderBy("id")
+
+
+@register(
+    "corpus_prep_pipeline",
+    # The whole prep flow mirrored independently in DuckDB: quality
+    # filter → exact-Jaccard pairs blocked by (source, lang) →
+    # recursive-CTE components → keep-one → md5-hash sample → per-lang
+    # summary. Every stage is portable (closed-form quality, string
+    # n-grams, md5 membership), so the END-TO-END composition is
+    # value-checked, not just each operator alone.
+    oracle=f"""
+    WITH RECURSIVE filtered AS (
+        SELECT doc_id, lang, source, text, n_chars FROM documents
+        WHERE {_QUALITY_SQL} >= 0.55
+    ),
+    grams AS (
+        SELECT doc_id, source, lang,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) - 2, 1)),
+                   i -> substr(trim(regexp_replace(lower(text),'\\s+',' ','g')), CAST(i AS INTEGER), 3))) AS sh
+        FROM filtered
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM grams a JOIN grams b
+          ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(length(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+    survivors AS (
+        SELECT f.* FROM filtered f LEFT JOIN comp c ON f.doc_id = c.id
+        WHERE c.id IS NULL OR c.component = f.doc_id
+    ),
+    sampled AS (
+        SELECT * FROM survivors
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':cp'), 1, 15)
+                < '{sampling.fraction_threshold(0.8)}'
+    )
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(length(regexp_extract_all(text, '{text.BPE_PATTERN}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           MIN({_QUALITY_SQL}) AS min_quality
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep flow, end to end: quality
+    filter (C4/Gopher-style closed form ≥ 0.55) → near-dup clusters
+    (exact char-3-gram Jaccard ≥ 0.6, blocked by source+lang, resolved
+    by star contraction) → keep-one-per-cluster → deterministic 80%
+    hash sample → per-lang corpus stats.
+
+    Scale: the quality filter and the sample are narrow (no shuffle);
+    blocking bounds the verify join (at 100 TB the block is an LSH
+    bucket instead — ``minhash_dedup_pairs`` feeds the same
+    ``keep_one_per_cluster``); the summary is one final groupBy on a
+    bounded key. min_quality (not avg): MIN over doubles is
+    order-independent, so the oracle comparison stays bit-exact
+    without the decimal-sum detour.
+    """
+    docs = table(spark, sf_dir, "documents")
+    quality = text.quality_score(F.col("text"), F.col("n_chars"))
+    filtered = docs.filter(quality >= 0.55).select(
+        "doc_id", "lang", "source", "text", "n_chars"
+    )
+    blocked = filtered.withColumn("blk", F.concat_ws("|", "source", "lang"))
+    pairs = dedup.ngram_jaccard_pairs(blocked, threshold=0.6, n=3, block_col="blk")
+    kept = graph.keep_one_per_cluster(filtered, pairs)
+    sampled = sampling.sample_hash(kept, "doc_id", 0.8, seed="cp")
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(text.bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
+            F.min(text.quality_score(F.col("text"), F.col("n_chars"))).alias(
+                "min_quality"
+            ),
+        )
+        .orderBy("lang")
+    )
 
 
 @register("dedup_minhash_keep_one")  # rows-only: xxhash64 MinHash pairs
