@@ -268,7 +268,15 @@ def cosine_near_dup_pairs(
         sigs = (
             sigs.join(sizes, "sig").filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
         )
-    a = sigs.alias("a")
+    # Spread the probe side explicitly (same hazard as
+    # dedup.ngram_jaccard_pairs, measured there): per-pair vector math
+    # is expression-heavy but byte-light, so the scan's split count —
+    # not AQE — decides verify parallelism, and AQE's byte-based
+    # coalescing would squeeze any exchange back down. An explicit
+    # numPartitions repartition is never coalesced.
+    spark = embeddings.sparkSession
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 16)
+    a = sigs.repartition(n_parts, "id").alias("a")
     b = sigs.alias("b")
     return (
         a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
