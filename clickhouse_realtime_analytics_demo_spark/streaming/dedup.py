@@ -96,15 +96,25 @@ def dedup_batch(
     dirs = _accepted_dirs(out_dir, batch_id)
     if dirs:
         accepted = spark.read.parquet(*dirs).select("fingerprint")
-        # Count BEFORE collecting: an unbounded-backlog trigger must
-        # not pull 10M fingerprints onto the driver just to discover
-        # it should have taken the join path.
-        if fresh.count() <= max_pushdown_fingerprints:
-            batch_fps = [r["fingerprint"] for r in fresh.select("fingerprint").collect()]
-            # Fast path: scan only rows whose fingerprint could match
-            # the batch (isin pushes to the parquet scan; row groups
-            # without any batch fingerprint are skipped via stats).
-            # The surviving match set is ≤ |batch| → broadcast anti.
+        # One LIMIT-capped collect decides the path AND fetches the
+        # fingerprints (probed: a separate count() job cost more than
+        # the 500k-row anti-join it was optimizing — SCALEPROBE.md
+        # "Dedup-at-ingest"). The limit bounds driver memory: cap+1
+        # rows back means the batch is over the cap, take the join.
+        batch_fps = [
+            r["fingerprint"]
+            for r in fresh.select("fingerprint")
+            .limit(max_pushdown_fingerprints + 1)
+            .collect()
+        ]
+        if len(batch_fps) <= max_pushdown_fingerprints:
+            # No corpus shuffle: filter the corpus scan down to the
+            # batch's fingerprints (≤ |batch| survivors) → broadcast
+            # anti. Random fingerprints defeat row-group stats, so
+            # this still READS the corpus' fingerprint column — its
+            # win over the full anti-join is avoiding the corpus-wide
+            # exchange, which pays only past ~10^6 accepted rows on
+            # this box (probed); below that both paths are flat.
             matches = accepted.filter(F.col("fingerprint").isin(batch_fps)).distinct()
             fresh = fresh.join(F.broadcast(matches), "fingerprint", "left_anti")
         else:
