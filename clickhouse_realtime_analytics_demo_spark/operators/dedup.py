@@ -140,6 +140,31 @@ def minhash_signatures(
     )
 
 
+def band_hash_expr(band: int, rows_per_band: int) -> Column:
+    """Bucket hash of one LSH band over signature columns mh0..mhk-1.
+
+    Shared by batch candidate generation and the streaming accepted-
+    corpus index (streaming/dedup.py) — both must produce IDENTICAL
+    band hashes or cross-corpus candidates are silently missed.
+    """
+    return F.xxhash64(
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"mh{band * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+    )
+
+
+def band_array_expr(num_hashes: int, bands: int) -> Column:
+    """All band bucket hashes as an array (index = band id) — the
+    storable form of a doc's LSH signature."""
+    rows_per_band = num_hashes // bands
+    return F.array(*[band_hash_expr(b, rows_per_band) for b in range(bands)])
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -170,15 +195,7 @@ def minhash_lsh_candidates(
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_hash"),
+            band_hash_expr(b, rows_per_band).alias("band_hash"),
         )
         for b in range(bands)
     ]

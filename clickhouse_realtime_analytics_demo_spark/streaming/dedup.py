@@ -169,6 +169,144 @@ def start_dedup_ingest(
     return writer.start()
 
 
+# ------------------------------------------------------ near-dup ingest
+#
+# The semantic (MinHash-LSH) sibling of the exact path above: admit a
+# doc only if it is not a near-duplicate of (a) an earlier doc in the
+# same batch or (b) anything already ACCEPTED. Online keep-one
+# semantics, the streaming form of arXiv:2107.06499's corpus dedup:
+# the accepted corpus only ever grows with cluster representatives.
+#
+# Deliberate divergence from batch keep-one (documented, tested):
+# rejection is judged against the ACCEPTED corpus, not against
+# rejected docs. If X was rejected as a near-dup of accepted A, a
+# later Y that is near-dup of X but not of A is ACCEPTED — batch CC
+# over the full history would have clustered {A, X, Y} and kept only
+# A. Online dedup cannot see rejected docs without retaining them;
+# retaining them re-grows the corpus the operator exists to bound.
+#
+# Store layout: accepted parts carry the doc columns PLUS a `bands`
+# array (LSH bucket hash per band, computed once at accept time) — the
+# scan-side index. The per-batch reference read is (id, bands): two
+# thin columns, exploded to (band, band_hash) for the candidate join;
+# texts are fetched only for the (few) candidate ids, so per-batch
+# cost is index-scan + LSH-candidate-sized work, never corpus-sized
+# shingling.
+
+
+def neardup_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> None:
+    """foreachBatch body: in-batch keep-one → LSH candidates vs the
+    accepted index → exact-Jaccard verify → reject matches → append
+    survivors (with their band index) to ``b=<batch_id>``."""
+    from clickhouse_realtime_analytics_demo_spark.operators import dedup as ddup
+    from clickhouse_realtime_analytics_demo_spark.operators import graph
+
+    # 1) in-batch near-dup clusters → min-id representative survives
+    pairs = ddup.minhash_dedup_pairs(
+        batch, text_col, id_col, threshold, num_hashes, bands, shingle_n
+    )
+    reps = graph.keep_one_per_cluster(batch, pairs, id_col)
+
+    # 2) representatives' signatures and band buckets
+    sigs = ddup.minhash_signatures(reps, text_col, id_col, num_hashes, shingle_n)
+    rep_bands = sigs.select(
+        F.col("id"), ddup.band_array_expr(num_hashes, bands).alias("bands")
+    ).localCheckpoint(eager=True)  # sigs referenced below via bands + write
+
+    dirs = _accepted_dirs(out_dir, batch_id)
+    if dirs:
+        acc_idx = (
+            spark.read.parquet(*dirs)
+            .select(F.col(id_col).alias("acc_id"), "bands")
+            .select("acc_id", F.posexplode("bands").alias("band", "band_hash"))
+        )
+        batch_idx = rep_bands.select(
+            F.col("id"), F.posexplode("bands").alias("band", "band_hash")
+        )
+        cand = (
+            batch_idx.join(acc_idx, ["band", "band_hash"])
+            .select("id", "acc_id")
+            .distinct()
+        )
+        # verify: exact Jaccard between batch rep text and the (few)
+        # candidate accepted docs' texts
+        batch_sh = ddup.shingle_sets(reps, text_col, id_col, shingle_n)
+        acc_cand_docs = spark.read.parquet(*dirs).join(
+            F.broadcast(cand.select(F.col("acc_id").alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        )
+        acc_sh = ddup.shingle_sets(acc_cand_docs, text_col, id_col, shingle_n).select(
+            F.col("id").alias("acc_id"), F.col("sh").alias("acc_sh")
+        )
+        rejected = (
+            cand.join(batch_sh, "id")
+            .join(acc_sh, "acc_id")
+            .filter(ddup.jaccard(F.col("sh"), F.col("acc_sh")) >= threshold)
+            .select("id")
+            .distinct()
+        )
+        reps = reps.join(rejected, reps[id_col] == rejected["id"], "left_anti")
+
+    survivors = reps.join(
+        rep_bands.withColumnRenamed("id", "__bid"),
+        reps[id_col] == F.col("__bid"),
+    ).drop("__bid")
+    survivors.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/b={batch_id}")
+
+
+def start_neardup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    trigger_seconds: float = 1,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = False,
+    compact_max_parts: int | None = 128,
+):
+    """Launch the near-dup-dedup-at-ingest stream. Same exactly-once
+    contract as :func:`start_dedup_ingest` (idempotent batch-keyed
+    sink; the reference scan excludes the in-flight batch)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        neardup_batch(
+            spark, batch, out_dir, batch_id, id_col, text_col, threshold
+        )
+        if compact_max_parts is not None:
+            maybe_compact_accepted(
+                spark, out_dir, checkpoint_dir, max_parts=compact_max_parts
+            )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def read_accepted(spark: SparkSession, out_dir: str) -> DataFrame:
     """All accepted (duplicate-free) documents (manifest-aware: atomic
     vs a concurrent compaction, same contract as MV reads)."""
