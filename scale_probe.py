@@ -833,6 +833,121 @@ def dedup_ingest_probe(
     return rows
 
 
+def neardup_ingest_probe(
+    spark, corpus_sizes=(10_000, 50_000, 200_000), batch_rows=500
+) -> list[dict]:
+    """Per-batch cost of NEAR-DUP dedup-at-ingest vs accepted-corpus
+    size. Seeds N distinct accepted docs (band index included), then
+    times ``neardup_batch`` for a 500-row delivery that is half
+    1-word-edit near-dups of accepted docs, half fresh — asserting the
+    expected accept/reject split, so the timing is also a correctness
+    check. The scan-side term is the (id, bands) index read + the
+    band-bucket join; the in-batch MinHash+CC term is fixed per batch.
+    """
+    import tempfile as _tmp
+
+    from pyspark.sql import functions as PF
+
+    from clickhouse_realtime_analytics_demo_spark.streaming import dedup as sdedup
+
+    # Distinct multi-token texts: 48 tokens drawn from disjoint id
+    # ranges so no two seed docs share a 3-shingle. 48 tokens matters:
+    # a 1-token edit then leaves Jaccard ≈ 45/47 ≈ 0.96, whose 8-band
+    # LSH miss probability is ~4e-7 — the probe's zero-miss assert is
+    # sound. (At 12 tokens J ≈ 0.82 and ~1% of edits would be missed
+    # legitimately: LSH recall, not a bug.)
+    def _text(prefix, idc):
+        return PF.concat_ws(
+            " ",
+            *[PF.concat(PF.lit(f"{prefix}w{i}x"), (idc * 48 + i).cast("string")) for i in range(48)],
+        )
+
+    rows: list[dict] = []
+    for n in corpus_sizes:
+        d = _tmp.mkdtemp(prefix=f"neardup_ingest_{n}_")
+        out = f"{d}/out"
+        # Seed in ≤50k-row batches then compact — the store shape
+        # production produces (micro-batch parts folded into a merged
+        # part written with full parallelism). One giant coalesce(1)
+        # seed batch would leave a single-file store whose every
+        # reference scan is a one-task read — a probe artifact, not a
+        # steady state (first run measured exactly that: 10.8 s/batch
+        # at 200k vs 2.9 s at 50k, all of it single-task decode).
+        chunk = 50_000
+        t0 = time.perf_counter()
+        for ci, lo in enumerate(range(0, n, chunk)):
+            seed = spark.range(lo, min(lo + chunk, n)).select(
+                PF.col("id").alias("doc_id"), _text("s", PF.col("id")).alias("text")
+            )
+            sdedup.neardup_batch(spark, seed, out, batch_id=ci)
+        sdedup.compact_accepted(spark, out)
+        seed_s = time.perf_counter() - t0
+        half = batch_rows // 2
+        # near-dups: re-generate an accepted doc's text, swap ONE token
+        dups = spark.range(half).select(
+            (PF.col("id") + 10_000_000).alias("doc_id"),
+            PF.regexp_replace(
+                _text("s", PF.col("id") * (n // half)), r"^\S+", "edited"
+            ).alias("text"),
+        )
+        fresh = spark.range(half).select(
+            (PF.col("id") + 20_000_000).alias("doc_id"),
+            _text("f", PF.col("id")).alias("text"),
+        )
+        batch = dups.union(fresh).localCheckpoint(eager=True)
+        best = float("inf")
+        for rep in range(1, 4):
+            t0 = time.perf_counter()
+            sdedup.neardup_batch(spark, batch, out, batch_id=rep)
+            el = time.perf_counter() - t0
+            surv = spark.read.parquet(f"{out}/b={rep}")
+            n_dup_admitted = surv.filter(
+                (PF.col("doc_id") >= 10_000_000) & (PF.col("doc_id") < 20_000_000)
+            ).count()
+            n_fresh = surv.filter(PF.col("doc_id") >= 20_000_000).count()
+            assert n_fresh == half, n_fresh
+            assert n_dup_admitted == 0, n_dup_admitted  # every edit caught
+            best = min(best, el)
+            shutil.rmtree(f"{out}/b={rep}")
+        rows.append(
+            {
+                "corpus": n,
+                "batch_rows": batch_rows,
+                "s": round(best, 3),
+                "seed_s": round(seed_s, 1),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+    return rows
+
+
+def write_neardup_ingest_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## Near-dup ingest vs corpus size"
+    if marker in text:
+        text = text[: text.index(marker)]
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py neardupingest`: per-batch cost of"
+        " `neardup_batch` (in-batch MinHash keep-one + band-index join"
+        " + Jaccard verify) as the accepted corpus grows. 500-row"
+        " batches, half 1-token edits of accepted docs / half fresh;"
+        " the probe ASSERTS all edits are rejected and all fresh"
+        " admitted each round, so timings double as a recall check."
+        " Best-of-3. seed_s = one-shot cost of accepting the corpus"
+        " itself (the in-batch pipeline at that size).",
+        "",
+        "| accepted corpus | per-batch (s) | seed batch (s) |",
+        "|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(f"| {r['corpus']:,} | {r['s']} | {r['seed_s']} |")
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n")
+
+
 def write_dedup_ingest_section(rows: list[dict]) -> None:
     md = Path("SCALEPROBE.md")
     text = md.read_text() if md.exists() else ""
@@ -860,6 +975,12 @@ def write_dedup_ingest_section(rows: list[dict]) -> None:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "neardupingest":
+        spark = get_spark(app_name="scale_probe_neardup_ingest")
+        rows = neardup_ingest_probe(spark)
+        write_neardup_ingest_section(rows)
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "dedupingest":
         spark = get_spark(app_name="scale_probe_dedup_ingest")
         rows = dedup_ingest_probe(spark)
