@@ -190,8 +190,21 @@ def minhash_lsh_candidates(
     dropped from one band still collide in their other b-1 bands, the
     standard MinHash-LSH cap trade-off.
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    return lsh_candidates_from_sigs(sigs, num_hashes, bands, max_bucket_size)
+
+
+def lsh_candidates_from_sigs(
+    sigs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band → bucket self-join over an EXISTING signature frame
+    (id, mh0..mhk-1). Split out so callers that need the signatures
+    for something else too (the streaming near-dup index) compute
+    them once."""
+    rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

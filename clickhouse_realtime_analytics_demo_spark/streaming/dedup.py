@@ -208,21 +208,44 @@ def neardup_batch(
 ) -> None:
     """foreachBatch body: in-batch keep-one → LSH candidates vs the
     accepted index → exact-Jaccard verify → reject matches → append
-    survivors (with their band index) to ``b=<batch_id>``."""
+    survivors (with their band index) to ``b=<batch_id>``.
+
+    Signatures and shingle sets are each computed ONCE for the batch
+    (checkpointed) and reused by every stage — in-batch candidate
+    generation, the in-batch Jaccard verify, the stored band index,
+    and the cross-corpus verify. The first shape of this function ran
+    the MinHash pipeline twice and shingling three times; fusing them
+    cut the fixed per-batch cost 2.9 s → 2.1 s and 200k-doc corpus
+    seeding 63 s → 30 s (SCALEPROBE.md "Near-dup ingest").
+    """
     from clickhouse_realtime_analytics_demo_spark.operators import dedup as ddup
     from clickhouse_realtime_analytics_demo_spark.operators import graph
 
-    # 1) in-batch near-dup clusters → min-id representative survives
-    pairs = ddup.minhash_dedup_pairs(
-        batch, text_col, id_col, threshold, num_hashes, bands, shingle_n
+    sigs = ddup.minhash_signatures(
+        batch, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    sh = ddup.shingle_sets(batch, text_col, id_col, shingle_n).localCheckpoint(
+        eager=True
     )
-    reps = graph.keep_one_per_cluster(batch, pairs, id_col)
 
-    # 2) representatives' signatures and band buckets
-    sigs = ddup.minhash_signatures(reps, text_col, id_col, num_hashes, shingle_n)
-    rep_bands = sigs.select(
-        F.col("id"), ddup.band_array_expr(num_hashes, bands).alias("bands")
-    ).localCheckpoint(eager=True)  # sigs referenced below via bands + write
+    # 1) in-batch near-dup clusters → min-id representative survives
+    cands = ddup.lsh_candidates_from_sigs(sigs, num_hashes, bands)
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .filter(ddup.jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = graph.connected_components(pairs)
+    non_reps = comp.filter(F.col("id") != F.col("component")).select("id")
+    reps = batch.join(non_reps, batch[id_col] == non_reps["id"], "left_anti")
+
+    rep_bands = (
+        sigs.join(non_reps.withColumnRenamed("id", "__nr"), sigs["id"] == F.col("__nr"), "left_anti")
+        .select(F.col("id"), ddup.band_array_expr(num_hashes, bands).alias("bands"))
+    )
 
     dirs = _accepted_dirs(out_dir, batch_id)
     if dirs:
@@ -241,7 +264,6 @@ def neardup_batch(
         )
         # verify: exact Jaccard between batch rep text and the (few)
         # candidate accepted docs' texts
-        batch_sh = ddup.shingle_sets(reps, text_col, id_col, shingle_n)
         acc_cand_docs = spark.read.parquet(*dirs).join(
             F.broadcast(cand.select(F.col("acc_id").alias(id_col)).distinct()),
             id_col,
@@ -251,7 +273,7 @@ def neardup_batch(
             F.col("id").alias("acc_id"), F.col("sh").alias("acc_sh")
         )
         rejected = (
-            cand.join(batch_sh, "id")
+            cand.join(sh, "id")  # reuse the batch shingles
             .join(acc_sh, "acc_id")
             .filter(ddup.jaccard(F.col("sh"), F.col("acc_sh")) >= threshold)
             .select("id")
