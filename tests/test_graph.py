@@ -128,3 +128,30 @@ def test_representative_is_component_min_not_layout_dependent(spark):
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == base
     assert all(comp <= node for node, comp in got.items())
+
+
+# ------------------------------------------------- property-based (CC)
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_cc_matches_union_find_on_random_graphs(spark, edge_list):
+    edges = [e for e in edge_list if e[0] != e[1]]
+    if not edges:
+        df = spark.createDataFrame([], "id_a long, id_b long")
+        from clickhouse_realtime_analytics_demo_spark.operators.graph import (
+            connected_components,
+        )
+
+        assert connected_components(df).collect() == []
+        return
+    _assert_matches(spark, edges)
