@@ -155,3 +155,26 @@ def test_cc_matches_union_find_on_random_graphs(spark, edge_list):
         assert connected_components(df).collect() == []
         return
     _assert_matches(spark, edges)
+
+
+def test_keep_one_composes_with_embedding_pairs(spark):
+    """Semantic dedup end to end: embedding near-dup pairs (the
+    registered LSH-bucketed cosine query, which plants true near-dups
+    into the random fixture vectors) feed the same
+    keep_one_per_cluster as text dedup. For every reported pair, at
+    most one endpoint may survive; unpaired vectors all survive."""
+    from clickhouse_realtime_analytics_demo_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    pairs = all_queries()["embedding_near_dups"].fn(spark, SF_DIR).select("id_a", "id_b")
+    pair_rows = pairs.collect()
+    assert pair_rows, "planted near-dup pairs expected"
+    paired = {p["id_a"] for p in pair_rows} | {p["id_b"] for p in pair_rows}
+    # corpus ids = every paired id + some unpaired filler
+    ids = sorted(paired) + [77_000_000, 77_000_001]
+    docs = spark.createDataFrame([(i,) for i in ids], ["vec_id"])
+    kept = keep_one_per_cluster(docs, pairs, id_col="vec_id")
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    for p in pair_rows:
+        assert not (p["id_a"] in kept_ids and p["id_b"] in kept_ids), p
+    assert {77_000_000, 77_000_001} <= kept_ids
