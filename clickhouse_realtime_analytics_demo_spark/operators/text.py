@@ -68,6 +68,57 @@ def predict_lang(text: Column) -> Column:
     return result
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1 repetition filters, closed deterministic form):
+
+    - ``distinct_token_ratio``: |distinct tokens| / |tokens| — low
+      values mean heavy token-level repetition;
+    - ``top_bigram_frac``: occurrences of the most frequent word
+      bigram / total bigrams — high values mean boilerplate loops.
+
+    Returns (id, n_toks, distinct_token_ratio, top_bigram_frac).
+
+    Scale: bigram counting is explode → two keyed shuffles
+    ((id, bigram) then id) with map-side partial aggregation; the
+    per-doc ratio arithmetic is pure integer-derived doubles, so the
+    DuckDB oracle matches bit-exactly.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    # materialized token array — projection barrier, same rationale as
+    # dedup.tokenized (lambda bodies re-evaluate referenced subtrees)
+    d = docs.select(F.col(id_col).alias("id"), F.split(norm, " ").alias("t"))
+    n = F.size("t")
+    bigrams = F.when(
+        n >= 2,
+        F.expr("transform(sequence(1, size(t)-1), i -> concat(t[i-1], ' ', t[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select(
+        "id",
+        n.cast("bigint").alias("n_toks"),
+        (F.size(F.array_distinct("t")).cast("double") / n.cast("double")).alias(
+            "distinct_token_ratio"
+        ),
+        bigrams.alias("bgs"),
+    )
+    ex = base.select(
+        "id", "n_toks", "distinct_token_ratio", F.explode_outer("bgs").alias("bg")
+    )
+    per_bg = ex.groupBy("id", "n_toks", "distinct_token_ratio", "bg").agg(
+        F.count("*").alias("c")
+    )
+    return per_bg.groupBy("id", "n_toks", "distinct_token_ratio").agg(
+        F.when(
+            F.col("n_toks") >= 2,
+            F.max("c").cast("double") / (F.col("n_toks") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac")
+    )
+
+
 def quality_score(text: Column, n_chars: Column) -> Column:
     """Composite quality in [0,1]: length band + word-char ratio.
 

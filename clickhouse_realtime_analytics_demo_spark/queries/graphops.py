@@ -161,6 +161,48 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents WHERE doc_id < 200
+    ),
+    bi AS (
+        SELECT doc_id, t,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i + 1])
+                    ELSE [] END AS bgs
+        FROM toks
+    ),
+    cnt AS (
+        SELECT doc_id, bg, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(bgs) AS bg FROM bi)
+        GROUP BY doc_id, bg
+    ),
+    top AS (SELECT doc_id, MAX(c) AS mx FROM cnt GROUP BY doc_id)
+    SELECT b.doc_id AS id,
+           CAST(len(b.t) AS BIGINT) AS n_toks,
+           CAST(len(list_distinct(b.t)) AS DOUBLE) / CAST(len(b.t) AS DOUBLE)
+             AS distinct_token_ratio,
+           CASE WHEN len(b.t) >= 2
+                THEN CAST(top.mx AS DOUBLE) / CAST(len(b.t) - 1 AS DOUBLE)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM bi b JOIN top ON b.doc_id = top.doc_id
+    ORDER BY id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1):
+    distinct-token ratio and most-frequent-bigram fraction per doc —
+    the repetition side of pretraining quality filtering, next to
+    ``doc_quality``'s length/char-ratio side."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return text.repetition_stats(docs).orderBy("id")
+
+
 @register("dedup_minhash_keep_one")  # rows-only: xxhash64 MinHash pairs
 def dedup_minhash_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-dedup pipeline end to end: MinHash-LSH pairs →
