@@ -208,10 +208,22 @@ def neardup_batch(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> None:
     """foreachBatch body: in-batch keep-one → LSH candidates vs the
     accepted index → exact-Jaccard verify → reject matches → append
     survivors (with their band index) to ``b=<batch_id>``.
+
+    ``max_bucket_size`` is the quadratic-blowup valve, applied on BOTH
+    sides (same trade-off as ``operators.dedup.minhash_lsh_candidates``):
+    in-batch band buckets above the cap are dropped before the
+    self-join, and accepted-INDEX buckets above the cap are dropped
+    before the cross-corpus candidate join — a boilerplate mega-bucket
+    in a 10^9-doc accepted corpus would otherwise make every matching
+    batch doc verify against the whole bucket. Docs in a dropped
+    bucket still collide in their other b-1 bands. Costs one extra
+    per-batch aggregate over the index when enabled; None (default)
+    reports everything.
 
     Signatures and shingle sets are each computed ONCE for the batch
     (checkpointed) and reused by every stage — in-batch candidate
@@ -232,7 +244,7 @@ def neardup_batch(
     )
 
     # 1) in-batch near-dup clusters → min-id representative survives
-    cands = ddup.lsh_candidates_from_sigs(sigs, num_hashes, bands)
+    cands = ddup.lsh_candidates_from_sigs(sigs, num_hashes, bands, max_bucket_size)
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = (
@@ -257,6 +269,15 @@ def neardup_batch(
             .select(F.col(id_col).alias("acc_id"), "bands")
             .select("acc_id", F.posexplode("bands").alias("band", "band_hash"))
         )
+        if max_bucket_size is not None:
+            sizes = acc_idx.groupBy("band", "band_hash").agg(
+                F.count("*").alias("bucket_n")
+            )
+            acc_idx = (
+                acc_idx.join(sizes, ["band", "band_hash"])
+                .filter(F.col("bucket_n") <= max_bucket_size)
+                .drop("bucket_n")
+            )
         batch_idx = rep_bands.select(
             F.col("id"), F.posexplode("bands").alias("band", "band_hash")
         )
@@ -304,10 +325,12 @@ def start_neardup_ingest(
     max_files_per_trigger: int | None = None,
     available_now: bool = False,
     compact_max_parts: int | None = 128,
+    max_bucket_size: int | None = None,
 ):
     """Launch the near-dup-dedup-at-ingest stream. Same exactly-once
     contract as :func:`start_dedup_ingest` (idempotent batch-keyed
-    sink; the reference scan excludes the in-flight batch)."""
+    sink; the reference scan excludes the in-flight batch).
+    ``max_bucket_size``: see :func:`neardup_batch`."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -315,7 +338,8 @@ def start_neardup_ingest(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         neardup_batch(
-            spark, batch, out_dir, batch_id, id_col, text_col, threshold
+            spark, batch, out_dir, batch_id, id_col, text_col, threshold,
+            max_bucket_size=max_bucket_size,
         )
         if compact_max_parts is not None:
             maybe_compact_accepted(

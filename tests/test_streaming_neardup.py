@@ -138,3 +138,28 @@ def test_compaction_preserves_band_index(spark, tmp_path):
     _write_drop(spark, src, [(50, BASE_B_EDIT), (51, BASE_A_EDIT2)])
     _run(spark, src, out, ckpt, compact_max_parts=1)
     assert _accepted_ids(spark, out) == [0, 1, 2]
+
+
+def test_bucket_cap_trade_off(spark, tmp_path):
+    """The quadratic-blowup valve and its documented cost: identical
+    docs share ALL bands, so a cap below the group size drops every
+    shared bucket and the group slips near-dup detection (run exact
+    dedup upstream for that case); without the cap, one survivor."""
+    rows = [(i, BASE_A) for i in range(10)] + [(20, BASE_B)]
+    batch = spark.createDataFrame(rows, DOC_SCHEMA)
+
+    out1 = str(tmp_path / "nocap")
+    sdedup.neardup_batch(spark, batch, out1, batch_id=0)
+    assert _accepted_ids(spark, out1) == [0, 20]
+
+    out2 = str(tmp_path / "cap5")
+    sdedup.neardup_batch(spark, batch, out2, batch_id=0, max_bucket_size=5)
+    assert _accepted_ids(spark, out2) == sorted(r[0] for r in rows)
+
+    # cross-corpus side: accepted mega-bucket dropped under cap → the
+    # next batch's copy of BASE_A is admitted (documented trade-off);
+    # BASE_B's bucket (size 1) still rejects its near-dup.
+    nxt = spark.createDataFrame([(30, BASE_A), (31, BASE_B_EDIT)], DOC_SCHEMA)
+    sdedup.neardup_batch(spark, nxt, out2, batch_id=1, max_bucket_size=5)
+    got = _accepted_ids(spark, out2)
+    assert 30 in got and 31 not in got
