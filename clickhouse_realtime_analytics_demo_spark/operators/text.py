@@ -119,6 +119,60 @@ def repetition_stats(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination detection: corpus docs sharing ≥
+    ``min_shared`` distinct word n-grams with any probe (eval-set)
+    doc. The decontamination pass of GPT-3 §C / PaLM §9 (they use
+    8-13-grams on natural text; pick ``n`` to make grams near-unique
+    in YOUR corpus).
+
+    Returns (corpus_id, probe_id, shared_ngrams).
+
+    Scale: the probe side is an eval set — small by definition — so
+    its exploded gram set BROADCASTS; the corpus side is a narrow
+    explode + map-side hash join (no corpus shuffle), and only MATCHED
+    rows reach the tiny groupBy. At 100 TB the corpus never shuffles.
+    """
+    from clickhouse_realtime_analytics_demo_spark.operators.dedup import shingle_sets
+
+    c = shingle_sets(corpus, text_col, id_col, n).select(
+        F.col("id").alias("corpus_id"), F.explode_outer("sh").alias("g")
+    )
+    p = shingle_sets(probes, text_col, id_col, n).select(
+        F.col("id").alias("probe_id"), F.explode_outer("sh").alias("g")
+    )
+    return (
+        c.join(F.broadcast(p), "g")
+        .groupBy("corpus_id", "probe_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every corpus doc contaminated by the probe set (schema
+    unchanged); the action form of :func:`ngram_contamination`."""
+    hits = ngram_contamination(corpus, probes, n, min_shared, text_col, id_col)
+    doomed = hits.select("corpus_id").distinct()
+    return corpus.join(
+        doomed, corpus[id_col] == doomed["corpus_id"], "left_anti"
+    )
+
+
 def quality_score(text: Column, n_chars: Column) -> Column:
     """Composite quality in [0,1]: length band + word-char ratio.
 

@@ -203,6 +203,42 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(docs).orderBy("id")
 
 
+@register(
+    "contamination_check",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, GREATEST(len(t) - 2, 1)),
+            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+        FROM toks
+    )
+    SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id, COUNT(*) AS shared_ngrams
+    FROM grams c JOIN grams p ON c.g = p.g
+    WHERE c.doc_id >= 20 AND p.doc_id < 20
+    GROUP BY corpus_id, probe_id
+    HAVING COUNT(*) >= 2
+    ORDER BY corpus_id, probe_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: docs 0-19 stand in for an eval
+    set; every other doc sharing ≥ 2 distinct word trigrams with one
+    of them is flagged with the overlap count (GPT-3 §C / PaLM §9
+    decontamination shape — trigram scale chosen because this
+    synthetic corpus' grams are near-unique at n=3)."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    probes = docs.filter(F.col("doc_id") < 20)
+    return text.ngram_contamination(corpus, probes, n=3, min_shared=2).orderBy(
+        "corpus_id", "probe_id"
+    )
+
+
 @register("dedup_minhash_keep_one")  # rows-only: xxhash64 MinHash pairs
 def dedup_minhash_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-dedup pipeline end to end: MinHash-LSH pairs →

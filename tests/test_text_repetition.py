@@ -33,3 +33,32 @@ def test_degenerate_docs(spark):
     got = _rows(spark, [(1, "solo"), (2, "  Tab\t\tand   space  ")])
     assert got[1] == (1, 1.0, 0.0)
     assert got[2] == (3, 1.0, 0.5)  # "tab and space"
+
+
+def test_contamination_and_decontaminate(spark):
+    """decontaminate drops exactly the flagged corpus docs; planted
+    overlap is found, disjoint docs are not."""
+    from clickhouse_realtime_analytics_demo_spark.operators.text import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    eval_q = "what is the capital city of france and when was it founded exactly"
+    corpus = spark.createDataFrame(
+        [
+            (1, "some answer mentions the capital city of france and when it rains"),
+            (2, "completely unrelated text about distributed sorting networks today"),
+            (3, eval_q),  # verbatim leak
+        ],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame([(100, eval_q)], ["doc_id", "text"])
+    hits = {
+        (r["corpus_id"], r["probe_id"]): r["shared_ngrams"]
+        for r in ngram_contamination(corpus, probes, n=3, min_shared=2).collect()
+    }
+    assert (3, 100) in hits and hits[(3, 100)] >= 10  # verbatim: all grams
+    assert (1, 100) in hits  # partial phrase overlap
+    assert all(c != 2 for c, _ in hits)
+    kept = sorted(r["doc_id"] for r in decontaminate(corpus, probes).collect())
+    assert kept == [2]
