@@ -365,7 +365,7 @@ def test_compactor_folds_during_live_stream(spark, tmp_path):
         except Exception:
             return 0
 
-    deadline = time.time() + 90
+    deadline = time.time() + 240
     loop.start(seconds=600.0)
     try:
         # enough ticks that several compactions can trigger at max_parts=3
@@ -375,8 +375,11 @@ def test_compactor_folds_during_live_stream(spark, tmp_path):
         loop.stop()
     try:
         written = loop.stats.events_rows
-        while total() < written and time.time() < deadline:
-            time.sleep(0.3)
+        # Deterministic barrier, not a wall-clock poll (the 90 s poll
+        # flaked under full-suite CPU contention): the maintenance
+        # stream is a stateless file stream, so processAllAvailable()
+        # returns exactly when every written input file is consumed.
+        q.processAllAvailable()
         assert q.exception() is None, q.exception()
         assert total() == written  # no double counts through any fold
     finally:
