@@ -18,7 +18,7 @@ from clickhouse_realtime_analytics_demo_spark.streaming import mv, tail
 from clickhouse_realtime_analytics_demo_spark.streaming.ingest import IngestLoop
 
 
-def _wait(cond, deadline_s: float = 90.0, interval: float = 0.3):
+def _wait(cond, deadline_s: float = 180.0, interval: float = 0.3):
     deadline = time.time() + deadline_s
     while time.time() < deadline:
         v = cond()
