@@ -1,5 +1,7 @@
-"""Cluster-resolution queries: near-dup pair graph → connected
-components → keep-one-per-cluster (operators/graph.py).
+"""Post-window query registrations: cluster resolution (near-dup
+pair graph → connected components → keep-one, operators/graph.py),
+the end-to-end corpus-prep pipeline, Gopher-style repetition
+filters, and eval-set contamination checking.
 
 Registered AFTER every other query module (see ``registry.
 all_queries``): the driver's correctness record holds exactly the
