@@ -59,6 +59,9 @@ QUERIES = (
     "copurchased_parts",
     "doc_sample_stratified",
     "dedup_minhash",
+    # round 6: eval-set decontamination (probe side broadcasts, corpus
+    # side narrow — expect ~linear)
+    "contamination_check",
 )
 # Entity key spaces: shift amount = max(key)+1 from the OWNING table,
 # applied to every referencing column, so copy i of a fact references
@@ -1060,7 +1063,16 @@ def main() -> None:
             cells.append(f"{round(t / base[name], 1) if base[name] else '-'}x")
             cells.append(joins[k][name])
         lines.append(f"| {name} | " + " | ".join(cells) + " |")
-    Path("SCALEPROBE.md").write_text("\n".join(lines) + "\n")
+    # Preserve every appended "## section" (MV, router, skew, cc,
+    # ingest probes) — only the header + main table are rewritten.
+    md = Path("SCALEPROBE.md")
+    tail = ""
+    if md.exists():
+        old = md.read_text()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
+    md.write_text("\n".join(lines) + "\n" + tail)
     spark.stop()
 
 
