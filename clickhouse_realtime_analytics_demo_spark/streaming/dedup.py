@@ -356,13 +356,63 @@ def start_neardup_ingest(
     return writer.start()
 
 
-def read_accepted(spark: SparkSession, out_dir: str) -> DataFrame:
-    """All accepted (duplicate-free) documents (manifest-aware: atomic
-    vs a concurrent compaction, same contract as MV reads)."""
-    dirs = [str(d) for d in parts_store.live_part_dirs(out_dir)]
-    if not dirs:
-        raise FileNotFoundError(f"no accepted batches under {out_dir}")
-    return spark.read.option("mergeSchema", "false").parquet(*dirs)
+def read_accepted(spark: SparkSession, out_dir: str, _retries: int = 6) -> DataFrame:
+    """All accepted (duplicate-free) documents (manifest-aware vs a
+    concurrent compaction, same contract as MV reads).
+
+    Listing→resolution race (found by tests/test_streaming_dedup.py's
+    concurrent-reader test, NOT covered by ``ignoreMissingFiles``): a
+    reader that lists part dirs BEFORE a merge publishes can resolve
+    them AFTER their deletion finishes — the whole input PATH is gone,
+    which fails analysis, not the file scan. Bounded re-list + retry
+    converges (each retry sees the post-merge listing, where doomed
+    parts are excluded via the manifest). File-level disappearance
+    after resolution stays covered by ``ignoreMissingFiles``
+    (session.py). At production scale this TOCTOU class is what
+    snapshot-isolated table formats (Delta/Iceberg) exist to remove.
+    """
+    import time as _time
+
+    last: Exception | None = None
+    for attempt in range(_retries):
+        # _SUCCESS filter: the sink's IN-FLIGHT batch dir exists on
+        # disk before its write commits (only _temporary inside) — a
+        # reader that includes it finds no parquet footers and fails
+        # schema inference. Parquet's commit protocol drops _SUCCESS
+        # exactly at commit, so committed-only listing is the external
+        # reader's visibility boundary (found by the same concurrent-
+        # reader test).
+        dirs = [
+            str(d)
+            for d in parts_store.live_part_dirs(out_dir)
+            if (d / "_SUCCESS").exists()
+        ]
+        if not dirs:
+            raise FileNotFoundError(f"no accepted batches under {out_dir}")
+        try:
+            df = spark.read.option("mergeSchema", "false").parquet(*dirs)
+            df.schema  # force path resolution INSIDE the retry scope
+            return df
+        except Exception as e:  # noqa: BLE001 — filtered to known races below
+            # Transient listing→resolution races only (each retry
+            # re-lists, and the post-merge listing excludes doomed
+            # parts): a listed dir deleted whole (PATH_NOT_FOUND), a
+            # footer file deleted mid-inference (FileNotFoundException
+            # — inference jobs don't honor ignoreMissingFiles), or
+            # every listed dir drained (UNABLE_TO_INFER_SCHEMA).
+            msg = str(e)
+            if not any(
+                tok in msg
+                for tok in (
+                    "PATH_NOT_FOUND",
+                    "FileNotFoundException",
+                    "UNABLE_TO_INFER_SCHEMA",
+                )
+            ):
+                raise
+            last = e
+            _time.sleep(0.05 * (attempt + 1))
+    raise last  # type: ignore[misc]
 
 
 def compact_accepted(

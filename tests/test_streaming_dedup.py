@@ -180,3 +180,64 @@ def test_stream_with_auto_compaction(spark, tmp_path):
     # compaction kept the live part count at/below threshold + in-flight
     n_parts = sum(1 for p in Path(out).glob("b=*") if p.is_dir())
     assert n_parts <= 4
+
+
+def test_concurrent_readers_during_compacting_ingest(spark, tmp_path):
+    """Readers loop over the accepted store while the stream ingests
+    and compacts aggressively: no reader may ever fail (manifest-aware
+    listing + ignoreMissingFiles cover the publish/delete window) and
+    no reader may ever observe a duplicate fingerprint or a count
+    above the true accepted set."""
+    import threading
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    # 12 files -> 12 micro-batches; every other file is all-duplicates
+    for i in range(12):
+        rows = [(i * 10 + j, f"text {j % 3}" if i % 2 else f"text {i}-{j}") for j in range(3)]
+        _write_drop(spark, src, rows)
+
+    errors: list[Exception] = []
+    seen_counts: list[int] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                df = sdedup.read_accepted(spark, out)
+                n = df.count()
+                dups = df.groupBy("fingerprint").count().filter(F.col("count") > 1).count()
+                assert dups == 0, "reader saw duplicate fingerprints"
+                seen_counts.append(n)
+            except FileNotFoundError:
+                pass  # store not created yet — the only allowed miss
+            except AssertionError as e:
+                errors.append(str(e))
+                return
+            except Exception as e:  # any read failure is a bug
+                errors.append(f"{type(e).__name__}: {e}")
+                return
+
+    threads = [threading.Thread(target=reader, daemon=True) for _ in range(2)]
+    for th in threads:
+        th.start()
+    try:
+        q = sdedup.start_dedup_ingest(
+            spark, src, out, ckpt, DOC_SCHEMA,
+            available_now=True, max_files_per_trigger=1, compact_max_parts=1,
+        )
+        q.awaitTermination(180)
+        q.stop()
+    finally:
+        stop.set()
+        for th in threads:
+            th.join(timeout=30)
+    assert not errors, errors
+    assert seen_counts, "readers never completed a scan"
+    final = len(_accepted_ids(spark, out))
+    assert max(seen_counts) <= final
+    # monotone corpus: counts never exceed the final accepted set and
+    # the stream's own output is exactly the first-occurrence set
+    all_docs = spark.read.parquet(src)
+    from clickhouse_realtime_analytics_demo_spark.operators.dedup import exact_dedup
+
+    assert final == exact_dedup(all_docs).count()
