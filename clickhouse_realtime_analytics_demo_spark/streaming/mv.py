@@ -268,11 +268,28 @@ def _read_partials(spark: SparkSession, mv_path: str, spec: MVSpec) -> DataFrame
     algebra rides on a table format with snapshot isolation
     (Delta/Iceberg) instead of directory listings.
     """
-    included = [str(d) for d in parts_store.live_part_dirs(mv_path)]
+    import time as _time
+
     schema = _mv_schema(spark, spec)
-    if not included:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*included)
+    # Bounded re-list on the listing→resolution race (same class the
+    # dedup store's concurrent-reader test exposed): a listed dir can
+    # be deleted whole before path resolution. Explicit schema means
+    # no inference jobs, so PATH_NOT_FOUND is the only transient here.
+    last = None
+    for attempt in range(6):
+        included = [str(d) for d in parts_store.live_part_dirs(mv_path)]
+        if not included:
+            return spark.createDataFrame([], schema)
+        try:
+            df = spark.read.schema(schema).parquet(*included)
+            df.schema  # force resolution inside the retry scope
+            return df
+        except Exception as e:  # noqa: BLE001 — PATH_NOT_FOUND only
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            last = e
+            _time.sleep(0.05 * (attempt + 1))
+    raise last
 
 
 # Part-store mechanics (manifest recovery, commit gate) moved to
