@@ -168,6 +168,21 @@ def _join_mix(df) -> str:
     return sig or "none"
 
 
+def _splice_section(text: str, marker: str) -> tuple[str, str]:
+    """(before, after) around this writer's OWN section: ``before``
+    ends where the section starts (or at EOF if absent), ``after`` is
+    everything from the NEXT "## " heading on — so re-running one
+    probe mode never discards the sections other modes wrote (a cc
+    re-run once chopped every section after it)."""
+    if marker not in text:
+        return text.rstrip(), ""
+    start = text.index(marker)
+    nxt = text.find("\n## ", start + len(marker))
+    after = text[nxt:] if nxt != -1 else ""
+    return text[:start].rstrip(), after
+
+
+
 def mv_probe(spark, part_counts=(8, 32, 64, 128, 256, 512), rows_per_batch=200) -> list[dict]:
     """Probe the MV maintenance path vs accumulated part count
     (VERDICT r5 next-round #2 — the streaming half of X8's claim).
@@ -255,8 +270,7 @@ def write_mv_section(rows: list[dict]) -> None:
     md = Path("SCALEPROBE.md")
     text = md.read_text() if md.exists() else ""
     marker = "\n## MV maintenance vs part count"
-    if marker in text:
-        text = text[: text.index(marker)]
+    text, tail_sections = _splice_section(text, marker)
     lines = [
         marker.strip(),
         "",
@@ -276,7 +290,9 @@ def write_mv_section(rows: list[dict]) -> None:
             f"| {r['parts']} | {r['append_ms']} | {r['read_final_ms']} |"
             f" {r['compact_s']} | {r['read_after_compact_ms']} |"
         )
-    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n")
+    md.write_text(
+        text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections
+    )
 
 
 def router_probe(spark, k: int = 50) -> list[dict]:
@@ -368,8 +384,7 @@ def write_router_section(rows: list[dict], k: int) -> None:
     md = Path("SCALEPROBE.md")
     text = md.read_text() if md.exists() else ""
     marker = "\n## Projection router payoff"
-    if marker in text:
-        text = text[: text.index(marker)]
+    text, tail_sections = _splice_section(text, marker)
     lines = [
         marker.strip(),
         "",
@@ -409,7 +424,9 @@ def write_router_section(rows: list[dict], k: int) -> None:
         " user/session paths; storage cost is K× copies, the same"
         " trade the reference makes.",
     ]
-    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n")
+    md.write_text(
+        text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections
+    )
 
 
 def _plan_has_skew_split(df) -> bool:
@@ -630,8 +647,7 @@ def write_skew_section(rows: list[dict]) -> None:
     md = Path("SCALEPROBE.md")
     text = md.read_text() if md.exists() else ""
     marker = "\n## Skewed-key probe"
-    if marker in text:
-        text = text[: text.index(marker)]
+    text, tail_sections = _splice_section(text, marker)
     lines = [
         marker.strip(),
         "",
@@ -672,7 +688,9 @@ def write_skew_section(rows: list[dict]) -> None:
         else:
             detail = f"pairs={r.get('candidate_pairs'):,}"
         lines.append(f"| {r['case']} | {r.get('arm')} | {r['s']} | {detail} |")
-    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n")
+    md.write_text(
+        text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections
+    )
 
 
 def cc_probe(spark, sizes=(120_000, 1_200_000, 4_800_000)) -> list[dict]:
@@ -743,8 +761,7 @@ def write_cc_section(rows: list[dict]) -> None:
     md = Path("SCALEPROBE.md")
     text = md.read_text() if md.exists() else ""
     marker = "\n## Connected components"
-    if marker in text:
-        text = text[: text.index(marker)]
+    text, tail_sections = _splice_section(text, marker)
     base = {r["arm"]: r["s"] for r in rows if r["edges"] <= rows[0]["edges"] * 1.5}
     lines = [
         marker.strip(),
@@ -768,7 +785,9 @@ def write_cc_section(rows: list[dict]) -> None:
         lines.append(
             f"| {r['arm']} | {r['edges']:,} | {r['rounds']} | {r['s']} | {ratio}x |"
         )
-    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n")
+    md.write_text(
+        text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections
+    )
 
 
 def dedup_ingest_probe(
@@ -929,8 +948,7 @@ def write_neardup_ingest_section(rows: list[dict]) -> None:
     md = Path("SCALEPROBE.md")
     text = md.read_text() if md.exists() else ""
     marker = "\n## Near-dup ingest vs corpus size"
-    if marker in text:
-        text = text[: text.index(marker)]
+    text, tail_sections = _splice_section(text, marker)
     lines = [
         marker.strip(),
         "",
@@ -948,15 +966,16 @@ def write_neardup_ingest_section(rows: list[dict]) -> None:
     ]
     for r in rows:
         lines.append(f"| {r['corpus']:,} | {r['s']} | {r['seed_s']} |")
-    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n")
+    md.write_text(
+        text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections
+    )
 
 
 def write_dedup_ingest_section(rows: list[dict]) -> None:
     md = Path("SCALEPROBE.md")
     text = md.read_text() if md.exists() else ""
     marker = "\n## Dedup-at-ingest vs corpus size"
-    if marker in text:
-        text = text[: text.index(marker)]
+    text, tail_sections = _splice_section(text, marker)
     lines = [
         marker.strip(),
         "",
@@ -974,7 +993,9 @@ def write_dedup_ingest_section(rows: list[dict]) -> None:
     ]
     for r in rows:
         lines.append(f"| {r['corpus']:,} | {r['arm']} | {r['s']} |")
-    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n")
+    md.write_text(
+        text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections
+    )
 
 
 def main() -> None:
