@@ -122,7 +122,14 @@ def compact_parts(
     a merge was published."""
     live = Path(path)
     recover_compaction(live)
-    snapshot = sorted(d for d in live.glob("b=*") if d.is_dir())
+    # _SUCCESS filter: a dir whose write was cut short mid-job (crash
+    # before parquet's job commit) has no footers to fold and will be
+    # rewritten by stream replay — never fold a torn part. This does
+    # NOT replace the commit gate below: a part can be job-committed
+    # (_SUCCESS present) while its STREAM batch is still uncommitted.
+    snapshot = sorted(
+        d for d in live.glob("b=*") if d.is_dir() and (d / "_SUCCESS").exists()
+    )
     if checkpoint_dir is not None:
         last = last_committed_batch(checkpoint_dir)
         snapshot = [

@@ -241,3 +241,20 @@ def test_concurrent_readers_during_compacting_ingest(spark, tmp_path):
     from clickhouse_realtime_analytics_demo_spark.operators.dedup import exact_dedup
 
     assert final == exact_dedup(all_docs).count()
+
+
+def test_compaction_skips_torn_part(spark, tmp_path):
+    """A dir whose write crashed before job commit (no _SUCCESS, no
+    footers) must not be folded — and must not fail the fold of the
+    committed parts around it."""
+    out = str(tmp_path / "out")
+    sdedup.dedup_batch(spark, spark.createDataFrame([(1, "a")], DOC_SCHEMA), out, 0)
+    sdedup.dedup_batch(spark, spark.createDataFrame([(2, "b")], DOC_SCHEMA), out, 1)
+    torn = Path(out) / "b=2"
+    (torn / "_temporary").mkdir(parents=True)
+    (torn / "_temporary" / "x").write_bytes(b"junk")
+
+    assert sdedup.compact_accepted(spark, out)
+    parts = sorted(p.name for p in Path(out).glob("b=*") if p.is_dir())
+    assert parts == ["b=-1", "b=2"]  # torn part untouched, not folded
+    assert _accepted_ids(spark, out) == [1, 2]
