@@ -360,16 +360,22 @@ def read_accepted(spark: SparkSession, out_dir: str, _retries: int = 6) -> DataF
     """All accepted (duplicate-free) documents (manifest-aware vs a
     concurrent compaction, same contract as MV reads).
 
-    Listing→resolution race (found by tests/test_streaming_dedup.py's
-    concurrent-reader test, NOT covered by ``ignoreMissingFiles``): a
-    reader that lists part dirs BEFORE a merge publishes can resolve
-    them AFTER their deletion finishes — the whole input PATH is gone,
-    which fails analysis, not the file scan. Bounded re-list + retry
-    converges (each retry sees the post-merge listing, where doomed
-    parts are excluded via the manifest). File-level disappearance
-    after resolution stays covered by ``ignoreMissingFiles``
-    (session.py). At production scale this TOCTOU class is what
-    snapshot-isolated table formats (Delta/Iceberg) exist to remove.
+    Two defense layers against a concurrent compaction:
+
+    1. **Grace-window tombstones** (primary — ``streaming/parts.py``):
+       a folded part stays on disk for ``GRACE_SECONDS`` after its
+       merge publishes, so a reader that listed it can still resolve
+       AND scan it; only listings are redirected to the merged part.
+       This removes the listing→resolution TOCTOU for any read that
+       completes within the grace window.
+    2. **Bounded re-list + retry** (backstop, this function): a read
+       slower than the grace window can still lose the race — each
+       retry re-lists, and the post-merge listing excludes doomed
+       parts via the manifest. File-level disappearance after
+       resolution stays covered by ``ignoreMissingFiles`` (session.py).
+
+    At production scale this TOCTOU class is what snapshot-isolated
+    table formats (Delta/Iceberg) exist to remove.
     """
     import time as _time
 
@@ -393,22 +399,8 @@ def read_accepted(spark: SparkSession, out_dir: str, _retries: int = 6) -> DataF
             df = spark.read.option("mergeSchema", "false").parquet(*dirs)
             df.schema  # force path resolution INSIDE the retry scope
             return df
-        except Exception as e:  # noqa: BLE001 — filtered to known races below
-            # Transient listing→resolution races only (each retry
-            # re-lists, and the post-merge listing excludes doomed
-            # parts): a listed dir deleted whole (PATH_NOT_FOUND), a
-            # footer file deleted mid-inference (FileNotFoundException
-            # — inference jobs don't honor ignoreMissingFiles), or
-            # every listed dir drained (UNABLE_TO_INFER_SCHEMA).
-            msg = str(e)
-            if not any(
-                tok in msg
-                for tok in (
-                    "PATH_NOT_FOUND",
-                    "FileNotFoundException",
-                    "UNABLE_TO_INFER_SCHEMA",
-                )
-            ):
+        except Exception as e:  # noqa: BLE001 — filtered to known races
+            if not parts_store.is_transient_listing_race(e):
                 raise
             last = e
             _time.sleep(0.05 * (attempt + 1))
@@ -450,10 +442,11 @@ def maybe_compact_accepted(
 ) -> bool:
     """Compact only past the measured part-count threshold (the MV
     cadence policy applied to the accepted store); the no-op path is
-    one directory listing."""
+    a directory listing plus a tombstone sweep."""
     root = Path(out_dir)
     if not root.exists():
         return False
-    if sum(1 for d in root.glob("b=*") if d.is_dir()) <= max_parts:
+    if len(parts_store.live_part_dirs(out_dir)) <= max_parts:
+        parts_store.reap_tombstones(root)
         return False
     return compact_accepted(spark, out_dir, checkpoint_dir=checkpoint_dir)

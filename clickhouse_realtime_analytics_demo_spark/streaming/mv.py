@@ -284,8 +284,8 @@ def _read_partials(spark: SparkSession, mv_path: str, spec: MVSpec) -> DataFrame
             df = spark.read.schema(schema).parquet(*included)
             df.schema  # force resolution inside the retry scope
             return df
-        except Exception as e:  # noqa: BLE001 — PATH_NOT_FOUND only
-            if "PATH_NOT_FOUND" not in str(e):
+        except Exception as e:  # noqa: BLE001 — known transients only
+            if not parts_store.is_transient_listing_race(e):
                 raise
             last = e
             _time.sleep(0.05 * (attempt + 1))
@@ -375,11 +375,15 @@ def maybe_compact(
     """Apply the measured cadence policy (see :func:`compact`): fold
     only when the live part count exceeds ``max_parts``. Returns True
     if a compaction ran. Cheap to call every maintenance tick — the
-    no-op path is a single directory listing."""
+    no-op path is a directory listing plus a tombstone sweep."""
     live = Path(mv_path)
     if not live.exists():
         return False
-    if sum(1 for d in live.glob("b=*") if d.is_dir()) <= max_parts:
+    if len(parts_store.live_part_dirs(mv_path)) <= max_parts:
+        # tombstoned (already-folded) parts don't count against the
+        # threshold, but their grace clocks keep ticking — sweep here
+        # so stores that stay under the threshold still shed them.
+        parts_store.reap_tombstones(live)
         return False
     compact(spark, mv_path, spec, checkpoint_dir=checkpoint_dir)
     return True

@@ -25,29 +25,116 @@ module holds the part-store mechanics that are identical across both:
   either the original parts (merge unpublished) or the merged part
   alone (inputs excluded via its manifest even before their deletion
   finishes), never both — ClickHouse's atomic part-set swap
-  semantics, recovered on raw directories. The residual
-  listing-vs-delete race on already-doomed dirs is covered by
-  ``ignoreMissingFiles`` (session.py); at production scale this
-  algebra rides on a table format with snapshot isolation
-  (Delta/Iceberg) instead of directory listings.
+  semantics, recovered on raw directories.
+- **grace-window tombstones**: a folded part is not deleted at
+  publish time — it is stamped ``_DOOMED`` (with a wall-clock
+  timestamp) and physically removed only once ``GRACE_SECONDS`` have
+  passed (:func:`reap_tombstones`). This closes the listing→resolution
+  TOCTOU a concurrent reader otherwise hits: a reader that listed the
+  old parts BEFORE the merge published can still resolve and scan
+  them for the whole grace window; readers listing after the publish
+  exclude them via the manifest/marker and see only the merged part.
+  (A rename-then-delete scheme would NOT work — renaming destroys the
+  very path the in-flight reader resolved.) File-level disappearance
+  after grace expiry remains covered by ``ignoreMissingFiles``
+  (session.py). At production scale this algebra is what
+  snapshot-isolated table formats (Delta/Iceberg) provide natively;
+  the grace window is their "retain old snapshots for N minutes"
+  vacuum policy recovered on raw directories.
 """
 
 from __future__ import annotations
 
 import json
 import shutil
+import time
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame
 
+# How long a folded part stays on disk after its merge published.
+# Bound: the max listing→consumption latency of any concurrent reader
+# (full-suite contention on this box stretches a small read to tens of
+# seconds; 120 s gives 5× headroom). Disk cost: one extra copy of the
+# last fold's inputs, bounded and transient.
+GRACE_SECONDS = 120.0
+DOOMED_MARKER = "_DOOMED"
 
-def finish_deletes(live: Path, published: Path, doomed: list[str]) -> None:
+
+def is_transient_listing_race(e: Exception) -> bool:
+    """Classify the three known listing→resolution transients a reader
+    can hit against a concurrent compaction: a listed dir deleted whole
+    (``PATH_NOT_FOUND`` — fails analysis), a footer file deleted
+    mid-schema-inference (``FileNotFoundException`` — inference jobs
+    don't honor ``ignoreMissingFiles``), or every listed dir drained
+    (``UNABLE_TO_INFER_SCHEMA``). Matched on exception TYPE + error
+    class first (``AnalysisException`` carries a stable errorClass in
+    Spark 4.x), with the message-token match kept as the fallback for
+    wrapped Py4J causes; tokens validated against Spark 4.1.2 (this
+    container's pinned version)."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover — pyspark<3.4 layout
+        AnalysisException = ()  # type: ignore[assignment]
+    if isinstance(e, AnalysisException):
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):  # 4.x / 3.4 names
+            fn = getattr(e, attr, None)
+            if callable(fn):
+                try:
+                    cond = fn()
+                except Exception:  # noqa: BLE001 — introspection only
+                    cond = None
+            if cond:
+                break
+        if cond and ("PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond):
+            return True
+    msg = str(e)
+    return any(
+        tok in msg
+        for tok in ("PATH_NOT_FOUND", "FileNotFoundException", "UNABLE_TO_INFER_SCHEMA")
+    )
+
+
+def _stamp_doomed(live: Path, doomed: list[str]) -> None:
     for name in doomed:
         victim = live / name
-        if victim.exists():
-            shutil.rmtree(victim)
-    (published / "_MANIFEST").unlink(missing_ok=True)
+        marker = victim / DOOMED_MARKER
+        if victim.exists() and not marker.exists():
+            marker.write_text(repr(time.time()))
+
+
+def reap_tombstones(live: Path, grace_seconds: float | None = None) -> None:
+    """Physically delete ``_DOOMED``-stamped parts whose grace expired.
+    Safe to call from any thread at any time; cheap when nothing is
+    doomed (one directory listing)."""
+    grace = GRACE_SECONDS if grace_seconds is None else grace_seconds
+    now = time.time()
+    for victim in sorted(live.glob("b=*")):
+        try:
+            stamp = float((victim / DOOMED_MARKER).read_text())
+        except (OSError, ValueError):
+            continue  # not doomed, or marker mid-write (next pass gets it)
+        if now - stamp >= grace:
+            shutil.rmtree(victim, ignore_errors=True)
+
+
+def finish_deletes(
+    live: Path,
+    published: Path,
+    doomed: list[str],
+    grace_seconds: float | None = None,
+) -> None:
+    """Post-publish step: stamp the folded inputs doomed, reap any
+    tombstone past its grace, and drop the publish manifest once every
+    input is physically gone (until then the manifest keeps excluding
+    them from new listings). Idempotent — recovery and the compaction
+    cadence both re-drive it until the deletes finish."""
+    _stamp_doomed(live, doomed)
+    reap_tombstones(live, grace_seconds)
+    if not any((live / name).exists() for name in doomed):
+        (published / "_MANIFEST").unlink(missing_ok=True)
 
 
 def recover_compaction(live: Path) -> None:
@@ -88,12 +175,10 @@ def last_committed_batch(checkpoint_dir: str) -> int:
     return max(ids, default=-1)
 
 
-def live_part_dirs(path: str) -> list[Path]:
-    """Manifest-aware snapshot listing: every live ``b=*`` part dir,
-    excluding parts a published merge has replaced (even if their
-    deletion hasn't finished)."""
-    live = Path(path)
-    parts = sorted(d for d in live.glob("b=*") if d.is_dir())
+def _doomed_names(parts: list[Path]) -> set[str]:
+    """Parts a published merge has replaced: named in a live part's
+    ``_MANIFEST``, or directly ``_DOOMED``-stamped (tombstoned but not
+    yet reaped)."""
     doomed: set[str] = set()
     for d in parts:
         manifest = d / "_MANIFEST"
@@ -102,8 +187,20 @@ def live_part_dirs(path: str) -> list[Path]:
                 _, names = json.loads(manifest.read_text())
                 doomed.update(names)
             except (OSError, ValueError):
-                continue  # manifest deleted/incomplete mid-read: its
+                pass  # manifest deleted/incomplete mid-read: its
                 # deletes finished (or never published) — nothing to exclude
+        if (d / DOOMED_MARKER).exists():
+            doomed.add(d.name)
+    return doomed
+
+
+def live_part_dirs(path: str) -> list[Path]:
+    """Manifest-aware snapshot listing: every live ``b=*`` part dir,
+    excluding parts a published merge has replaced (even while their
+    tombstones sit out the grace window)."""
+    live = Path(path)
+    parts = sorted(d for d in live.glob("b=*") if d.is_dir())
+    doomed = _doomed_names(parts)
     return [d for d in parts if d.name not in doomed]
 
 
@@ -122,13 +219,19 @@ def compact_parts(
     a merge was published."""
     live = Path(path)
     recover_compaction(live)
+    all_parts = sorted(d for d in live.glob("b=*") if d.is_dir())
+    doomed = _doomed_names(all_parts)
     # _SUCCESS filter: a dir whose write was cut short mid-job (crash
     # before parquet's job commit) has no footers to fold and will be
     # rewritten by stream replay — never fold a torn part. This does
     # NOT replace the commit gate below: a part can be job-committed
     # (_SUCCESS present) while its STREAM batch is still uncommitted.
+    # Doomed (tombstoned) parts are already inside an earlier merge —
+    # re-folding one would double its rows.
     snapshot = sorted(
-        d for d in live.glob("b=*") if d.is_dir() and (d / "_SUCCESS").exists()
+        d
+        for d in all_parts
+        if d.name not in doomed and (d / "_SUCCESS").exists()
     )
     if checkpoint_dir is not None:
         last = last_committed_batch(checkpoint_dir)

@@ -184,10 +184,14 @@ def test_compact_commit_gate_on_crash_replay(spark, tmp_path):
     mv.write_batch(batches[2], spec, mv_path, batch_id=2)
 
     mv.compact(spark, mv_path, spec, checkpoint_dir=str(ckpt))
-    # committed parts folded; the uncommitted (replayable) one survives
-    assert not (Path(mv_path) / "b=0").exists()
-    assert not (Path(mv_path) / "b=1").exists()
-    assert (Path(mv_path) / "b=2").exists()
+    # committed parts folded (tombstoned out of the live view until
+    # their reader grace expires); the uncommitted (replayable) one
+    # stays fully live
+    from clickhouse_realtime_analytics_demo_spark.streaming import parts as parts_store
+
+    live = {d.name for d in parts_store.live_part_dirs(mv_path)}
+    assert "b=0" not in live and "b=1" not in live
+    assert "b=2" in live
 
     # restart: streaming re-delivers batch 2 (same id, same checkpointed
     # input files), the sink overwrites b=2, and the commit lands
@@ -200,7 +204,7 @@ def test_compact_commit_gate_on_crash_replay(spark, tmp_path):
 
     # the next compact may now fold the committed replay + merged part
     mv.compact(spark, mv_path, spec, checkpoint_dir=str(ckpt))
-    assert not (Path(mv_path) / "b=2").exists()
+    assert "b=2" not in {d.name for d in parts_store.live_part_dirs(mv_path)}
     assert _rows(mv.read_final(spark, mv_path, spec), spec.keys) == want
 
 
@@ -330,10 +334,12 @@ def test_maybe_compact_threshold(spark, tmp_path):
                                  id_offset=i * 50)
         mv.write_batch(batch, spec, path, i)
     before = mv.read_final(spark, path, spec).agg(F.sum("total_events")).collect()[0][0]
+    from clickhouse_realtime_analytics_demo_spark.streaming import parts as parts_store
+
     assert mv.maybe_compact(spark, path, spec, max_parts=8) is False
-    assert sum(1 for d in (tmp_path / "mv").glob("b=*")) == 6
+    assert len(parts_store.live_part_dirs(path)) == 6
     assert mv.maybe_compact(spark, path, spec, max_parts=4) is True
-    assert sum(1 for d in (tmp_path / "mv").glob("b=*")) == 1
+    assert len(parts_store.live_part_dirs(path)) == 1
     after = mv.read_final(spark, path, spec).agg(F.sum("total_events")).collect()[0][0]
     assert after == before == 300
 
@@ -387,8 +393,9 @@ def test_compactor_folds_during_live_stream(spark, tmp_path):
         comp.stop()
     assert comp.stats.get("daily_user_activity", 0) >= 1, comp.stats
     # folding actually bounded the table: live parts stay near max_parts
-    import pathlib
-    parts = sum(1 for p in pathlib.Path(f"{d}/mv").glob("b=*"))
+    # (tombstoned fold inputs awaiting their grace window don't count)
+    from clickhouse_realtime_analytics_demo_spark.streaming import parts as parts_store
+    parts = len(parts_store.live_part_dirs(f"{d}/mv"))
     assert parts < 20, parts
     # and the final read still matches after one last quiesced fold
     mv.compact(spark, f"{d}/mv", spec, checkpoint_dir=f"{d}/ckpt")
