@@ -407,7 +407,13 @@ def ngram_jaccard_pairs(
     spark = docs.sparkSession
     n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 16)
     a = sh.repartition(n_parts, "id").alias("a")
-    b = sh.alias("b")
+    # Explicit broadcast of the build side (ADVICE r6): with block_col
+    # the join is equi on block, and past the auto-broadcast threshold
+    # Spark would re-shuffle both sides on block (sort-merge),
+    # discarding the repartition above. Broadcast keeps the probe-side
+    # spread. Size bound is fine by construction: this is the
+    # small-scale baseline / LSH verify stage, never run on a corpus.
+    b = F.broadcast(sh.alias("b"))
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.block") == F.col("b.block"))

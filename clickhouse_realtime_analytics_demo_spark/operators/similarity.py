@@ -277,7 +277,15 @@ def cosine_near_dup_pairs(
     spark = embeddings.sparkSession
     n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 16)
     a = sigs.repartition(n_parts, "id").alias("a")
-    b = sigs.alias("b")
+    # Broadcast the build side EXPLICITLY: the join is equi on `sig`,
+    # so past the auto-broadcast threshold Spark would pick a
+    # sort-merge join that re-shuffles BOTH sides on sig — silently
+    # discarding the repartition above (ADVICE r6). A broadcast join
+    # has no output partitioning requirement, so the probe-side spread
+    # provably survives. Size bound: this operator is the small/mid-
+    # scale verify stage (docstring) — at corpus scale the LSH-bucket
+    # pipeline generates candidates instead of this self-join.
+    b = F.broadcast(sigs.alias("b"))
     return (
         a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
         .select(

@@ -93,8 +93,19 @@ def dedup_batch(
     max_pushdown_fingerprints: int = MAX_PUSHDOWN_FINGERPRINTS,
 ) -> None:
     """foreachBatch body: fingerprint → first-wins → anti-join vs
-    accepted → idempotent write of b=<batch_id>."""
-    fp = batch.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    accepted → idempotent write of b=<batch_id>.
+
+    Null-text docs get a sentinel fingerprint (not NULL): the in-batch
+    window groups NULL keys together, but the cross-batch anti-join and
+    the IN-pushdown never match NULL = NULL — without the sentinel a
+    null-text doc would be deduped within its batch yet re-admitted by
+    every later batch. With it, exactly the FIRST null-text doc ever
+    delivered is accepted, matching batch ``exact_dedup`` semantics
+    (whose groupBy also treats all NULL keys as one group)."""
+    fp = batch.withColumn(
+        "fingerprint",
+        F.coalesce(fingerprint(F.col(text_col)), F.lit("<null-text>")),
+    )
     fresh = _in_batch_first_wins(fp, id_col)
     dirs = _accepted_dirs(out_dir, batch_id)
     if dirs:

@@ -65,6 +65,49 @@ def test_driver_record_window_is_exactly_full():
     assert len(oracles) >= DRIVER_RECORD_SLOTS
 
 
+def test_locked_slots_pinned_explicitly():
+    """The 50 recorded slots are an explicit constant, not an import-
+    order side effect: LOCKED_RECORD_SLOTS must equal the round-5
+    driver record byte-for-byte, and importing a query module early
+    (which mutates _REGISTRY insertion order) must not shift the
+    output of all_queries()."""
+    import importlib
+    import json
+    from pathlib import Path
+
+    from clickhouse_realtime_analytics_demo_spark.queries import registry
+
+    locked = list(
+        json.loads((Path(__file__).parent.parent / "CORRECTNESS_r05.json").read_text())
+    )
+    assert list(registry.LOCKED_RECORD_SLOTS) == locked
+    # simulate an early import of a late-registering module: the
+    # ordering contract must hold regardless
+    importlib.import_module("clickhouse_realtime_analytics_demo_spark.queries.graphops")
+    assert list(registry.all_queries())[:DRIVER_RECORD_SLOTS] == locked
+    # and in a FRESH interpreter where a late module really is imported
+    # before all_queries() ever runs (the scenario ADVICE r6 flagged)
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import clickhouse_realtime_analytics_demo_spark.queries.graphops; "
+            "import clickhouse_realtime_analytics_demo_spark.queries.llmops; "
+            "from clickhouse_realtime_analytics_demo_spark.queries import all_queries; "
+            f"print('\\n'.join(list(all_queries())[:{DRIVER_RECORD_SLOTS}]))",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(Path(__file__).parent.parent),
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().splitlines() == locked
+
+
 def test_oracle_and_query_keys_consistent():
     qs = entry.queries()
     oracles = entry.oracle_sql()

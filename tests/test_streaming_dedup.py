@@ -250,6 +250,19 @@ def test_concurrent_readers_during_compacting_ingest(spark, tmp_path):
     assert final == exact_dedup(all_docs).count()
 
 
+def test_null_text_deduped_across_batches(spark, tmp_path):
+    """Null-text docs must behave like any duplicate class: one
+    representative accepted EVER, not one per batch (the NULL
+    fingerprint never matches itself in the cross-batch anti-join
+    without the sentinel)."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write_drop(spark, src, [(1, None), (2, "real")])
+    _write_drop(spark, src, [(10, None), (11, None)])
+    _write_drop(spark, src, [(20, None), (21, "other")])
+    _run_available(spark, src, out, ckpt)
+    assert _accepted_ids(spark, out) == [1, 2, 21]
+
+
 def test_tombstones_reaped_after_grace(spark, tmp_path):
     """Folded parts become _DOOMED tombstones (excluded from live
     listings, physically present) until the grace window expires; the
