@@ -267,6 +267,40 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_active_users",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS event_count,
+           COUNT(DISTINCT event_type) AS event_types,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MAX(ts) AS last_seen
+    FROM events
+    GROUP BY user_id
+    ORDER BY event_count DESC, user_id
+    LIMIT 10
+    """,
+)
+def top_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-active users backing /api/live/top-users
+    (app_interactive.py:306-341 contract: user_id/event_count/
+    event_types/total_revenue/last_seen). Single-pass groupBy with one
+    distinct agg (no Expand blowup), exact decimal money sum,
+    distributed top-k (TakeOrderedAndProject), user_id tie-break."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.countDistinct("event_type").alias("event_types"),
+            money_sum(F.col("value")).alias("total_value"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy(F.desc("event_count"), "user_id")
+        .limit(10)
+    )
+
+
+@register(
     "orders_rollup",
     oracle="""
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,

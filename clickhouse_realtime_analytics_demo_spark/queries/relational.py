@@ -486,6 +486,57 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_activity",
+    oracle="""
+    SELECT n_name AS nation,
+           COUNT(*) AS orders,
+           COUNT(DISTINCT o_custkey) AS users,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    ORDER BY orders DESC, nation
+    LIMIT 10
+    """,
+)
+def nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographic activity rollup backing /api/live/geographic
+    (app_interactive.py:183-220 contract: country/events/users/
+    revenue), on the engine's star schema (nation ≙ country).
+
+    Scale: orders pre-aggregates per customer BELOW the join, so the
+    one sf-growing shuffle carries map-side-combined per-customer
+    partials; after it, ``users`` is a plain COUNT(*) (each custkey
+    appears once) — no COUNT DISTINCT expansion. Customer is
+    hint-free (AQE broadcasts small, shuffles at scale); nation is a
+    BOUNDED_DIM → explicit broadcast. Money stays decimal through
+    both aggregation levels (sum-of-sums exact), double only at the
+    edge."""
+    from clickhouse_realtime_analytics_demo_spark.queries._det import DEC
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum("cnt").alias("orders"),
+            F.count("*").alias("users"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("orders"), "nation")
+        .limit(10)
+    )
+
+
+@register(
     "parts_above_avg",
     oracle="""
     SELECT p_partkey AS partkey,

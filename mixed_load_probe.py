@@ -166,12 +166,69 @@ def _dashboard_queries(spark: SparkSession, lake: str, specs: dict[str, mv.MVSpe
             cursor["v"] = max(r.event_id for r in rows)
         return rows
 
+    # the four routes wired in round 7 (/api/live/event-types,
+    # /geographic, /top-users, /conversion-rate), issued as the same
+    # query shapes against the LIVE lake so their latency under load
+    # is measured like the rest of the reference dashboard poll set
+    def live_event_types():
+        from pyspark.sql import Window
+
+        ev = writer.read_table(spark, lake, "events")
+        per_type = ev.groupBy("event_type").agg(F.count("*").alias("events"))
+        # unpartitioned window AFTER aggregation (≤|event types| rows)
+        return per_type.withColumn(
+            "percentage",
+            F.round(F.col("events") * 100.0 / F.sum("events").over(Window.partitionBy()), 2),
+        ).orderBy(F.desc("events")).collect()
+
+    def live_geographic():
+        ev = writer.read_table(spark, lake, "events")
+        return (
+            ev.groupBy("country")
+            .agg(
+                F.count("*").alias("events"),
+                F.approx_count_distinct("user_id").alias("users"),
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("revenue"))).alias("revenue"),
+            )
+            .orderBy(F.desc("events"))
+            .limit(10)
+            .collect()
+        )
+
+    def live_top_users():
+        ev = writer.read_table(spark, lake, "events")
+        return (
+            ev.groupBy("user_id")
+            .agg(
+                F.count("*").alias("event_count"),
+                F.countDistinct("event_type").alias("event_types"),
+                F.sum("revenue").alias("total_revenue"),
+                F.max("event_timestamp").alias("last_seen"),
+            )
+            .orderBy(F.desc("event_count"), "user_id")
+            .limit(10)
+            .collect()
+        )
+
+    def live_conversion():
+        ev = writer.read_table(spark, lake, "events")
+        c = lambda t: F.count(F.when(F.col("event_type") == t, 1))  # noqa: E731
+        return ev.agg(
+            c("page_view").alias("page_views"),
+            c("add_to_cart").alias("cart_adds"),
+            c("purchase").alias("purchases"),
+        ).collect()
+
     return {
         "stats_by_type": stats_by_type,
         "daily_rollup": daily_rollup,
         "mv_daily_top": mv_daily_top,
         "mv_product_top": mv_product_top,
         "tail_poll": tail_poll,
+        "live_event_types": live_event_types,
+        "live_geographic": live_geographic,
+        "live_top_users": live_top_users,
+        "live_conversion": live_conversion,
     }
 
 

@@ -56,6 +56,58 @@ def test_conversion_funnel(client):
     assert {"views", "clicks", "purchases", "click_rate", "purchase_rate"} <= set(d)
 
 
+def test_live_event_types_contract(client):
+    """Reference contract app_interactive.py:151-181: list of
+    {event_type, count, percentage}, ordered by count desc,
+    percentages summing to ~100."""
+    d = client.get("/api/live/event-types").get_json()
+    assert isinstance(d, list) and len(d) > 0
+    assert set(d[0]) == {"event_type", "count", "percentage"}
+    counts = [r["count"] for r in d]
+    assert counts == sorted(counts, reverse=True)
+    assert abs(sum(r["percentage"] for r in d) - 100.0) < 0.5
+
+
+def test_live_geographic_contract(client):
+    """Reference contract app_interactive.py:183-220: ≤10 records of
+    {country, events, users, revenue}, ordered by events desc."""
+    d = client.get("/api/live/geographic").get_json()
+    assert isinstance(d, list) and 0 < len(d) <= 10
+    assert set(d[0]) == {"country", "events", "users", "revenue"}
+    events = [r["events"] for r in d]
+    assert events == sorted(events, reverse=True)
+    assert all(r["users"] <= r["events"] for r in d)
+
+
+def test_live_top_users_contract(client):
+    """Reference contract app_interactive.py:306-341: ≤10 records of
+    {user_id, event_count, event_types, total_revenue, last_seen},
+    last_seen formatted HH:MM:SS."""
+    import re
+
+    d = client.get("/api/live/top-users").get_json()
+    assert isinstance(d, list) and 0 < len(d) <= 10
+    assert set(d[0]) == {
+        "user_id", "event_count", "event_types", "total_revenue", "last_seen",
+    }
+    counts = [r["event_count"] for r in d]
+    assert counts == sorted(counts, reverse=True)
+    assert all(re.fullmatch(r"\d\d:\d\d:\d\d", r["last_seen"]) for r in d)
+
+
+def test_live_conversion_rate_contract(client):
+    """Reference contract app_interactive.py:343-377: a single object
+    with the three funnel counts and three percentage rates."""
+    d = client.get("/api/live/conversion-rate").get_json()
+    assert set(d) == {
+        "page_views", "cart_adds", "purchases",
+        "cart_rate", "purchase_rate", "overall_conversion",
+    }
+    assert d["page_views"] > 0
+    # rates are percentages consistent with the counts
+    assert d["purchase_rate"] == round(d["purchases"] * 100.0 / d["cart_adds"], 2)
+
+
 def test_search_parameterized(client):
     d = client.get("/api/search?q=green&limit=5").get_json()
     assert isinstance(d, list) and len(d) <= 5
