@@ -31,6 +31,9 @@ from clickhouse_realtime_analytics_demo_spark.session import get_spark  # noqa: 
 
 # Headline set: the reference's dashboard workload (daily/hourly/top-k/
 # funnel/MV-class analytics) + the training-data-pipeline heavies.
+# Round 7 extended the list with the four post-window pipeline queries
+# (VERDICT r6 #4) — cross-round totals are comparable per-query, not by
+# the grand total, which grew with the list.
 HEADLINE = (
     "daily_events",
     "hourly_event_matrix",
@@ -47,6 +50,11 @@ HEADLINE = (
     "dedup_exact",
     "dedup_minhash",
     "ann_cosine_topk",
+    # round-7 additions: graph/pipeline/text heavies
+    "dedup_cluster_resolution",
+    "corpus_prep_pipeline",
+    "doc_repetition_stats",
+    "contamination_check",
 )
 
 
