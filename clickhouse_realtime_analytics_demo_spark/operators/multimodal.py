@@ -8,13 +8,22 @@ bytes).
 
 Spark-side plumbing here is real and tested: schemas, Arrow-batched
 ``mapInPandas`` transforms with bounded batch sizes, partition-count
-preservation, and deterministic *fake* codecs. The actual byte-level
-decode (JPEG/PNG/audio frames) is stubbed: the image/audio libraries
-are not in this container, so ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, in which case a
-documented deterministic stand-in (byte-histogram features, payload-
-derived dimensions) runs instead. Swapping the stub for PIL/ffmpeg
-changes ONE inner function; none of the Spark plumbing moves.
+preservation. Codec tiers (``decode_image``/``decode_audio``):
+
+1. **PIL** when importable — full-format real decode;
+2. **pure-Python parsers** (this file, no library): uncompressed BMP
+   and binary PPM give real width/height/pixel-stats/average-hash;
+   PCM WAV's RIFF header gives real channels/rate/duration;
+3. **deterministic stand-in** for everything else (JPEG/PNG frames,
+   compressed audio — their codecs are not in this container):
+   byte-histogram features and digest-derived dimensions, clearly
+   fake and stable across runs/partitionings.
+
+``fake=None`` auto-selects the best tier per payload; ``fake=False``
+demands a real decode (tier 1/2) and raises otherwise; ``fake=True``
+forces tier 3 (the synthetic-corpus queries, whose payloads are text
+bytes, not media). Swapping in a real codec changes ONE inner
+function; none of the Spark plumbing moves.
 
 Why mapInPandas and not a scalar UDF: batch-level control. Each Arrow
 batch holds whole rows of payload bytes; decoding wants to amortize
@@ -138,26 +147,207 @@ def _pil_decode(payload: bytes) -> dict:
     }
 
 
+# ------------------------------------------- pure-Python header codecs
+#
+# Uncompressed formats are pure byte arithmetic — no library needed
+# (VERDICT r6 #6): BMP (BITMAPINFOHEADER, 24/32-bit uncompressed) and
+# binary PPM (P6) for images, RIFF/WAVE PCM for audio. These give REAL
+# width/height/pixel-stats/duration for real fixture files even in
+# this codec-less container; JPEG/PNG/compressed audio still require a
+# real library and keep the PIL/stub path.
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Magic-byte format sniff (the ingest-scanner primitive)."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    return None
+
+
+def _parse_bmp(payload: bytes):
+    """BMP with BITMAPINFOHEADER(+), 24/32-bit, uncompressed (BI_RGB).
+    Returns (width, height, pixel(x,y)->(r,g,b), raster_bytes)."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP unsupported")
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h_raw = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp not in (24, 32) or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    h, top_down = abs(h_raw), h_raw < 0
+    step = bpp // 8
+    stride = ((w * step + 3) // 4) * 4  # rows pad to 4-byte boundaries
+    raster = payload[data_off : data_off + stride * h]
+
+    def pixel(x: int, y: int) -> tuple[int, int, int]:
+        row = y if top_down else h - 1 - y  # BMP stores bottom-up
+        o = row * stride + x * step
+        return raster[o + 2], raster[o + 1], raster[o]  # stored BGR
+
+    # stats raster: RGB bytes in visual row-major order — excludes row
+    # padding and any alpha byte, so byte stats measure image CONTENT
+    # (and match the PPM representation of the same pixels)
+    content = bytearray()
+    for y in range(h):
+        for x in range(w):
+            content.extend(pixel(x, y))
+    return w, h, pixel, bytes(content)
+
+
+def _parse_ppm(payload: bytes):
+    """Binary PPM (P6, maxval ≤ 255): ASCII header tokens with '#'
+    comments, then a raw RGB raster. Same return contract as
+    :func:`_parse_bmp`."""
+    if payload[:2] != b"P6":
+        raise ValueError("only binary PPM (P6) supported")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header and raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    raster = payload[pos : pos + 3 * w * h]
+
+    def pixel(x: int, y: int) -> tuple[int, int, int]:
+        o = (y * w + x) * 3
+        return raster[o], raster[o + 1], raster[o + 2]
+
+    return w, h, pixel, raster
+
+
+def _pixel_features(w, h, pixel, raster: bytes) -> dict:
+    """IMAGE_FEATURES fields from decoded pixels: byte stats over the
+    RASTER (the image content, not the file container — that is the
+    honest image entropy) and an 8×8 box-mean average-hash over
+    ITU-R 601-2 luma. Python pixel walk: fine for fixture-scale
+    assets; a deployment with MB-scale images ships a real codec and
+    takes the ``_pil_decode`` path instead."""
+    import math
+
+    n = len(raster)
+    counts: dict[int, int] = {}
+    for b in raster:
+        counts[b] = counts.get(b, 0) + 1
+    mean = sum(raster) / n if n else 0.0
+    entropy = -sum((c / n) * math.log2(c / n) for c in counts.values()) if n else 0.0
+
+    def gray(x: int, y: int) -> float:
+        r, g, b = pixel(x, y)
+        return (299 * r + 587 * g + 114 * b) / 1000
+
+    cells = []
+    for by in range(8):
+        for bx in range(8):
+            x0, y0 = bx * w // 8, by * h // 8
+            x1 = min(max((bx + 1) * w // 8, x0 + 1), w)
+            y1 = min(max((by + 1) * h // 8, y0 + 1), h)
+            x0, y0 = min(x0, w - 1), min(y0, h - 1)
+            s = cnt = 0
+            for yy in range(y0, y1):
+                for xx in range(x0, x1):
+                    s += gray(xx, yy)
+                    cnt += 1
+            cells.append(s / cnt)
+    m = sum(cells) / 64
+    bits = 0
+    for i, v in enumerate(cells):
+        if v >= m:
+            bits |= 1 << i
+    phash = bits - (1 << 64) if bits >= (1 << 63) else bits
+    return {
+        "width": w,
+        "height": h,
+        "n_bytes": n,
+        "byte_mean": mean,
+        "byte_entropy": entropy,
+        "phash": phash,
+    }
+
+
+def _parse_wav(payload: bytes) -> dict:
+    """RIFF/WAVE PCM header walk: channels, sample rate, bit depth and
+    duration from the fmt/data chunks — no audio library."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", payload, pos + 8)
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            fmt = (audio_fmt, channels, rate, bits)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"non-PCM WAV unsupported (format tag {audio_fmt})")
+    bytes_per_s = rate * channels * (bits // 8)
+    return {
+        "format": "wav",
+        "channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": bits,
+        "duration_ms": data_size * 1000 // bytes_per_s,
+        "n_bytes": data_size,
+    }
+
+
 def decode_image(payload: bytes, *, fake: bool | None = None) -> dict:
     """Decode one image payload to a feature dict.
 
-    ``fake=None`` (default) auto-selects: the real PIL decode when
-    the library is importable, else the deterministic byte-level
-    stand-in (histogram stats + sha-derived dims) — so the stub
-    boundary vanishes on deployments that ship an image codec.
-    ``fake=False`` demands the real codec and raises without one;
-    ``fake=True`` forces the stub (used by the synthetic-corpus
-    queries, whose payloads are not real image bytes).
+    ``fake=None`` (default) auto-selects the best available real
+    decode: PIL when importable, else the pure-Python parser for
+    uncompressed formats (BMP/PPM — sniffed by magic bytes), else the
+    deterministic byte-level stand-in. ``fake=False`` demands a real
+    decode and raises when neither PIL nor a pure parser applies
+    (e.g. JPEG without PIL); ``fake=True`` forces the stub (used by
+    the synthetic-corpus queries, whose payloads are not image bytes).
     """
-    if fake is None:
-        fake = not pil_available()
-    if not fake:
-        if not pil_available():
+    if not fake:  # None or False: try the real decodes first
+        if pil_available():
+            return _pil_decode(payload)
+        fmt = sniff_format(payload)
+        if fmt == "bmp":
+            return _pixel_features(*_parse_bmp(payload))
+        if fmt == "ppm":
+            return _pixel_features(*_parse_ppm(payload))
+        if fake is False:
             raise NotImplementedError(
-                "real image decode requires an image library (PIL/torchvision); "
-                "re-run with fake=True for the deterministic stub"
+                f"real decode of format {fmt!r} requires an image library "
+                "(PIL/torchvision); only uncompressed BMP/PPM decode "
+                "without one. Re-run with fake=True for the stub."
             )
-        return _pil_decode(payload)
     import math
 
     n = len(payload)
@@ -178,16 +368,78 @@ def decode_image(payload: bytes, *, fake: bool | None = None) -> dict:
     }
 
 
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_audio(payload: bytes, *, fake: bool | None = None) -> dict:
+    """Decode one audio payload to an AUDIO_FEATURES dict.
+
+    ``fake=None`` auto-selects per payload: the pure-Python RIFF
+    header walk for PCM WAV (sniffed), else the deterministic
+    stand-in. ``fake=False`` demands the real parse (raises on
+    non-WAV — compressed audio needs a codec library this container
+    lacks); ``fake=True`` forces the stand-in."""
+    if not fake:
+        if sniff_format(payload) == "wav":
+            return _parse_wav(payload)
+        if fake is False:
+            raise NotImplementedError(
+                "real audio decode beyond PCM WAV requires an audio "
+                "library (av/soundfile); re-run with fake=True for the stub"
+            )
+    d = hashlib.sha256(payload).digest()
+    return {
+        "format": "fake",
+        "channels": 1 + d[2] % 2,
+        "sample_rate": 8000 * (1 + d[3] % 6),
+        "bits_per_sample": 16,
+        "duration_ms": len(payload) * 10,
+        "n_bytes": len(payload),
+    }
+
+
 # ------------------------------------------------- distributed plumbing
 
 
-def extract_image_features(media: DataFrame, *, fake: bool = False) -> DataFrame:
+def extract_audio_features(media: DataFrame, *, fake: bool | None = None) -> DataFrame:
+    """payload -> AUDIO_FEATURES via Arrow-batched mapInPandas — the
+    audio twin of :func:`extract_image_features`: narrow map, no
+    shuffle, output partitioning = input partitioning. With
+    ``fake=None`` real PCM WAVs in a mixed table decode for real
+    (header walk) while non-WAV payloads take the stand-in."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [decode_audio(bytes(p), fake=fake) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=AUDIO_FEATURES)
+
+
+def extract_image_features(media: DataFrame, *, fake: bool | None = None) -> DataFrame:
     """payload -> IMAGE_FEATURES via Arrow-batched mapInPandas.
 
     Plan shape: narrow map, no shuffle — feature extraction runs where
     the payload partition lives, which is the only viable layout when
     payloads are MB-scale and the table is 100 TB. Output partition
-    count equals input partition count.
+    count equals input partition count. ``fake`` forwards to
+    :func:`decode_image`: None auto-selects per payload (PIL, else
+    pure BMP/PPM parse, else stub), True forces the stub (the
+    synthetic-corpus queries), False demands real decodes.
     """
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -112,3 +112,135 @@ def test_media_image_features_runs(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["source", "n_images", "avg_entropy", "avg_byte_mean", "distinct_phash"]
+
+
+# ---------------------------------------- pure-Python codecs (r7 #6)
+#
+# Fixture builders write REAL uncompressed files byte-by-byte, so the
+# decode tests are bit-exact against independently-computed values.
+
+import math
+import struct
+from collections import Counter
+
+
+def make_bmp(pixels: list[list[tuple[int, int, int]]], bpp: int = 24) -> bytes:
+    """Minimal BITMAPINFOHEADER BMP from row-major (r,g,b) pixels."""
+    h, w = len(pixels), len(pixels[0])
+    step = bpp // 8
+    stride = ((w * step + 3) // 4) * 4
+    raster = bytearray()
+    for row in reversed(pixels):  # bottom-up storage
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r] + ([0] if step == 4 else []))
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(raster), 2835, 2835, 0, 0)
+    return header + info + bytes(raster)
+
+
+def make_ppm(pixels: list[list[tuple[int, int, int]]], comment: str | None = None) -> bytes:
+    h, w = len(pixels), len(pixels[0])
+    head = b"P6\n" + (f"# {comment}\n".encode() if comment else b"") + f"{w} {h}\n255\n".encode()
+    return head + bytes(c for row in pixels for px in row for c in px)
+
+
+def make_wav(seconds: float, rate: int = 8000, channels: int = 1, bits: int = 16) -> bytes:
+    n_bytes = int(seconds * rate) * channels * (bits // 8)
+    data = bytes(i % 251 for i in range(n_bytes))
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_PIXELS = [
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(10, 20, 30), (200, 200, 200), (0, 0, 0)],
+]
+
+
+def _expected_stats(pixels):
+    flat = bytes(c for row in pixels for px in row for c in px)
+    n = len(flat)
+    counts = Counter(flat)
+    mean = sum(flat) / n
+    entropy = -sum((c / n) * math.log2(c / n) for c in counts.values())
+    return n, mean, entropy
+
+
+def test_bmp_decode_bit_exact():
+    for bpp in (24, 32):
+        feats = multimodal.decode_image(make_bmp(_PIXELS, bpp=bpp), fake=False)
+        n, mean, entropy = _expected_stats(_PIXELS)
+        assert (feats["width"], feats["height"]) == (3, 2)
+        assert feats["n_bytes"] == n
+        assert feats["byte_mean"] == mean
+        assert feats["byte_entropy"] == entropy
+    # 24- and 32-bit encodings of the same pixels agree on everything
+    a = multimodal.decode_image(make_bmp(_PIXELS, 24), fake=False)
+    b = multimodal.decode_image(make_bmp(_PIXELS, 32), fake=False)
+    assert a == b
+
+
+def test_ppm_decode_matches_bmp_and_handles_comments():
+    ppm = multimodal.decode_image(make_ppm(_PIXELS, comment="fixture"), fake=False)
+    bmp = multimodal.decode_image(make_bmp(_PIXELS), fake=False)
+    # identical pixels -> identical features across containers,
+    # including the luma average-hash
+    assert ppm == bmp
+
+
+def test_phash_groups_similar_images():
+    base = [[((x * 16) % 256, (y * 16) % 256, 40) for x in range(16)] for y in range(16)]
+    near = [row[:] for row in base]
+    near[0][0] = (base[0][0][0] + 1, base[0][0][1], base[0][0][2])  # 1-px tweak
+    inverted = [[(255 - r, 255 - g, 255 - b) for r, g, b in row] for row in base]
+    h0 = multimodal.decode_image(make_bmp(base), fake=False)["phash"]
+    h1 = multimodal.decode_image(make_bmp(near), fake=False)["phash"]
+    h2 = multimodal.decode_image(make_bmp(inverted), fake=False)["phash"]
+    assert h0 == h1  # perceptually identical
+    assert h0 != h2  # structurally different
+
+
+def test_wav_decode_bit_exact():
+    feats = multimodal.decode_audio(make_wav(1.5, rate=8000, channels=2, bits=16), fake=False)
+    assert feats == {
+        "format": "wav",
+        "channels": 2,
+        "sample_rate": 8000,
+        "bits_per_sample": 16,
+        "duration_ms": 1500,
+        "n_bytes": 12000 * 4,
+    }
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"\x00" * 64, fake=False)
+
+
+def test_real_fixture_features_through_spark(spark):
+    """The VERDICT r6 #6 gate: the image-features operator produces
+    REAL (not stand-in) width/height/entropy for BMP fixtures, and the
+    audio operator real durations for WAVs — end-to-end through the
+    Arrow mapInPandas plumbing with fake=None auto-selection."""
+    imgs = [
+        (1, 1, make_bmp(_PIXELS), None),
+        (2, 2, make_ppm(_PIXELS), None),
+    ]
+    media = spark.createDataFrame(imgs, multimodal.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in multimodal.extract_image_features(media).collect()}
+    n, mean, entropy = _expected_stats(_PIXELS)
+    for mid in (1, 2):
+        assert (feats[mid].width, feats[mid].height) == (3, 2)
+        assert feats[mid].byte_mean == mean
+        assert feats[mid].byte_entropy == entropy
+    assert feats[1].phash == feats[2].phash
+
+    wavs = [(3, 3, make_wav(2.0), None), (4, 4, b"not audio", None)]
+    audio = spark.createDataFrame(wavs, multimodal.MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in multimodal.extract_audio_features(audio).collect()}
+    assert rows[3].format == "wav" and rows[3].duration_ms == 2000
+    assert rows[3].sample_rate == 8000 and rows[3].channels == 1
+    assert rows[4].format == "fake"  # mixed table: stub only where needed
