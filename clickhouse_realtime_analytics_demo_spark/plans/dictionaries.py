@@ -278,6 +278,8 @@ _add(
 # hashed-layout data loaded by register_dictionaries:
 # name -> {attr -> {key_literal_sql -> value_literal_sql}}
 _LOADED: dict[str, dict[str, dict[str, str]]] = {}
+# name -> unix time of the last successful (re)load, any layout
+_LAST_RELOAD: dict[str, float] = {}
 # view-layout dictionaries whose temp view register_dictionaries
 # actually created (source view present at registration time)
 _REGISTERED_VIEWS: set[str] = set()
@@ -309,7 +311,12 @@ def _load_inline(spec: DictionarySpec, rows) -> None:
         key_lit = _sql_literal(row[0], spec.key_type)
         for i, (attr, (sql_type, _d)) in enumerate(spec.attrs.items(), start=1):
             per_attr[attr][key_lit] = _sql_literal(row[i], sql_type)
+    # single-assignment swap: concurrent dict_get_sql rewrites see the
+    # old or the new map atomically (DictionaryReloader contract)
     _LOADED[spec.name] = per_attr
+    import time as _time
+
+    _LAST_RELOAD[spec.name] = _time.time()
 
 
 # Static dictionaries are usable without a SparkSession — their rows
@@ -355,13 +362,17 @@ def register_dictionaries(spark: SparkSession, names: tuple[str, ...] | None = N
             _load_inline(spec, rows)
         else:
             _REGISTERED_VIEWS.add(name)
+            import time as _time
+
+            _LAST_RELOAD[name] = _time.time()
         done.append(name)
     return done
 
 
 def loaded_dictionaries() -> dict[str, dict]:
     """Introspection rows for ``system.dictionaries`` parity
-    (06-add-dictionaries.sql.disabled:221-234)."""
+    (06-add-dictionaries.sql.disabled:221-234), including the
+    ``last_successful_update_time`` analog maintained by reloads."""
     out = {}
     for name, spec in DICTIONARIES.items():
         loaded = name in _LOADED
@@ -376,8 +387,75 @@ def loaded_dictionaries() -> dict[str, dict]:
             "attributes": spec.attr_names(),
             "status": status,
             "element_count": len(next(iter(_LOADED[name].values()))) if loaded else None,
+            "last_reload": _LAST_RELOAD.get(name),
         }
     return out
+
+
+class DictionaryReloader:
+    """``LIFETIME(MIN a MAX b)`` analog
+    (06-add-dictionaries.sql.disabled:37-38): a scheduler thread that
+    periodically re-runs :func:`register_dictionaries`, so hashed map
+    literals are rebuilt from their (possibly changed) source tables
+    and view-layout definitions are re-created. ClickHouse draws each
+    reload delay uniformly from [MIN, MAX] to de-synchronize
+    dictionary refreshes across a fleet; same here.
+
+    Reload is atomic per dictionary: ``_load_inline`` swaps the whole
+    per-attribute map in one dict assignment, so a concurrent
+    ``dict_get_sql`` rewrite sees either the old or the new map, never
+    a mix. Queries REWRITTEN before a reload keep their old literals
+    (a compiled plan, like a dispatched ClickHouse query); queries
+    rewritten after see the fresh rows — exactly the dictGet staleness
+    contract LIFETIME defines.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        names: tuple[str, ...] | None = None,
+        min_seconds: float = 300.0,
+        max_seconds: float = 600.0,
+    ) -> None:
+        import random
+        import threading
+
+        self._spark = spark
+        self._names = names
+        self._min, self._max = min_seconds, max_seconds
+        self._rng = random.Random()
+        self._stop = threading.Event()
+        self._thread: "threading.Thread | None" = None
+        self.reloads = 0
+
+    def reload_now(self) -> list[str]:
+        """Force one reload cycle (also used by the scheduler loop)."""
+        done = register_dictionaries(self._spark, self._names)
+        self.reloads += 1
+        return done
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            if self._stop.wait(self._rng.uniform(self._min, self._max)):
+                return
+            try:
+                self.reload_now()
+            except Exception:  # noqa: BLE001 — keep reloading on a bad tick
+                pass
+
+    def start(self) -> "DictionaryReloader":
+        import threading
+
+        self._thread = threading.Thread(
+            target=self._loop, name="dict-reloader", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=10)
 
 
 def _spec_and_attr(dname_arg: str, attr_arg: str) -> tuple[DictionarySpec, str]:

@@ -393,3 +393,66 @@ def test_multilevel_geo_plan_one_join_per_view_dict(spark):
 )
 def test_dict_query_oracles(spark, name):
     compare_with_oracle(spark, name)
+
+
+def test_reload_makes_updated_rows_visible(spark):
+    """LIFETIME semantics (VERDICT r6 #8,
+    06-add-dictionaries.sql.disabled:37-38): a changed source row is
+    invisible to hashed-layout dictGet until a reload rebuilds the map
+    literal; after the reload, freshly-rewritten queries see it. Runs
+    against dict_nation with a synthetic `nation` view, restoring the
+    real view afterwards (the tests share one session)."""
+    import time
+
+    from clickhouse_realtime_analytics_demo_spark import catalog
+    from clickhouse_realtime_analytics_demo_spark.plans.dictionaries import (
+        DictionaryReloader,
+    )
+
+    def set_nation(name_for_7: str) -> None:
+        spark.createDataFrame(
+            [(7, name_for_7, 2), (8, "OTHER", 3)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        ).createOrReplaceTempView("nation")
+
+    def lookup() -> str:
+        # rewrite + execute: a fresh rewrite embeds the CURRENT map
+        return spark.sql(
+            f"SELECT {dict_get_sql('dict_nation', 'n_name', 'CAST(7 AS INT)')} AS v"
+        ).collect()[0][0]
+
+    try:
+        set_nation("BEFORE")
+        assert register_dictionaries(spark, ("dict_nation",)) == ["dict_nation"]
+        assert lookup() == "BEFORE"
+
+        set_nation("AFTER")
+        # no reload yet: dictGet still serves the loaded (stale) map —
+        # the defining difference between a dictionary and a join
+        assert lookup() == "BEFORE"
+
+        reloader = DictionaryReloader(
+            spark, ("dict_nation",), min_seconds=0.05, max_seconds=0.15
+        )
+        # manual reload (refresh-on-demand, SYSTEM RELOAD DICTIONARY)
+        before_stamp = loaded_dictionaries()["dict_nation"]["last_reload"]
+        assert reloader.reload_now() == ["dict_nation"]
+        assert lookup() == "AFTER"
+        assert loaded_dictionaries()["dict_nation"]["last_reload"] >= before_stamp
+
+        # scheduled reload (the LIFETIME timer): change again and wait
+        # for the background thread to pick it up
+        set_nation("SCHEDULED")
+        reloader.start()
+        try:
+            deadline = time.monotonic() + 30
+            while lookup() != "SCHEDULED" and time.monotonic() < deadline:
+                time.sleep(0.05)
+            assert lookup() == "SCHEDULED"
+            assert reloader.reloads >= 1
+        finally:
+            reloader.stop()
+    finally:
+        # restore the real nation view + dictionary for later tests
+        catalog.register(spark, SF_DIR, names=("nation",))
+        register_dictionaries(spark, ("dict_nation",))
