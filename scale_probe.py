@@ -855,6 +855,21 @@ def dedup_ingest_probe(
     return rows
 
 
+def _neardup_text(prefix, idc):
+    """Distinct multi-token texts: 48 tokens drawn from disjoint id
+    ranges so no two seed docs share a 3-shingle. 48 tokens matters:
+    a 1-token edit then leaves Jaccard ≈ 45/47 ≈ 0.96, whose 8-band
+    LSH miss probability is ~4e-7 — the probes' zero-miss asserts are
+    sound. (At 12 tokens J ≈ 0.82 and ~1% of edits would be missed
+    legitimately: LSH recall, not a bug.)"""
+    from pyspark.sql import functions as PF
+
+    return PF.concat_ws(
+        " ",
+        *[PF.concat(PF.lit(f"{prefix}w{i}x"), (idc * 48 + i).cast("string")) for i in range(48)],
+    )
+
+
 def neardup_ingest_probe(
     spark, corpus_sizes=(10_000, 50_000, 200_000), batch_rows=500
 ) -> list[dict]:
@@ -872,18 +887,7 @@ def neardup_ingest_probe(
 
     from clickhouse_realtime_analytics_demo_spark.streaming import dedup as sdedup
 
-    # Distinct multi-token texts: 48 tokens drawn from disjoint id
-    # ranges so no two seed docs share a 3-shingle. 48 tokens matters:
-    # a 1-token edit then leaves Jaccard ≈ 45/47 ≈ 0.96, whose 8-band
-    # LSH miss probability is ~4e-7 — the probe's zero-miss assert is
-    # sound. (At 12 tokens J ≈ 0.82 and ~1% of edits would be missed
-    # legitimately: LSH recall, not a bug.)
-    def _text(prefix, idc):
-        return PF.concat_ws(
-            " ",
-            *[PF.concat(PF.lit(f"{prefix}w{i}x"), (idc * 48 + i).cast("string")) for i in range(48)],
-        )
-
+    _text = _neardup_text
     rows: list[dict] = []
     for n in corpus_sizes:
         d = _tmp.mkdtemp(prefix=f"neardup_ingest_{n}_")
@@ -944,6 +948,106 @@ def neardup_ingest_probe(
     return rows
 
 
+def neardup_parts_probe(
+    spark, corpus=100_000, parts_counts=(8, 64, 256, 512), batch_rows=500
+) -> list[dict]:
+    """Per-batch near-dup ingest cost vs LIVE PART COUNT of the
+    accepted store, at a fixed corpus size — locates the compaction
+    threshold for ``maybe_compact_accepted`` (VERDICT r6 #5). The
+    store content is identical across rows; only its fragmentation
+    varies, so the delta is purely the listing/open/footers overhead
+    the per-batch reference scans pay. Seeding writes precomputed
+    (doc, bands) slices directly (the store layout), so 512-part
+    seeding doesn't pay 512 MinHash pipelines."""
+    import tempfile as _tmp
+
+    from pyspark.sql import functions as PF
+
+    from clickhouse_realtime_analytics_demo_spark.operators import dedup as ddup
+    from clickhouse_realtime_analytics_demo_spark.streaming import dedup as sdedup
+
+    docs = spark.range(corpus).select(
+        PF.col("id").alias("doc_id"), _neardup_text("s", PF.col("id")).alias("text")
+    )
+    sigs = ddup.minhash_signatures(docs, "text", "doc_id", 32, 3)
+    bands = sigs.select(
+        PF.col("id").alias("doc_id"), ddup.band_array_expr(32, 8).alias("bands")
+    )
+    store_df = docs.join(bands, "doc_id").localCheckpoint(eager=True)
+
+    half = batch_rows // 2
+    dups = spark.range(half).select(
+        (PF.col("id") + 10_000_000).alias("doc_id"),
+        PF.regexp_replace(
+            _neardup_text("s", PF.col("id") * (corpus // half)), r"^\S+", "edited"
+        ).alias("text"),
+    )
+    fresh = spark.range(half).select(
+        (PF.col("id") + 20_000_000).alias("doc_id"),
+        _neardup_text("f", PF.col("id")).alias("text"),
+    )
+    batch = dups.union(fresh).localCheckpoint(eager=True)
+
+    rows: list[dict] = []
+    for np_ in parts_counts:
+        d = _tmp.mkdtemp(prefix=f"neardup_parts_{np_}_")
+        out = f"{d}/out"
+        per = (corpus + np_ - 1) // np_
+        for i in range(np_):
+            (
+                store_df.filter(
+                    (PF.col("doc_id") >= i * per) & (PF.col("doc_id") < (i + 1) * per)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{out}/b={i}")
+            )
+        best = float("inf")
+        for rep in range(1, 4):
+            bid = np_ + rep  # past the seed part ids
+            t0 = time.perf_counter()
+            sdedup.neardup_batch(spark, batch, out, batch_id=bid)
+            el = time.perf_counter() - t0
+            surv = spark.read.parquet(f"{out}/b={bid}")
+            assert surv.filter(PF.col("doc_id") >= 20_000_000).count() == half
+            assert (
+                surv.filter(
+                    (PF.col("doc_id") >= 10_000_000) & (PF.col("doc_id") < 20_000_000)
+                ).count()
+                == 0
+            )
+            best = min(best, el)
+            shutil.rmtree(f"{out}/b={bid}")
+        rows.append({"parts": np_, "s": round(best, 3)})
+        print(json.dumps(rows[-1]), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+    return rows
+
+
+def write_neardup_parts_section(rows: list[dict], corpus: int) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## Near-dup ingest vs part count"
+    text, tail_sections = _splice_section(text, marker)
+    lines = [
+        marker.strip(),
+        "",
+        f"`scale_probe.py neardupparts`: per-batch `neardup_batch` cost"
+        f" against a {corpus:,}-doc accepted store fragmented into N"
+        " live parts (same content, only fragmentation varies) —"
+        " best-of-3, same accept/reject asserts as the corpus-size"
+        " probe. This measures exactly what compaction buys the"
+        " per-batch reference scans, and fixes the"
+        " `maybe_compact_accepted` threshold.",
+        "",
+        "| live parts | per-batch (s) |",
+        "|---|---|",
+    ]
+    for r in rows:
+        lines.append(f"| {r['parts']} | {r['s']} |")
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def write_neardup_ingest_section(rows: list[dict]) -> None:
     md = Path("SCALEPROBE.md")
     text = md.read_text() if md.exists() else ""
@@ -1001,8 +1105,19 @@ def write_dedup_ingest_section(rows: list[dict]) -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "neardupingest":
         spark = get_spark(app_name="scale_probe_neardup_ingest")
-        rows = neardup_ingest_probe(spark)
+        sizes = (
+            tuple(int(a) for a in sys.argv[2:])
+            if len(sys.argv) > 2
+            else (10_000, 50_000, 200_000)
+        )
+        rows = neardup_ingest_probe(spark, corpus_sizes=sizes)
         write_neardup_ingest_section(rows)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "neardupparts":
+        spark = get_spark(app_name="scale_probe_neardup_parts")
+        rows = neardup_parts_probe(spark)
+        write_neardup_parts_section(rows, corpus=100_000)
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "dedupingest":
