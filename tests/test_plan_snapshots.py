@@ -53,6 +53,10 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     "corpus_prep_pipeline": ({"BroadcastHashJoinExec": 1}, False),
     "doc_repetition_stats": ({}, False),
     "contamination_check": ({"BroadcastHashJoinExec": 1}, False),
+    # the round-7 live-route backings: per-customer pre-agg below two
+    # broadcast joins + distributed top-k; single-pass events top-k
+    "nation_activity": ({"BroadcastHashJoinExec": 2}, True),
+    "top_active_users": ({}, True),
 }
 
 _JOIN_NODES = (
