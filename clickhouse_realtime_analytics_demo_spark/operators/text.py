@@ -207,6 +207,48 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)).cast("bigint")
 
 
+# ------------------------------------------------------------- PII scrub
+#
+# Training-data pipelines strip contact info before a corpus ships.
+# Patterns deliberately avoid backslash escapes and lookaround so the
+# SAME string runs identically on Spark (Java regex) and DuckDB (RE2)
+# — `[.]` instead of `\.`, explicit `[0-9]` instead of `\d`. These are
+# the standard conservative recall patterns (C4-style cleanup), not an
+# NER system: real deployments layer a model-based pass on top; this
+# operator is the cheap JVM-side first pass that handles the bulk.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement token)
+    "email": ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": ("[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+    "phone": ("[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}", "<PHONE>"),
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (see PII_PATTERNS)."""
+    pattern, _ = PII_PATTERNS[kind]
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its typed placeholder. Order
+    matters: email before ipv4 (an email's domain can contain a
+    dotted-digit host) before phone; the dict is ordered accordingly."""
+    out = text
+    for pattern, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def oracle_redact_pii(sql_expr: str) -> str:
+    """DuckDB mirror of :func:`redact_pii` (global-flag regexp_replace
+    chain, same pattern order)."""
+    out = sql_expr
+    for pattern, token in PII_PATTERNS.values():
+        out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     text_col: str = "text",

@@ -358,3 +358,129 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# DuckDB twins of the enrichment expressions in doc_pii_scan: the
+# corpus carries no real PII, so both sides append deterministic
+# doc_id-derived contact strings before scanning — the operator is
+# exercised on known-positive data while staying oracle-checked.
+_PII_ENRICH_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 != 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    "         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END"
+)
+
+
+def _pii_enrich_col():
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 != 0,
+            F.concat(F.lit(" contact u"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 2,
+            F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "doc_pii_scan",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id, source, {_PII_ENRICH_SQL} AS t FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM(length(regexp_extract_all(t, '{text.PII_PATTERNS["email"][0]}'))) AS BIGINT) AS emails,
+           CAST(SUM(length(regexp_extract_all(t, '{text.PII_PATTERNS["phone"][0]}'))) AS BIGINT) AS phones,
+           CAST(SUM(length(regexp_extract_all(t, '{text.PII_PATTERNS["ipv4"][0]}'))) AS BIGINT) AS ips,
+           CAST(SUM(length({text.oracle_redact_pii("t")})) AS BIGINT) AS redacted_chars
+    FROM enriched
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction (training-data pipeline op): count typed
+    PII occurrences per source and measure the redacted text — the
+    cheap JVM-regex first pass a corpus cleanup runs before shipping
+    (operators/text.py PII_PATTERNS; patterns written to execute
+    identically on Java regex and RE2). The redacted-length sum pins
+    the actual replacement output, not just the match counts."""
+    docs = table(spark, sf_dir, "documents")
+    enriched = docs.select("doc_id", "source", _pii_enrich_col().alias("t"))
+    t = F.col("t")
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(text.pii_count(t, "email")).alias("emails"),
+            F.sum(text.pii_count(t, "phone")).alias("phones"),
+            F.sum(text.pii_count(t, "ipv4")).alias("ips"),
+            F.sum(F.length(text.redact_pii(t))).alias("redacted_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_pack_shards",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ps AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS token_offset
+        FROM toks
+    )
+    SELECT token_offset // 512 AS shard_id,
+           COUNT(*) AS docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM ps GROUP BY 1 ORDER BY 1
+    """,
+)
+def doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-offset sharding (training-data pipeline op): concatenate
+    docs in doc_id order, cut every 512 BPE-ish tokens, report each
+    shard's doc span — the GPT-style context-packing layout. The
+    prefix sum is DISTRIBUTED-exact (operators/packing.py: bucketed
+    partial sums + bounded-offset windows, no unpartitioned window
+    over data), while the oracle uses the naive single-threaded
+    SUM OVER (ORDER BY) — agreement proves the distributed form."""
+    from clickhouse_realtime_analytics_demo_spark.operators import packing
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = packing.pack_token_budget(
+        docs, budget=512, token_count=text.bpe_token_count(F.col("text"))
+    )
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )

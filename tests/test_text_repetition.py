@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from clickhouse_realtime_analytics_demo_spark.operators.text import repetition_stats
 
 
@@ -62,3 +64,28 @@ def test_contamination_and_decontaminate(spark):
     assert all(c != 2 for c, _ in hits)
     kept = sorted(r["doc_id"] for r in decontaminate(corpus, probes).collect())
     assert kept == [2]
+
+
+def test_pii_redaction_unit(spark):
+    from clickhouse_realtime_analytics_demo_spark.operators import text as T
+
+    rows = [
+        (1, "mail me at a.b-c%d@sub.example.co or 555-123-4567 from 192.168.0.1 ok"),
+        (2, "clean text with no contacts at all"),
+        (3, "two mails x@y.io z@w.ai and ip 10.0.0.255"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            T.redact_pii(F.col("t")).alias("red"),
+            T.pii_count(F.col("t"), "email").alias("e"),
+            T.pii_count(F.col("t"), "phone").alias("p"),
+            T.pii_count(F.col("t"), "ipv4").alias("i"),
+        ).collect()
+    }
+    assert out[1]["red"] == "mail me at <EMAIL> or <PHONE> from <IP> ok"
+    assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (1, 1, 1)
+    assert out[2]["red"] == rows[1][1] and out[2]["e"] == 0
+    assert out[3]["red"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
