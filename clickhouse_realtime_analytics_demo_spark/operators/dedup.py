@@ -241,9 +241,15 @@ def lsh_candidates_from_sigs(
 
 
 def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
-    """Exact Jaccard similarity of two distinct-element arrays."""
+    """Exact Jaccard similarity of two DISTINCT-element arrays (every
+    producer in this module emits ``array_distinct`` output — the
+    contract). |A∪B| is computed arithmetically as |A|+|B|−|A∩B|:
+    bit-identical to ``array_union`` for distinct inputs and half the
+    per-pair array work — the intersect is the only array traversal
+    (measured on the corpus-prep pair stage: see
+    ``ngram_jaccard_pairs``)."""
     inter = F.size(F.array_intersect(shingles_a, shingles_b)).cast("double")
-    union = F.size(F.array_union(shingles_a, shingles_b)).cast("double")
+    union = (F.size(shingles_a) + F.size(shingles_b)).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -393,7 +399,9 @@ def ngram_jaccard_pairs(
     verify stage behind MinHash-LSH, never run all-pairs.
     """
     keep = (block_col,) if block_col else ()
-    sh = char_ngram_sets(docs, text_col, id_col, n, keep=keep)
+    sh = char_ngram_sets(docs, text_col, id_col, n, keep=keep).withColumn(
+        "nsh", F.size("sh")
+    )
     if block_col:
         sh = sh.withColumnRenamed(block_col, "block")
     # Spread the PROBE side explicitly: per-pair array-intersect cost
@@ -414,7 +422,23 @@ def ngram_jaccard_pairs(
     # spread. Size bound is fine by construction: this is the
     # small-scale baseline / LSH verify stage, never run on a corpus.
     b = F.broadcast(sh.alias("b"))
-    cond = F.col("a.id") < F.col("b.id")
+    # Size-ratio prefilter INSIDE the join condition: J ≤ min/max, so
+    # a pair whose set sizes differ by more than the threshold ratio
+    # can never pass — two integer compares short-circuit before the
+    # per-pair array intersect (the expensive term). The 1e-9 slack
+    # only ever ADMITS borderline pairs (which the exact filter below
+    # then judges), never drops one — float-product safety, not a
+    # semantic knob. On THIS synthetic corpus docs are near-uniform
+    # length, so the local win is inside box noise (measured best-of-3
+    # 3.5 vs 3.8 s, noise-dominated); the filter pays on real corpora
+    # whose doc lengths spread — standard length filtering from the
+    # set-similarity-join literature.
+    na, nb = F.col("a.nsh"), F.col("b.nsh")
+    cond = (
+        (F.col("a.id") < F.col("b.id"))
+        & (na >= nb * F.lit(threshold) - F.lit(1e-9))
+        & (nb >= na * F.lit(threshold) - F.lit(1e-9))
+    )
     if block_col:
         cond = cond & (F.col("a.block") == F.col("b.block"))
     return (
