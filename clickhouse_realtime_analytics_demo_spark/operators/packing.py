@@ -27,7 +27,12 @@ counts:
 4. within-bucket running sum — a partitioned window.
 
 Everything is one lazy plan; no collects, no unpartitioned window
-over data-sized input.
+over data-sized input. Like ``operators/ranking.py``, the plan scans
+its input from several branches (bounds sketch, per-bucket sums,
+final join) — callers whose upstream is expensive should persist the
+input DataFrame first; the registered query's upstream is a plain
+column projection, where re-scan beats cache-write (measured for the
+ranking twin).
 """
 
 from __future__ import annotations

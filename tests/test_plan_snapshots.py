@@ -57,6 +57,15 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # broadcast joins + distributed top-k; single-pass events top-k
     "nation_activity": ({"BroadcastHashJoinExec": 2}, True),
     "top_active_users": ({}, True),
+    # round-7 pipeline additions: PII scan is a pure aggregation; the
+    # packing prefix sum carries 4 bounded-build nested-loop joins by
+    # construction (1-row percentile bounds × plan branches + the
+    # ≤num_buckets² triangular offsets join) — bounded at ANY scale
+    "doc_pii_scan": ({}, False),
+    "doc_pack_shards": (
+        {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 4},
+        False,
+    ),
 }
 
 _JOIN_NODES = (
@@ -67,7 +76,9 @@ _JOIN_NODES = (
     "CartesianProductExec",
 )
 _PYTHON_NODES = ("BatchEvalPythonExec", "ArrowEvalPythonExec", "MapInPandasExec")
-_BNLJ_ALLOWED = {"kpi_snapshot", "ann_cosine_topk"}  # 1-row broadcasts
+# 1-row broadcasts; doc_pack_shards adds the ≤num_buckets² triangular
+# offsets join (bounded build regardless of table size)
+_BNLJ_ALLOWED = {"kpi_snapshot", "ann_cosine_topk", "doc_pack_shards"}
 
 
 def _walk(node):
