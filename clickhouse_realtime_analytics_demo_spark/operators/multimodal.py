@@ -532,6 +532,68 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, *, fake: bool = False)
 # ----------------------------------------------------- synthetic corpus
 
 
+def synthesize_wav_media(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    rate: int = 8000,
+) -> DataFrame:
+    """Deterministic MEDIA_SCHEMA table of REAL PCM WAV payloads (the
+    container has no media files, but RIFF is pure byte arithmetic):
+    each doc becomes a mono 16-bit WAV with ``n_chars × 16`` samples,
+    so duration_ms = 2 × n_chars at 8 kHz — an arithmetic identity an
+    SQL oracle can state independently, which pins the writer+parser
+    ROUNDTRIP end to end. Arrow ``mapInPandas`` builder (byte assembly
+    is imperative batch work — the legitimate Python tier)."""
+    import struct as _struct
+
+    bytes_per_s = rate * 2  # mono, 16-bit
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        fmt = _struct.pack("<HHIIHH", 1, 1, rate, bytes_per_s, 2, 16)
+        for pdf in batches:
+            payloads, metas = [], []
+            for did, n_chars in zip(pdf["_id"], pdf["_chars"], strict=True):
+                n_bytes = int(n_chars) * 32  # n_chars*16 samples × 2 B
+                data = (_struct.pack("<I", did & 0xFFFFFFFF) * (n_bytes // 4 + 1))[
+                    :n_bytes
+                ]
+                body = (
+                    b"WAVE"
+                    + b"fmt "
+                    + _struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + _struct.pack("<I", len(data))
+                    + data
+                )
+                payloads.append(b"RIFF" + _struct.pack("<I", len(body)) + body)
+                metas.append(
+                    {
+                        "media_type": "audio",
+                        "format": "wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": len(data) * 1000 // bytes_per_s,
+                        "size_bytes": len(payloads[-1]),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["_id"].values,
+                    "doc_id": pdf["_id"].values,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select(
+        F.col(id_col).alias("_id"), F.col(chars_col).alias("_chars")
+    ).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic MEDIA_SCHEMA table derived from the documents
     table (the container has no real media files). Payload = utf-8 text

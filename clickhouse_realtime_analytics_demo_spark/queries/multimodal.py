@@ -90,3 +90,45 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "media_wav_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_assets,
+           CAST(SUM(2 * n_chars) AS BIGINT) AS total_duration_ms,
+           CAST(MIN(8000) AS INT) AS sample_rate,
+           CAST(MAX(16) AS INT) AS bits_per_sample,
+           CAST(SUM(CAST(n_chars AS BIGINT) * 32) AS BIGINT) AS total_pcm_bytes
+    FROM documents
+    WHERE doc_id < 300
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec audio roundtrip through Arrow plumbing: synthesize
+    genuine PCM WAV payloads (RIFF writer, mapInPandas) and parse them
+    back with the pure-Python header decoder
+    (operators/multimodal.py::decode_audio, fake=None auto-selects the
+    real parse for sniffed WAVs). duration_ms = 2 x n_chars at 8 kHz
+    by construction, so the oracle states the roundtrip identity
+    independently — a wrong header write OR a wrong parse breaks the
+    hash match."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.synthesize_wav_media(docs)
+    feats = multimodal.extract_audio_features(media)
+    joined = feats.join(
+        docs.select(F.col("doc_id").alias("media_id"), "lang"), "media_id"
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+            F.min("sample_rate").alias("sample_rate"),
+            F.max("bits_per_sample").alias("bits_per_sample"),
+            F.sum("n_bytes").alias("total_pcm_bytes"),
+        )
+        .orderBy("lang")
+    )
