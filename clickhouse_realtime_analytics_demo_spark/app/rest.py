@@ -322,13 +322,16 @@ def create_app(
                     "page_views": r["views"],
                     "cart_adds": r["clicks"],
                     "purchases": r["purchases"],
-                    "cart_rate": round(r["click_rate"] * 100.0, 2),
+                    # rates are NULL when views=0 (double div-by-zero →
+                    # NULL in Spark); the reference returns 0 there via
+                    # nullIf guards (app_interactive.py:343-377)
+                    "cart_rate": round((r["click_rate"] or 0) * 100.0, 2),
                     "purchase_rate": (
                         round(r["purchases"] * 100.0 / r["clicks"], 2)
                         if r["clicks"]
                         else 0
                     ),
-                    "overall_conversion": round(r["purchase_rate"] * 100.0, 2),
+                    "overall_conversion": round((r["purchase_rate"] or 0) * 100.0, 2),
                 }
             )
         except Exception as exc:

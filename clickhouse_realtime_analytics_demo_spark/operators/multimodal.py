@@ -36,6 +36,7 @@ MB-sized).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -170,6 +171,16 @@ def sniff_format(payload: bytes) -> str | None:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     return None
+
+
+# What a DIRTY payload raises out of the real-decode tiers: a file that
+# sniffs as a known format but then fails to parse (text starting with
+# 'BM'/'P6', truncated raster, RLE/8-bit BMP, non-PCM WAV, malformed
+# headers). Under fake=None these fall through to the deterministic
+# stand-in instead of failing the whole Spark job on one bad row in a
+# mixed media table; under fake=False they propagate (caller demanded
+# a real decode). OSError covers PIL's UnidentifiedImageError.
+_DIRTY_PAYLOAD_ERRORS = (ValueError, ZeroDivisionError, IndexError, struct.error, OSError)
 
 
 def _parse_bmp(payload: bytes):
@@ -313,6 +324,10 @@ def _parse_wav(payload: bytes) -> dict:
     if audio_fmt != 1:
         raise ValueError(f"non-PCM WAV unsupported (format tag {audio_fmt})")
     bytes_per_s = rate * channels * (bits // 8)
+    if bytes_per_s <= 0:  # rate=0 / channels=0 / bits<8 in a malformed header
+        raise ValueError(
+            f"malformed WAV fmt chunk (rate={rate}, channels={channels}, bits={bits})"
+        )
     return {
         "format": "wav",
         "channels": channels,
@@ -331,23 +346,33 @@ def decode_image(payload: bytes, *, fake: bool | None = None) -> dict:
     uncompressed formats (BMP/PPM — sniffed by magic bytes), else the
     deterministic byte-level stand-in. ``fake=False`` demands a real
     decode and raises when neither PIL nor a pure parser applies
-    (e.g. JPEG without PIL); ``fake=True`` forces the stub (used by
-    the synthetic-corpus queries, whose payloads are not image bytes).
+    (e.g. JPEG without PIL) OR when a sniffed payload fails to parse;
+    ``fake=True`` forces the stub (used by the synthetic-corpus
+    queries, whose payloads are not image bytes). With ``fake=None`` a
+    dirty payload (sniffs as a format, fails to parse) falls through
+    to the stand-in instead of failing the job — mixed/dirty media
+    tables are the normal case at ingest.
     """
     if not fake:  # None or False: try the real decodes first
-        if pil_available():
-            return _pil_decode(payload)
         fmt = sniff_format(payload)
-        if fmt == "bmp":
-            return _pixel_features(*_parse_bmp(payload))
-        if fmt == "ppm":
-            return _pixel_features(*_parse_ppm(payload))
-        if fake is False:
-            raise NotImplementedError(
-                f"real decode of format {fmt!r} requires an image library "
-                "(PIL/torchvision); only uncompressed BMP/PPM decode "
-                "without one. Re-run with fake=True for the stub."
-            )
+        try:
+            if pil_available():
+                return _pil_decode(payload)
+            if fmt == "bmp":
+                return _pixel_features(*_parse_bmp(payload))
+            if fmt == "ppm":
+                return _pixel_features(*_parse_ppm(payload))
+        except _DIRTY_PAYLOAD_ERRORS:
+            if fake is False:
+                raise
+            # fall through to the deterministic stand-in
+        else:
+            if fake is False:
+                raise NotImplementedError(
+                    f"real decode of format {fmt!r} requires an image library "
+                    "(PIL/torchvision); only uncompressed BMP/PPM decode "
+                    "without one. Re-run with fake=True for the stub."
+                )
     import math
 
     n = len(payload)
@@ -388,11 +413,17 @@ def decode_audio(payload: bytes, *, fake: bool | None = None) -> dict:
     header walk for PCM WAV (sniffed), else the deterministic
     stand-in. ``fake=False`` demands the real parse (raises on
     non-WAV — compressed audio needs a codec library this container
-    lacks); ``fake=True`` forces the stand-in."""
+    lacks — and on malformed/non-PCM WAV headers); ``fake=True``
+    forces the stand-in. Dirty sniffed-as-WAV payloads fall through to
+    the stand-in under ``fake=None`` (see :data:`_DIRTY_PAYLOAD_ERRORS`)."""
     if not fake:
         if sniff_format(payload) == "wav":
-            return _parse_wav(payload)
-        if fake is False:
+            try:
+                return _parse_wav(payload)
+            except _DIRTY_PAYLOAD_ERRORS:
+                if fake is False:
+                    raise
+        elif fake is False:
             raise NotImplementedError(
                 "real audio decode beyond PCM WAV requires an audio "
                 "library (av/soundfile); re-run with fake=True for the stub"

@@ -18,16 +18,19 @@ the ``operators/ranking.py`` pattern applied to sums instead of
 counts:
 
 1. order-aligned bucket id from ``percentile_approx`` split points on
-   the (unique) order column — approximate boundaries, EXACT sums:
-   boundary quality affects only balance;
+   the (unique) order column, collected ONCE to driver literals
+   (≤ num_buckets-1 doubles — the bounded IVF-centroid pattern, not a
+   data-sized collect) so every plan branch sees identical boundaries
+   — approximate boundaries, EXACT sums: boundary quality affects
+   only balance;
 2. per-bucket token sums (one small aggregate, ≤ num_buckets rows);
 3. bucket offsets = sums of strictly-earlier buckets via a triangular
    self-join over that BOUNDED aggregate (≤ num_buckets² pairs
    regardless of table size), broadcast-joined back;
 4. within-bucket running sum — a partitioned window.
 
-Everything is one lazy plan; no collects, no unpartitioned window
-over data-sized input. Like ``operators/ranking.py``, the plan scans
+Beyond that bounded bounds collect, everything is one lazy plan — no
+unpartitioned window over data-sized input. Like ``operators/ranking.py``, the plan scans
 its input from several branches (bounds sketch, per-bucket sums,
 final join) — callers whose upstream is expensive should persist the
 input DataFrame first; the registered query's upstream is a plain
@@ -55,18 +58,24 @@ def exact_prefix_sum(
     are). Distributed-exact: see the module docstring."""
     o = F.col(order_col)
     probs = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = df.agg(
+    # Bucket boundaries come from percentile_approx, whose sketch merge
+    # is partition-order nondeterministic — and the bounds feed MULTIPLE
+    # plan branches (per-bucket sums vs the final probe side). Left
+    # in-plan, identical boundaries on both branches would rest on
+    # Spark's exchange-reuse optimization; if reuse is disabled or
+    # defeated, divergent bounds could silently drop rows through the
+    # _bucket equi-join. Collect ONCE to driver literals instead
+    # (≤ num_buckets-1 doubles — bounded at any corpus size), so every
+    # branch sees the same boundaries by construction. Boundary values
+    # affect only bucket BALANCE; the prefix sums stay exact.
+    row = df.agg(
         F.percentile_approx(o.cast("double"), probs, 1_000).alias("_bounds")
-    )
-    bucketed = (
-        df.crossJoin(F.broadcast(bounds))  # 1-row build side: literal-like
-        .withColumn("_o", o.cast("double"))  # pre-project: HOF lambdas
-        # re-evaluate referenced expressions per element
-        .withColumn(
-            "_bucket", F.size(F.filter("_bounds", lambda b: F.col("_o") > b))
-        )
-        .drop("_bounds", "_o")
-    )
+    ).first()
+    bounds = [float(b) for b in (row["_bounds"] or [])]
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(o.cast("double") > F.lit(b), 1).otherwise(0)
+    bucketed = df.withColumn("_bucket", bucket)
     per_bucket = bucketed.groupBy("_bucket").agg(F.sum(val_col).alias("_bsum"))
     # Bucket offsets via a triangular self-join over the BOUNDED
     # (≤ num_buckets+1 row) aggregate — sum of strictly-earlier bucket

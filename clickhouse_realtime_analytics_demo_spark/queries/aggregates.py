@@ -92,7 +92,6 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel counters via aggregate-over-CASE + ratio-of-aggregates
     (A6/A12: mv_user_funnel 01-create-tables.sql:127-129; conversion
     rates app.py:303-305)."""
-    events = table(spark, sf_dir, "events")
 
     def step(t: str) -> F.Column:
         return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
@@ -101,8 +100,17 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         step("view").alias("views"),
         step("click").alias("clicks"),
         step("purchase").alias("purchases"),
-        (step("click").cast("double") / step("view").cast("double")).alias("click_rate"),
-        (step("purchase").cast("double") / step("view").cast("double")).alias("purchase_rate"),
+        # try_divide: NULL (not an ANSI DIVIDE_BY_ZERO error) when the
+        # window holds no views — identical to plain division whenever
+        # views > 0, which is the whole oracle-checked domain; the
+        # zero-traffic case is the live route's empty-window poll
+        # (reference guards with nullIf, app_interactive.py:343-377)
+        F.try_divide(step("click").cast("double"), step("view").cast("double")).alias(
+            "click_rate"
+        ),
+        F.try_divide(
+            step("purchase").cast("double"), step("view").cast("double")
+        ).alias("purchase_rate"),
     )
 
 

@@ -108,6 +108,33 @@ def test_live_conversion_rate_contract(client):
     assert d["purchase_rate"] == round(d["purchases"] * 100.0 / d["cart_adds"], 2)
 
 
+def test_live_conversion_rate_zero_views(spark, tmp_path):
+    """ADVICE r7: with no view/click events the funnel rates are NULL
+    (Spark double div-by-zero); the route must return 0 rates like the
+    reference's nullIf guards (app_interactive.py:343-377) — not 500."""
+    import os
+    from pathlib import Path
+
+    # all other tables symlinked unchanged (create_app builds its
+    # dictionaries from the dims at startup)
+    for p in Path(SF_DIR).glob("*.parquet"):
+        if p.name != "events.parquet":
+            os.symlink(p, tmp_path / p.name)
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events.filter("event_type NOT IN ('view', 'click')").write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    app = create_app(spark, str(tmp_path), query_log=QueryLog())
+    app.testing = True
+    with app.test_client() as c:
+        r = c.get("/api/live/conversion-rate")
+    assert r.status_code == 200
+    d = r.get_json()
+    assert d["page_views"] == 0 and d["cart_adds"] == 0
+    assert d["cart_rate"] == 0 and d["purchase_rate"] == 0
+    assert d["overall_conversion"] == 0
+
+
 def test_search_parameterized(client):
     d = client.get("/api/search?q=green&limit=5").get_json()
     assert isinstance(d, list) and len(d) <= 5

@@ -220,6 +220,50 @@ def test_wav_decode_bit_exact():
         multimodal.decode_audio(b"\x00" * 64, fake=False)
 
 
+def test_dirty_payloads_fall_back_to_stub_under_auto():
+    """ADVICE r7: a payload that SNIFFS as bmp/ppm/wav but fails to
+    parse (text starting with the magic, truncated file, malformed
+    header) must take the deterministic stand-in under fake=None — not
+    propagate out of mapInPandas and fail the whole job. fake=False
+    still raises (the caller demanded a real decode)."""
+    dirty_images = [
+        b"BM this is text that merely starts with the BMP magic bytes....",
+        b"P6 not really a pixmap",
+        make_bmp(_PIXELS)[:30],  # truncated mid-header
+    ]
+    if not multimodal.pil_available():
+        for p in dirty_images:
+            assert multimodal.decode_image(p) == multimodal.decode_image(p, fake=True)
+            with pytest.raises((ValueError, IndexError, struct.error)):
+                multimodal.decode_image(p, fake=False)
+    # WAV sniffs fine but has no fmt/data chunk
+    no_chunks = b"RIFF" + struct.pack("<I", 8) + b"WAVEjunk"
+    # malformed fmt chunk with rate=0: previously ZeroDivisionError
+    zfmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    zbody = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(zfmt)) + zfmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    zero_rate = b"RIFF" + struct.pack("<I", len(zbody)) + zbody
+    for p in (no_chunks, zero_rate):
+        assert multimodal.decode_audio(p) == multimodal.decode_audio(p, fake=True)
+        with pytest.raises(ValueError):
+            multimodal.decode_audio(p, fake=False)
+
+
+def test_dirty_media_table_through_spark(spark):
+    """Mixed clean/dirty media table end-to-end: the job completes and
+    only the dirty row takes the stand-in."""
+    dirty = b"BM plain text, definitely not a bitmap"
+    rows = [(1, 1, make_bmp(_PIXELS), None), (2, 2, dirty, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in multimodal.extract_image_features(media).collect()}
+    assert (feats[1].width, feats[1].height) == (3, 2)
+    expect = multimodal.decode_image(dirty, fake=True)
+    assert feats[2].phash == expect["phash"]
+    assert feats[2].width == expect["width"]
+
+
 def test_real_fixture_features_through_spark(spark):
     """The VERDICT r6 #6 gate: the image-features operator produces
     REAL (not stand-in) width/height/entropy for BMP fixtures, and the

@@ -58,12 +58,13 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     "nation_activity": ({"BroadcastHashJoinExec": 2}, True),
     "top_active_users": ({}, True),
     # round-7 pipeline additions: PII scan is a pure aggregation; the
-    # packing prefix sum carries 4 bounded-build nested-loop joins by
-    # construction (1-row percentile bounds × plan branches + the
-    # ≤num_buckets² triangular offsets join) — bounded at ANY scale
+    # packing prefix sum keeps exactly ONE bounded-build nested-loop
+    # join — the ≤num_buckets² triangular offsets join (r8: the
+    # percentile bounds are collected to driver literals, ADVICE r7,
+    # which removed the 3 former 1-row bounds crossJoin branches)
     "doc_pii_scan": ({}, False),
     "doc_pack_shards": (
-        {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 4},
+        {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 1},
         False,
     ),
 }
