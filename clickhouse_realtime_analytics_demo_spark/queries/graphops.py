@@ -141,13 +141,25 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, so the oracle comparison stays bit-exact
     without the decimal-sum detour.
     """
+    filtered, blocked = _prep_filtered(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(blocked, threshold=0.6, n=3, block_col="blk")
+    return _prep_downstream(filtered, pairs)
+
+
+def _prep_filtered(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared quality-filter stage of the two corpus-prep pipelines:
+    (filtered docs, filtered docs + the (source,lang) block key)."""
     docs = table(spark, sf_dir, "documents")
     quality = text.quality_score(F.col("text"), F.col("n_chars"))
     filtered = docs.filter(quality >= 0.55).select(
         "doc_id", "lang", "source", "text", "n_chars"
     )
-    blocked = filtered.withColumn("blk", F.concat_ws("|", "source", "lang"))
-    pairs = dedup.ngram_jaccard_pairs(blocked, threshold=0.6, n=3, block_col="blk")
+    return filtered, filtered.withColumn("blk", F.concat_ws("|", "source", "lang"))
+
+
+def _prep_downstream(filtered: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared tail of the two corpus-prep pipelines: keep-one → 80%
+    hash sample → per-lang stats."""
     kept = graph.keep_one_per_cluster(filtered, pairs)
     sampled = sampling.sample_hash(kept, "doc_id", 0.8, seed="cp")
     return (
@@ -161,6 +173,34 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register("corpus_prep_pipeline_lsh")  # rows-only: xxhash64 MinHash has
+# no DuckDB twin. Pinned instead by tests/test_corpus_prep_lsh.py:
+# (a) END-TO-END output equality vs the oracle-green exact
+# corpus_prep_pipeline at sf0.001 and sf0.01 (where LSH recall at the
+# 0.6 threshold is total), (b) survivor-SET equality, (c) a pair-set
+# recall assertion vs dedup.ngram_jaccard_pairs.
+def corpus_prep_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep composition in its 100 TB shape (VERDICT r7 #1):
+    quality filter → MinHash-LSH candidates over char-3-gram sets with
+    the ``max_bucket_size`` valve → exact-Jaccard verify on semi-pruned
+    shingles (``dedup.minhash_char_dedup_pairs``) → star-contraction
+    keep-one → deterministic 80% hash sample → per-lang stats.
+
+    Same similarity measure, threshold, blocking, and downstream as
+    ``corpus_prep_pipeline`` — but candidate generation is bucketed
+    (work ∝ colliding docs, never block²) and nothing corpus-sized is
+    ever broadcast. The exact form stays registered as the DuckDB-
+    checkable twin; this is the one to run on a real corpus, and the
+    one benchmarked.
+    """
+    filtered, blocked = _prep_filtered(spark, sf_dir)
+    pairs = dedup.minhash_char_dedup_pairs(
+        blocked, threshold=0.6, bands=16, shingle_n=3,
+        max_bucket_size=64, block_col="blk",
+    )
+    return _prep_downstream(filtered, pairs)
 
 
 @register(

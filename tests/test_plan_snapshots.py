@@ -51,6 +51,15 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # covered by the graph operator's own tests and scale probe.
     "dedup_cluster_resolution": ({}, False),
     "corpus_prep_pipeline": ({"BroadcastHashJoinExec": 1}, False),
+    # r8: the scale-shaped composition. Its LSH candidate generation,
+    # semi-pruned verify, and CC rounds all run behind eager
+    # localCheckpoint barriers (operators/dedup.py
+    # minhash_char_dedup_pairs — NOTHING corpus-sized is broadcast
+    # there, asserted by tests/test_corpus_prep_lsh.py equality +
+    # the operator's own plan); the final executed plan is the
+    # keep-one anti-join (AQE-broadcast of the small non-rep side)
+    # over the filtered scan plus the bounded per-lang agg.
+    "corpus_prep_pipeline_lsh": ({"BroadcastHashJoinExec": 1}, False),
     "doc_repetition_stats": ({}, False),
     "contamination_check": ({"BroadcastHashJoinExec": 1}, False),
     # the round-7 live-route backings: per-customer pre-agg below two
