@@ -38,3 +38,45 @@ def test_no_cap_is_default(spark):
     assert {(r.id_a, r.id_b) for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()} >= {
         (100, 101)
     }
+
+
+def _blocked_docs(spark):
+    # block "mega": 6 near-identical docs (quadratic blow-up bait);
+    # block "ok": 2 near-identical docs.
+    mega = [(i, "mega", "alpha beta gamma delta epsilon zeta " * 8 + f"tail{i}") for i in range(6)]
+    ok = [
+        (100, "ok", "the quick brown fox jumps over the lazy dog near the river bank"),
+        (101, "ok", "the quick brown fox jumps over the lazy dog near the river bend"),
+    ]
+    return spark.createDataFrame(mega + ok, "doc_id long, blk string, text string")
+
+
+def test_block_cap_drops_megablock_keeps_small(spark):
+    docs = _blocked_docs(spark)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, block_col="blk").collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, block_col="blk", max_block_size=4
+        ).collect()
+    }
+    assert any(a < 100 and b < 100 for a, b in uncapped)
+    assert not any(a < 100 and b < 100 for a, b in capped)  # mega block dropped
+    assert (100, 101) in uncapped and (100, 101) in capped  # small block kept
+
+
+def test_unblocked_cap_refuses_oversized_input(spark):
+    docs = _blocked_docs(spark)
+    # whole input is one block of 8 > cap 4: the all-pairs form refuses
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_block_size=4).count() == 0
+    # cap >= input size: behaves exactly like no cap
+    assert {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_block_size=8).collect()
+    } == {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
