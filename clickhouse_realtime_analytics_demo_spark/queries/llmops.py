@@ -334,10 +334,39 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("doc_sample_stratified")  # rows-only: driver record is full at
-# 50 oracle slots (tests/test_registry_order.py); the EXACT DuckDB
-# equivalence — md5-prefix membership is portable SQL — is asserted
-# locally in tests/test_sampling.py instead.
+_STRATA_RATES = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+
+
+def _strata_threshold_sql() -> str:
+    """CASE mapping lang -> hex membership threshold, the SQL twin of
+    sample_stratified's map-literal lookup (default rate 0)."""
+    from clickhouse_realtime_analytics_demo_spark.operators import sampling
+
+    whens = " ".join(
+        f"WHEN '{lang}' THEN '{sampling.fraction_threshold(rate)}'"
+        for lang, rate in _STRATA_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE '{sampling.fraction_threshold(0.0)}' END"
+
+
+@register(  # oracle-backed past the 50-slot window (VERDICT r7 #4):
+    # md5-prefix membership is portable SQL, so the per-stratum
+    # threshold rides as a CASE — the same expression shape the Spark
+    # side evaluates as a map literal.
+    "doc_sample_stratified",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    WHERE doc_id IS NOT NULL
+      AND substr(md5(CAST(doc_id AS VARCHAR) || ':r5'), 1, 15)
+            < {_strata_threshold_sql()}
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
 def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data pipeline op):
     downsample the dominant language while keeping the tail — the
@@ -347,8 +376,7 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_realtime_analytics_demo_spark.operators import sampling
 
     docs = table(spark, sf_dir, "documents")
-    rates = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
-    s = sampling.sample_stratified(docs, "lang", rates, key_col="doc_id", seed="r5")
+    s = sampling.sample_stratified(docs, "lang", _STRATA_RATES, key_col="doc_id", seed="r5")
     return (
         s.groupBy("lang")
         .agg(
