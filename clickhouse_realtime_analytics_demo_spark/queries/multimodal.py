@@ -1,12 +1,15 @@
 """Multimodal-pipeline queries (beyond-reference surface).
 
 The media table is synthesized deterministically from ``documents``
-(payload = utf-8 text bytes — no real media files in the container;
-operators/multimodal.py documents the stub boundary). The synthesis
-and metadata paths are pure JVM expressions and oracle-checked; the
-Arrow/mapInPandas decode path is rows-only (sha-digest features have
-no DuckDB twin) but unit-tested against the driver-side codec in
-tests/test_multimodal.py.
+(no real media files in the container; operators/multimodal.py
+documents the stub boundary). The metadata paths are pure JVM
+expressions and oracle-checked. The Arrow/mapInPandas decode path is
+pinned two ways: the REAL-codec roundtrips (``media_wav_stats``,
+``media_png_stats``) synthesize genuine WAV/PNG payloads whose
+duration/dimension/pixel stats are arithmetic identities an oracle
+states independently, while the stub-decode queries stay rows-only
+(sha-digest features have no DuckDB twin) and are unit-tested against
+the driver-side codec in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -129,6 +132,58 @@ def media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("sample_rate").alias("sample_rate"),
             F.max("bits_per_sample").alias("bits_per_sample"),
             F.sum("n_bytes").alias("total_pcm_bytes"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "media_png_stats",
+    # The image twin of media_wav_stats, now through a COMPRESSED
+    # format: synthesize_png_media's gradient gives closed-form
+    # dimensions and pixel stats (w = 8 + doc_id%5, h = 5 + doc_id%4,
+    # base = doc_id%180, byte_mean = base + (w-1)/2 + (h-1),
+    # content bytes = 3*w*h), which this SQL states independently of
+    # the codec. byte_mean terms are exact multiples of 0.5 far below
+    # 2^52, so the double SUM is order-independent and hash-stable.
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_assets,
+           CAST(SUM(8 + doc_id % 5) AS BIGINT) AS total_width,
+           CAST(SUM(5 + doc_id % 4) AS BIGINT) AS total_height,
+           CAST(SUM(3 * (8 + doc_id % 5) * (5 + doc_id % 4)) AS BIGINT)
+             AS total_content_bytes,
+           SUM((doc_id % 180) + (8 + doc_id % 5 - 1) / 2.0 + (5 + doc_id % 4 - 1))
+             AS sum_byte_mean
+    FROM documents
+    WHERE doc_id < 300
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def media_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real compressed-codec image roundtrip through Arrow plumbing:
+    synthesize genuine PNG payloads (stdlib deflate writer cycling all
+    five filter types, mapInPandas) and decode them back with the
+    pure-Python inflate+defilter parser
+    (operators/multimodal.py::_parse_png via decode_image fake=None).
+    Width/height/content-bytes/byte-mean are arithmetic identities of
+    doc_id by construction, so the oracle pins the write→read
+    roundtrip end to end — a wrong filter on write OR a wrong
+    defilter on read breaks the hash match."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.synthesize_png_media(docs)
+    feats = multimodal.extract_image_features(media)
+    joined = feats.join(
+        docs.select(F.col("doc_id").alias("media_id"), "lang"), "media_id"
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("width").alias("total_width"),
+            F.sum("height").alias("total_height"),
+            F.sum("n_bytes").alias("total_content_bytes"),
+            F.sum("byte_mean").alias("sum_byte_mean"),
         )
         .orderBy("lang")
     )

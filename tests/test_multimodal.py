@@ -288,3 +288,55 @@ def test_real_fixture_features_through_spark(spark):
     assert rows[3].format == "wav" and rows[3].duration_ms == 2000
     assert rows[3].sample_rate == 8000 and rows[3].channels == 1
     assert rows[4].format == "fake"  # mixed table: stub only where needed
+
+
+# ----------------------------------------- pure-Python PNG codec (r8)
+
+
+def test_png_decode_matches_bmp_and_ppm():
+    # identical pixels -> identical features across all three
+    # containers, including the luma average-hash; PNG is the real
+    # compressed path (zlib inflate + defilter)
+    png = multimodal.decode_image(multimodal.encode_png(_PIXELS), fake=False)
+    bmp = multimodal.decode_image(make_bmp(_PIXELS), fake=False)
+    assert png == bmp
+
+
+def test_png_all_five_filters_bit_exact():
+    # 13x8 gradient: encode_png stores row y with filter y % 5, so one
+    # payload exercises None/Sub/Up/Average/Paeth; the gradient makes
+    # every filter's prediction nontrivial
+    w, h, base = 13, 8, 40
+    pixels = [[(base + x + 2 * y,) * 3 for x in range(w)] for y in range(h)]
+    feats = multimodal.decode_image(multimodal.encode_png(pixels), fake=False)
+    n, mean, entropy = _expected_stats(pixels)
+    assert (feats["width"], feats["height"]) == (w, h)
+    assert feats["n_bytes"] == n
+    assert feats["byte_mean"] == mean == base + (w - 1) / 2 + (h - 1)
+    assert feats["byte_entropy"] == entropy
+
+
+def test_png_rgba_and_gray_feature_parity():
+    w, h, base = 9, 6, 70
+    rgb = [[(base + x + 2 * y,) * 3 for x in range(w)] for y in range(h)]
+    rgba = [[px + (17,) for px in row] for row in rgb]
+    gray = [[(px[0],) for px in row] for row in rgb]
+    f_rgb = multimodal.decode_image(multimodal.encode_png(rgb, color_type=2), fake=False)
+    f_rgba = multimodal.decode_image(multimodal.encode_png(rgba, color_type=6), fake=False)
+    f_gray = multimodal.decode_image(multimodal.encode_png(gray, color_type=0), fake=False)
+    assert f_rgba == f_rgb  # alpha dropped from content stats
+    assert f_gray == f_rgb  # gray replicated to RGB
+
+
+def test_dirty_png_falls_back_to_stub_under_auto():
+    good = multimodal.encode_png(_PIXELS)
+    dirty = [
+        b"\x89PNG\r\n\x1a\n" + b"text that merely starts with the magic",
+        good[:40],                      # truncated mid-chunk
+        good[:33] + b"\x00" * 20,       # IDAT replaced with zeros: zlib.error
+    ]
+    for payload in dirty:
+        feats = multimodal.decode_image(payload, fake=None)  # stand-in, no raise
+        assert feats["n_bytes"] == len(payload)
+        with pytest.raises(multimodal._DIRTY_PAYLOAD_ERRORS):
+            multimodal.decode_image(payload, fake=False)
