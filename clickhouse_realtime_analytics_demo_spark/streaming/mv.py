@@ -305,6 +305,7 @@ def compact(
     mv_path: str,
     spec: MVSpec,
     checkpoint_dir: str | None = None,
+    retain_where: Column | None = None,
 ) -> None:
     """Background-merge analog: fold equal-key partial rows. Readers
     never require this — it bounds MV size, like MergeTree merges.
@@ -350,16 +351,39 @@ def compact(
     fold every 2–4 minutes — <1% duty cycle. There is no part count at
     which compaction hurts ingest (appends don't see parts), so the
     threshold trades only reader latency against fold frequency.
+
+    ``retain_where``: optional retention predicate over the MV's key
+    columns, applied BEFORE the fold — the analog of ClickHouse
+    ``TTL event_date + INTERVAL d DAY DELETE`` on a Summing table,
+    and what bounds the no-watermark design's state: this engine
+    keeps no streaming state store (partials append per batch), so
+    the MV table itself is the state, its steady-state size is
+    ``retention_days × |daily active keys|`` rows, and the fold that
+    already runs on the max_parts=128 cadence enforces the bound for
+    free (drop-then-fold is one pass; measured in
+    `scale_probe.py funnelstate` / SCALEPROBE.md). Rows failing the
+    predicate are expired by definition — same contract as
+    ``retention.apply_ttl`` on base tables.
     """
     schema = _mv_schema(spark, spec)
+
+    def _fold(df: DataFrame) -> DataFrame:
+        if retain_where is not None:
+            df = df.filter(retain_where)
+        return _canonicalize(
+            df.groupBy(*spec.keys).agg(*_reagg_exprs(spec)), spark, spec
+        )
+
     parts_store.compact_parts(
         mv_path,
         # explicit schema: no footer-inference job over the snapshot
         read_parts=lambda ps: spark.read.schema(schema).parquet(*ps),
-        fold=lambda df: _canonicalize(
-            df.groupBy(*spec.keys).agg(*_reagg_exprs(spec)), spark, spec
-        ),
+        fold=_fold,
         checkpoint_dir=checkpoint_dir,
+        # a retention fold is a REWRITE, not just a merge: it must run
+        # even when the store is already one part (min_parts=1), or an
+        # already-compacted MV could never expire anything
+        min_parts=1 if retain_where is not None else 2,
         # tests monkeypatch mv._finish_deletes to simulate crashes
         finish=lambda *a: _finish_deletes(*a),
     )

@@ -266,6 +266,145 @@ def mv_probe(spark, part_counts=(8, 32, 64, 128, 256, 512), rows_per_batch=200) 
     return out
 
 
+def funnel_state_probe(
+    spark,
+    user_counts=(200, 2_000, 20_000),
+    batches=40,
+    rows_per_batch=1_000,
+    retain_days=30,
+) -> list[dict]:
+    """State growth for the per-(user,day) funnel MV at 1×/10×/100× key
+    cardinality (VERDICT r7 #7 — SURVEY §7's flagged hard part).
+
+    This engine's MVs keep NO streaming state store (partials append
+    per micro-batch; the MV table IS the state), so there is no
+    watermark to size. The probe measures the quantities that replace
+    state-store size and watermark setting:
+
+    - per-batch append latency at full cardinality (must be FLAT in
+      total key count — a batch only aggregates its own rows);
+    - MV live rows = the state (must track DISTINCT KEYS TOUCHED,
+      saturating at |users| × 90 generated days, not input rows);
+    - ``read_final`` / ``compact`` latency vs cardinality;
+    - the TTL bound: ``compact(retain_where=event_date >= cutoff)``
+      — the ClickHouse ``TTL ... DELETE`` analog — with the resulting
+      state reduction, codifying steady-state rows =
+      retention_days × |daily active keys|.
+
+    Events span 90 generated days, so the low-cardinality arm
+    SATURATES its keyspace (200 users × 90 d = 18k keys < 40k input
+    rows): state stops growing with input exactly when the bound
+    predicts, while the high arm keeps ~1 key/row.
+    """
+    import shutil as _sh
+    import tempfile as _tf
+
+    from clickhouse_realtime_analytics_demo_spark.sources import generator
+    from clickhouse_realtime_analytics_demo_spark.streaming import mv
+
+    spec = mv.mv_specs()["mv_user_funnel"]
+    out = []
+    for n_users in user_counts:
+        root = _tf.mkdtemp(prefix=f"funnelstate_{n_users}_")
+        path = f"{root}/mv"
+        written = 0
+        for _ in range(batches):
+            batch = generator.events(
+                spark, n=rows_per_batch, n_users=n_users, seed=7000 + written,
+                partitions=1, id_offset=written * rows_per_batch,
+            )
+            mv.write_batch(batch, spec, path, written)
+            written += 1
+        t_append = float("inf")
+        for _ in range(3):
+            batch = generator.events(
+                spark, n=rows_per_batch, n_users=n_users, seed=7000 + written,
+                partitions=1, id_offset=written * rows_per_batch,
+            )
+            t0 = time.perf_counter()
+            mv.write_batch(batch, spec, path, written)
+            t_append = min(t_append, time.perf_counter() - t0)
+            written += 1
+        partials = mv._read_partials(spark, path, spec)
+        live_rows = partials.count()
+        state_keys = partials.select(*spec.keys).distinct().count()
+        t_read = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            mv.read_final(spark, path, spec).agg(F.sum("total_events")).collect()
+            t_read = min(t_read, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        mv.compact(spark, path, spec)
+        t_compact = time.perf_counter() - t0
+        rows_folded = mv._read_partials(spark, path, spec).count()
+        # TTL fold: retain only the trailing retain_days of the
+        # 90-day generated window
+        cutoff = (
+            mv._read_partials(spark, path, spec)
+            .select(F.date_sub(F.max("event_date"), retain_days - 1).alias("c"))
+            .collect()[0]["c"]
+        )
+        t0 = time.perf_counter()
+        mv.compact(spark, path, spec, retain_where=F.col("event_date") >= F.lit(cutoff))
+        t_ttl = time.perf_counter() - t0
+        rows_retained = mv._read_partials(spark, path, spec).count()
+        row = {
+            "users": n_users,
+            "keyspace": n_users * 90,
+            "input_rows": written * rows_per_batch,
+            "state_rows": live_rows,
+            "state_keys": state_keys,
+            "append_ms": round(t_append * 1000, 1),
+            "read_final_ms": round(t_read * 1000, 1),
+            "compact_s": round(t_compact, 2),
+            "rows_folded": rows_folded,
+            "ttl_fold_s": round(t_ttl, 2),
+            "rows_retained": rows_retained,
+        }
+        out.append(row)
+        print(json.dumps({"funnel_state_probe": row}), flush=True)
+        _sh.rmtree(root, ignore_errors=True)
+    return out
+
+
+def write_funnel_section(rows: list[dict], retain_days: int = 30) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## Funnel MV state vs key cardinality"
+    text, tail_sections = _splice_section(text, marker)
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py funnelstate`: mv_user_funnel (per-(user,day)"
+        " keys — SURVEY §7's flagged state-growth hard part) grown with"
+        " real sink writes at 1×/10×/100× user cardinality, 40+3 ×"
+        " 1000-row micro-batches over the generator's 90-day event"
+        " window. No streaming state store exists to size (partials"
+        " append per batch; the MV table IS the state), so the columns"
+        " are the replacing quantities: append latency (flat ⇒ ingest"
+        " never pays for cardinality), state rows vs distinct keys"
+        " (state tracks KEYS TOUCHED, saturating at users × 90 days,"
+        " not input rows), and the TTL fold"
+        f" (`compact(retain_where=event_date ≥ max-{retain_days}d)`,"
+        " the ClickHouse `TTL … DELETE` analog) that codifies the"
+        f" steady-state bound: rows = {retain_days} × |daily active"
+        " keys|.",
+        "",
+        "| users | keyspace | input rows | state rows | state keys |"
+        " append (ms) | read_final (ms) | compact (s) | rows folded |"
+        " TTL fold (s) | rows retained |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['users']} | {r['keyspace']} | {r['input_rows']} |"
+            f" {r['state_rows']} | {r['state_keys']} | {r['append_ms']} |"
+            f" {r['read_final_ms']} | {r['compact_s']} | {r['rows_folded']} |"
+            f" {r['ttl_fold_s']} | {r['rows_retained']} |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def write_mv_section(rows: list[dict]) -> None:
     md = Path("SCALEPROBE.md")
     text = md.read_text() if md.exists() else ""
@@ -1143,6 +1282,12 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_router")
         rows = router_probe(spark, k)
         write_router_section(rows, k)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "funnelstate":
+        spark = get_spark(app_name="scale_probe_funnel_state")
+        rows = funnel_state_probe(spark)
+        write_funnel_section(rows)
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "mv":
