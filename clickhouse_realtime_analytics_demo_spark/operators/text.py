@@ -187,6 +187,61 @@ def quality_score(text: Column, n_chars: Column) -> Column:
     return (F.lit(0.5) * len_part + F.lit(0.5) * char_part).cast("double")
 
 
+def rare_token_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-doc rare-token counts against the corpus vocabulary head —
+    the integer-exact core of CCNet-style rarity/perplexity filtering
+    (docs dominated by tokens the corpus has barely seen are OCR
+    noise, boilerplate mangling, or wrong-language fragments).
+
+    Returns ``(id[, keep...], n_tokens, n_rare)`` where a token is
+    RARE iff its corpus frequency < ``min_count``. All-integer
+    outputs, so a SQL oracle matches bit-exactly (no float-sum
+    ordering anywhere; derived ratios divide two ints, which is
+    IEEE-exact and portable).
+
+    Scale shape — the vocabulary join done right: joining exploded
+    tokens against full per-token counts is a big-big shuffle join
+    skewed by stopwords. Instead join against the COMMON set (tokens
+    with count ≥ min_count): by Zipf its size is bounded by
+    total_tokens / min_count — broadcastable at any corpus size for
+    reasonable thresholds — and rarity is the anti-hit. One explode,
+    one map-side-combined count, one broadcast left join, one groupBy
+    on the universal per-doc key. Docs with NULL/whitespace-only text
+    are excluded (no zero-token division downstream).
+    """
+    base = docs.filter(
+        F.col(text_col).isNotNull() & (token_count(F.col(text_col)) > 0)
+    )
+    # explode_outer: arrays are non-empty by the filter above; plain
+    # explode would trigger InferFiltersFromGenerate's pushed-down
+    # size(...)>0, re-inlining the tokenization per row
+    toks = base.select(
+        F.col(id_col).alias("id"),
+        *keep,
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    common = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("token", F.lit(1).alias("_common"))
+    )
+    return (
+        toks.join(F.broadcast(common), "token", "left")
+        .groupBy("id", *keep)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_common").isNull(), 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercase, whitespace collapsed, trimmed). The exact-dedup key."""

@@ -334,6 +334,69 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "doc_rare_token_stats",
+    # All-integer per-doc outputs (see operators/text.py::
+    # rare_token_stats): the rarity flag is the integer compare
+    # min_count*n_rare > n_tokens, and min_rare_ratio divides two
+    # ints (IEEE-exact, MIN is order-independent) — no float-sum
+    # ordering anywhere, so the hash match is bit-exact.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    common AS (
+        SELECT token FROM toks GROUP BY token HAVING COUNT(*) >= 5
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.lang,
+               COUNT(*) AS n_tokens,
+               SUM(CASE WHEN c.token IS NULL THEN 1 ELSE 0 END) AS n_rare
+        FROM toks t LEFT JOIN common c ON t.token = c.token
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_rare) AS BIGINT) AS rare_tokens,
+           CAST(SUM(CASE WHEN 5 * n_rare > n_tokens THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_rarity_docs,
+           MIN(n_rare / CAST(n_tokens AS DOUBLE)) AS min_rare_ratio
+    FROM per_doc
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vocabulary rarity scoring (CCNet-style quality signal):
+    tokens rare iff corpus frequency < 5; per-lang doc counts, token
+    totals, docs whose rare share exceeds 20% (stated as the integer
+    compare 5*n_rare > n_tokens), and the minimum rare ratio.
+
+    Scale: the vocabulary join is the interesting part — see
+    operators/text.py::rare_token_stats (broadcast of the Zipf-bounded
+    COMMON set + anti-hit, never a big-big token join)."""
+    docs = table(spark, sf_dir, "documents")
+    per_doc = text.rare_token_stats(docs, min_count=5, keep=("lang",))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_rare").alias("rare_tokens"),
+            F.sum(
+                F.when(F.lit(5) * F.col("n_rare") > F.col("n_tokens"), 1).otherwise(0)
+            ).alias("high_rarity_docs"),
+            F.min(
+                F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("min_rare_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 _STRATA_RATES = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
 
 

@@ -72,6 +72,9 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # percentile bounds are collected to driver literals, ADVICE r7,
     # which removed the 3 former 1-row bounds crossJoin branches)
     "doc_pii_scan": ({}, False),
+    # r8: the vocabulary join — rarity via an explicitly-broadcast
+    # Zipf-bounded COMMON set (anti-hit), never a big-big token join
+    "doc_rare_token_stats": ({"BroadcastHashJoinExec": 1}, False),
     "doc_pack_shards": (
         {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 1},
         False,
