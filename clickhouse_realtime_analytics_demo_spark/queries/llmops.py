@@ -451,6 +451,60 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_case_sql() -> str:
+    """Cumulative-threshold CASE, the SQL twin of split_hash's
+    when-chain (train 0.8 / val 0.1 / test 0.1, seed 'sp')."""
+    from clickhouse_realtime_analytics_demo_spark.operators import sampling
+
+    t80 = sampling.fraction_threshold(0.8)
+    t90 = sampling.fraction_threshold(0.9)
+    u = "substr(md5(CAST(doc_id AS VARCHAR) || ':sp'), 1, 15)"
+    return (
+        f"CASE WHEN {u} < '{t80}' THEN 'train' "
+        f"WHEN {u} < '{t90}' THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "doc_split_assignment",
+    # split membership is the same md5-prefix draw as the samplers, so
+    # the disjoint-exhaustive label assignment is portable SQL
+    oracle=f"""
+    SELECT {_split_case_sql()} AS split,
+           lang,
+           COUNT(*) AS docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    WHERE doc_id IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (training-data
+    pipeline op): every doc gets exactly one label from its (doc_id,
+    seed) hash draw — disjoint and exhaustive by construction, stable
+    under repartitioning and appends, re-derivable by any engine
+    (operators/sampling.py::split_hash). Narrow expression, no
+    shuffle beyond the bounded (split, lang) summary agg."""
+    from clickhouse_realtime_analytics_demo_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    s = sampling.split_hash(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="sp"
+    )
+    return (
+        s.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 # DuckDB twins of the enrichment expressions in doc_pii_scan: the
 # corpus carries no real PII, so both sides append deterministic
 # doc_id-derived contact strings before scanning — the operator is
