@@ -94,14 +94,18 @@ REPLICATE = {
 COPY = ("nation", "region")
 
 
-def replicate(spark, out_dir: str, k: int) -> None:
+def replicate(spark, out_dir: str, k: int, only: tuple[str, ...] | None = None) -> None:
+    """Grow the lake K× FK-consistently. ``only`` limits which
+    replicated tables are written (bounded dims still copied) — probes
+    touching a single table shouldn't pay for growing all nine."""
     shifts = {
         ent: table(spark, BASE_SF, tab).agg(F.max(col)).collect()[0][0] + 1
         for ent, (tab, col) in ENTITIES.items()
     }
     letters = "abcdefghijklmnopqrstuvwxyz"
     digits = "0123456789"
-    for name, col_entities in REPLICATE.items():
+    todo = {n: c for n, c in REPLICATE.items() if only is None or n in only}
+    for name, col_entities in todo.items():
         src = table(spark, BASE_SF, name)
         parts = []
         for i in range(k):
@@ -365,6 +369,83 @@ def funnel_state_probe(
         print(json.dumps({"funnel_state_probe": row}), flush=True)
         _sh.rmtree(root, ignore_errors=True)
     return out
+
+
+def corpusprep_probe(
+    spark, ks_exact=(1, 2, 4), ks_lsh=(1, 2, 4, 10)
+) -> list[dict]:
+    """Exact blocked pair generation vs the LSH composition as the
+    corpus grows — VERDICT r7 #1's scale argument, MEASURED instead of
+    asserted.
+
+    `replicate` grows documents with per-copy substitution ciphers, so
+    copies contribute DISJOINT shingle content (true near-dup pairs
+    grow ~linearly) while the (source, lang) BLOCK VALUES are shared —
+    blocks grow linearly with K, which is precisely the exact form's
+    hazard: its pair stage is Σ block², so its wall-clock should bend
+    ~quadratically in K. The LSH form's buckets are CONTENT-keyed
+    (cipher copies never collide) and valve-capped, so its cost is
+    Σ bucket² ∝ K. Exact is capped at K=4 by design (the quadratic arm
+    is the thing being demonstrated); both run the FULL registered
+    pipeline (pair gen + CC keep-one + sample + stats), best-of-2.
+    """
+    registry = all_queries()
+    out = []
+    for k in sorted(set(ks_exact) | set(ks_lsh)):
+        d = tempfile.mkdtemp(prefix=f"cpp_k{k}_")
+        replicate(spark, d, k, only=("documents",))
+        row: dict = {"k": k}
+        for name, ks in (
+            ("corpus_prep_pipeline", ks_exact),
+            ("corpus_prep_pipeline_lsh", ks_lsh),
+        ):
+            if k not in ks:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                registry[name].fn(spark, d).collect()
+                best = min(best, time.perf_counter() - t0)
+            row["exact_s" if name == "corpus_prep_pipeline" else "lsh_s"] = round(
+                best, 2
+            )
+        out.append(row)
+        print(json.dumps({"corpusprep_probe": row}), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def write_corpusprep_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## Corpus-prep pipelines vs corpus size"
+    text, tail_sections = _splice_section(text, marker)
+    base = rows[0]
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py corpusprep`: both registered corpus-prep"
+        " compositions run end-to-end on cipher-replicated documents"
+        " (disjoint content per copy ⇒ true pairs grow ~linearly, but"
+        " the shared (source,lang) BLOCKS grow linearly with K — the"
+        " exact form's Σ block² hazard on real corpora). Best-of-2"
+        " warm. Exact capped at K=4 by design: the quadratic arm is"
+        " the thing being demonstrated, the LSH arm the thing being"
+        " shipped (bench HEADLINE).",
+        "",
+        "| K | docs | exact pipeline (s) | ratio | LSH pipeline (s) | ratio |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        ex = r.get("exact_s")
+        ls = r.get("lsh_s")
+        exr = f"{round(ex / base['exact_s'], 1)}x" if ex and base.get("exact_s") else "—"
+        lsr = f"{round(ls / base['lsh_s'], 1)}x" if ls and base.get("lsh_s") else "—"
+        lines.append(
+            f"| {r['k']} | {r['k'] * 4792} | {ex if ex is not None else '—'} |"
+            f" {exr} | {ls if ls is not None else '—'} | {lsr} |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
 def write_funnel_section(rows: list[dict], retain_days: int = 30) -> None:
@@ -1282,6 +1363,12 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_router")
         rows = router_probe(spark, k)
         write_router_section(rows, k)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "corpusprep":
+        spark = get_spark(app_name="scale_probe_corpusprep")
+        rows = corpusprep_probe(spark)
+        write_corpusprep_section(rows)
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "funnelstate":

@@ -75,6 +75,9 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # r8: the vocabulary join — rarity via an explicitly-broadcast
     # Zipf-bounded COMMON set (anti-hit), never a big-big token join
     "doc_rare_token_stats": ({"BroadcastHashJoinExec": 1}, False),
+    # r8: split labels are a narrow when-chain over the hash draw —
+    # no join anywhere, only the bounded (split, lang) summary agg
+    "doc_split_assignment": ({}, False),
     "doc_pack_shards": (
         {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 1},
         False,
