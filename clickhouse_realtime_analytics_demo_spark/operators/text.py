@@ -347,6 +347,56 @@ def winnow_fingerprints(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 500,
+    stride: int = 400,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Split each document into fixed-size character windows with
+    overlap (stride < chunk_size) — the standard context-window prep
+    for training and retrieval corpora. Returns
+    ``(id[, keep...], chunk_idx, chunk_start, chunk_text)`` where
+    chunk k covers [k*stride, k*stride + chunk_size) 1-based, and the
+    last chunk is the first one whose window reaches the end of the
+    doc (every character lands in ≥1 chunk; no empty or dangling-tail
+    chunks).
+
+    Scale: a narrow explode over a per-doc ``sequence`` of offsets —
+    output rows ∝ total characters / stride, computed where the doc
+    partition lives; no shuffle, no UDF. Chunk texts come from
+    ``substring`` on the already-loaded text column, so the scan cost
+    is paid once. NULL/empty docs yield no chunks.
+    """
+    if not 0 < stride <= chunk_size:
+        raise ValueError(f"need 0 < stride <= chunk_size, got {stride}/{chunk_size}")
+    n = F.length(F.col(text_col))
+    # number of chunks: 1 + ceil(max(n - chunk_size, 0) / stride)
+    extra = F.greatest(n - F.lit(chunk_size), F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra.cast("double") / F.lit(stride)).cast("int")
+    base = docs.filter(F.col(text_col).isNotNull() & (n > 0)).select(
+        F.col(id_col).alias("id"),
+        *keep,
+        F.col(text_col).alias("_t"),
+        F.sequence(F.lit(0), n_chunks - 1).alias("_ks"),
+    )
+    # explode_outer: the sequence is non-empty by construction (the
+    # InferFiltersFromGenerate re-evaluation hazard, as elsewhere)
+    ch = base.select(
+        "id", *keep, "_t", F.explode_outer("_ks").alias("chunk_idx")
+    )
+    start = F.col("chunk_idx") * F.lit(stride) + 1  # substring is 1-based
+    return ch.select(
+        "id",
+        *keep,
+        "chunk_idx",
+        start.alias("chunk_start"),
+        F.substring(F.col("_t"), start, F.lit(chunk_size)).alias("chunk_text"),
+    )
+
+
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full feature set to a documents DataFrame."""
     t = F.col(text_col)

@@ -451,6 +451,57 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_chunk_stats",
+    # all-integer outputs; the oracle re-derives the chunk windows
+    # with generate_series arithmetic, so a wrong chunk count, start
+    # offset, or tail clamp breaks the hash
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, text, length(text) AS n
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    ch AS (
+        SELECT doc_id, lang,
+               unnest(generate_series(
+                   0,
+                   CAST(ceil(greatest(n - 500, 0) / 400.0) AS BIGINT)
+               )) AS chunk_idx,
+               text, n
+        FROM d
+    )
+    SELECT lang,
+           COUNT(*) AS chunks,
+           COUNT(DISTINCT doc_id) AS docs,
+           CAST(SUM(length(substr(text, chunk_idx * 400 + 1, 500))) AS BIGINT)
+             AS chunk_chars,
+           CAST(MAX(chunk_idx) AS INT) AS max_chunk_idx
+    FROM ch
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking (training/RAG context-window
+    prep): 500-char windows at stride 400, every character covered,
+    no empty tail chunks (operators/text.py::chunk_documents — a
+    narrow explode over per-doc offset sequences, no shuffle, no
+    UDF). Summarized per lang; the overlap shows up as chunk_chars >
+    total corpus chars."""
+    docs = table(spark, sf_dir, "documents")
+    ch = text.chunk_documents(docs, chunk_size=500, stride=400, keep=("lang",))
+    return (
+        ch.groupBy("lang")
+        .agg(
+            F.count("*").alias("chunks"),
+            F.countDistinct("id").alias("docs"),
+            F.sum(F.length("chunk_text")).alias("chunk_chars"),
+            F.max("chunk_idx").alias("max_chunk_idx"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _split_case_sql() -> str:
     """Cumulative-threshold CASE, the SQL twin of split_hash's
     when-chain (train 0.8 / val 0.1 / test 0.1, seed 'sp')."""

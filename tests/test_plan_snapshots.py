@@ -78,6 +78,9 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # r8: split labels are a narrow when-chain over the hash draw —
     # no join anywhere, only the bounded (split, lang) summary agg
     "doc_split_assignment": ({}, False),
+    # r8: chunking is a narrow explode over per-doc offset sequences —
+    # no join, no UDF, only the bounded per-lang summary agg
+    "doc_chunk_stats": ({}, False),
     "doc_pack_shards": (
         {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 1},
         False,

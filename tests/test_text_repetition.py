@@ -89,3 +89,40 @@ def test_pii_redaction_unit(spark):
     assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (1, 1, 1)
     assert out[2]["red"] == rows[1][1] and out[2]["e"] == 0
     assert out[3]["red"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+
+def test_chunk_documents_window_algebra(spark):
+    from clickhouse_realtime_analytics_demo_spark.operators import text as t
+
+    rows = [
+        (1, "a" * 300),          # shorter than chunk_size: 1 chunk
+        (2, "b" * 500),          # exactly chunk_size: 1 chunk
+        (3, "c" * 501),          # one char over: 2 chunks
+        (4, "d" * 900),          # 500 + 400: 2 chunks, no dangling tail
+        (5, "e" * 901),          # 3 chunks, last is 101 chars
+        (6, None),               # null: no chunks
+        (7, ""),                 # empty: no chunks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id, r.chunk_idx): (r.chunk_start, len(r.chunk_text))
+        for r in t.chunk_documents(docs, chunk_size=500, stride=400).collect()
+    }
+    assert out == {
+        (1, 0): (1, 300),
+        (2, 0): (1, 500),
+        (3, 0): (1, 500), (3, 1): (401, 101),
+        (4, 0): (1, 500), (4, 1): (401, 500),
+        (5, 0): (1, 500), (5, 1): (401, 500), (5, 2): (801, 101),
+    }
+    # every character covered: union of [start, start+len) spans 1..n
+    for doc_id, n in ((3, 501), (5, 901)):
+        covered = set()
+        for (d, _), (s, ln) in out.items():
+            if d == doc_id:
+                covered.update(range(s, s + ln))
+        assert covered == set(range(1, n + 1))
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.chunk_documents(docs, chunk_size=500, stride=501)
