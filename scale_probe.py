@@ -415,6 +415,69 @@ def corpusprep_probe(
     return out
 
 
+def textops_probe(spark, ks=(1, 4, 10)) -> list[dict]:
+    """Round-8 text ops vs corpus size: the vocabulary-rarity join
+    (broadcast of the Zipf-bounded COMMON set — cost should be ~linear
+    and the broadcast bounded) and overlapping chunking (narrow
+    explode — ~linear). Also records the common-set size at each K:
+    the broadcast bound in practice."""
+    from clickhouse_realtime_analytics_demo_spark.operators import text as _text
+
+    registry = all_queries()
+    out = []
+    for k in ks:
+        d = tempfile.mkdtemp(prefix=f"textops_k{k}_")
+        replicate(spark, d, k, only=("documents",))
+        row: dict = {"k": k}
+        docs = table(spark, d, "documents")
+        toks = docs.filter(F.col("text").isNotNull()).select(
+            F.explode_outer(_text.tokens(F.lower(F.col("text")))).alias("token")
+        )
+        row["common_tokens"] = (
+            toks.groupBy("token").agg(F.count("*").alias("n")).filter(F.col("n") >= 5).count()
+        )
+        for name, key in (("doc_rare_token_stats", "rare_s"), ("doc_chunk_stats", "chunk_s")):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                registry[name].fn(spark, d).collect()
+                best = min(best, time.perf_counter() - t0)
+            row[key] = round(best, 2)
+        out.append(row)
+        print(json.dumps({"textops_probe": row}), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def write_textops_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## Round-8 text ops vs corpus size"
+    text, tail_sections = _splice_section(text, marker)
+    base = rows[0]
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py textops`: the r8 vocabulary-rarity query"
+        " (broadcast COMMON set + anti-hit) and overlapping chunking on"
+        " cipher-replicated documents, best-of-3 warm. common_tokens ="
+        " measured size of the broadcast side (the Zipf bound in"
+        " practice: it grows far slower than the corpus because copies"
+        " add NEW vocabulary whose per-copy counts sit below the"
+        " threshold until enough copies share a gram).",
+        "",
+        "| K | docs | common tokens (broadcast side) | rarity query (s) | ratio | chunking query (s) | ratio |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['k']} | {r['k'] * 4792} | {r['common_tokens']} |"
+            f" {r['rare_s']} | {round(r['rare_s'] / base['rare_s'], 1)}x |"
+            f" {r['chunk_s']} | {round(r['chunk_s'] / base['chunk_s'], 1)}x |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def write_corpusprep_section(rows: list[dict]) -> None:
     md = Path("SCALEPROBE.md")
     text = md.read_text() if md.exists() else ""
@@ -1363,6 +1426,12 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_router")
         rows = router_probe(spark, k)
         write_router_section(rows, k)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "textops":
+        spark = get_spark(app_name="scale_probe_textops")
+        rows = textops_probe(spark)
+        write_textops_section(rows)
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "corpusprep":
