@@ -395,6 +395,7 @@ def maybe_compact(
     spec: MVSpec,
     checkpoint_dir: str | None = None,
     max_parts: int = 128,
+    retain_where: Column | None = None,
 ) -> bool:
     """Apply the measured cadence policy (see :func:`compact`): fold
     only when the live part count exceeds ``max_parts``. Returns True
@@ -409,7 +410,7 @@ def maybe_compact(
         # so stores that stay under the threshold still shed them.
         parts_store.reap_tombstones(live)
         return False
-    compact(spark, mv_path, spec, checkpoint_dir=checkpoint_dir)
+    compact(spark, mv_path, spec, checkpoint_dir=checkpoint_dir, retain_where=retain_where)
     return True
 
 
@@ -422,12 +423,19 @@ class Compactor:
     never folded early (see :func:`compact`). Runs its Spark jobs in
     the ``maintenance`` FAIR pool next to the streams it serves.
 
-    ``targets``: list of (mv_path, spec, checkpoint_dir). ``stats``
+    ``targets``: list of (mv_path, spec, checkpoint_dir) or
+    (mv_path, spec, checkpoint_dir, retention) where ``retention`` is
+    a zero-arg callable returning the retain-predicate Column for this
+    fold — a callable, not a Column, so time-relative TTLs
+    (event_date >= today - N) re-evaluate "now" at each fold instead
+    of freezing it at registration (and tests inject a frozen clock).
+    With retention set, every threshold-triggered fold also expires
+    rows — the ClickHouse "TTL applies on merges" cadence. ``stats``
     counts compactions performed, for tests and ops introspection.
     """
 
     spark: SparkSession
-    targets: list[tuple[str, MVSpec, str | None]]
+    targets: list[tuple]  # (path, spec, ckpt[, retention-callable])
     interval_s: float = 30.0
     max_parts: int = 128
     stats: dict[str, int] = field(default_factory=dict)
@@ -437,13 +445,16 @@ class Compactor:
     def _run(self) -> None:
         self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", "maintenance")
         while not self._stop.is_set():
-            for mv_path, spec, ckpt in self.targets:
+            for target in self.targets:
+                mv_path, spec, ckpt = target[0], target[1], target[2]
+                retention = target[3] if len(target) > 3 else None
                 if self._stop.is_set():
                     break
                 try:
                     if maybe_compact(
                         self.spark, mv_path, spec,
                         checkpoint_dir=ckpt, max_parts=self.max_parts,
+                        retain_where=retention() if retention else None,
                     ):
                         self.stats[spec.name] = self.stats.get(spec.name, 0) + 1
                 except Exception:

@@ -453,3 +453,46 @@ def test_mv_compact_retain_where_bounds_state(spark, tmp_path):
     after_df = mv._read_partials(spark, path, spec)
     assert after_df.filter(F.col("event_date") < F.lit(tighter)).count() == 0
     assert after_df.count() < before
+
+
+def test_compactor_applies_retention_on_fold(spark, tmp_path):
+    """A Compactor target with a retention callable expires rows when
+    the part threshold triggers a fold — the ClickHouse 'TTL applies
+    on merges' cadence, wired into the background service."""
+    spec = mv.mv_specs()["mv_user_funnel"]
+    path = str(tmp_path / "mv_funnel_ttl")
+    offset = 0
+    batches = []
+    for b in range(4):
+        batch = generator.events(spark, n=250, n_users=30, id_offset=offset, partitions=1)
+        mv.write_batch(batch, spec, path, b)
+        batches.append(batch)
+        offset += 250
+    src = batches[0]
+    for extra in batches[1:]:
+        src = src.unionByName(extra)
+    cutoff = src.select(F.date_sub(F.max(F.to_date("event_timestamp")), 29)).collect()[0][0]
+
+    comp = mv.Compactor(
+        spark,
+        targets=[(path, spec, None, lambda: F.col("event_date") >= F.lit(cutoff))],
+        interval_s=0.2,
+        max_parts=2,  # 4 live parts > 2: first tick folds
+    ).start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and comp.stats.get(spec.name, 0) < 1:
+            time.sleep(0.2)
+    finally:
+        comp.stop()
+    assert comp.stats.get(spec.name, 0) >= 1
+    partials = mv._read_partials(spark, path, spec)
+    assert partials.filter(F.col("event_date") < F.lit(cutoff)).count() == 0
+    got = _rows(mv.read_final(spark, path, spec), spec.keys)
+    want_df = mv.apply_partial(
+        src.withColumn("event_date", F.to_date("event_timestamp")).filter(
+            F.col("event_date") >= F.lit(cutoff)
+        ),
+        spec,
+    )
+    assert got == _rows(mv._canonicalize(want_df, spark, spec), spec.keys)
