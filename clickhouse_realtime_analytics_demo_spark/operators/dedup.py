@@ -568,6 +568,66 @@ def simhash_dedup_pairs(
 # ------------------------------------------------------ n-gram Jaccard
 
 
+def duplicate_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_docs: int = 2,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Cross-document duplicated n-gram span detection — the
+    exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-shaped from
+    suffix arrays to Spark's native algebra: hash every n-token
+    window, a window is DUPLICATED iff its hash occurs in ≥
+    ``min_docs`` distinct documents.
+
+    Returns ``(id[, keep...], n_windows, dup_windows)`` per document
+    that has at least one window (docs shorter than ``n`` tokens are
+    absent). All-integer outputs; the window key is
+    ``md5(array_join(slice(toks, pos, n), ' '))`` — portable to a SQL
+    twin bit-for-bit.
+
+    Scale shape: one explode to (id, pos, hash) rows, one
+    count-distinct-docs aggregate on the hash, one shuffle join back
+    on the hash (uniform key — md5 — so no skew), one groupBy on the
+    universal per-doc key. The duplicated-hash set is NOT broadcast:
+    unlike the rarity op's Zipf-bounded head, duplicated content is
+    unbounded in the worst case (a boilerplate-heavy corpus), so the
+    join shuffles on the hash instead.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), *keep, F.split(norm, " ").alias("toks")
+    )
+    base = base.filter(F.size("toks") >= n)
+    pos = F.explode_outer(  # sequence non-empty by the filter above
+        F.sequence(F.lit(1), F.size("toks") - n + 1)
+    ).alias("pos")
+    wins = base.select("id", *keep, pos, "toks").select(
+        "id",
+        *keep,
+        F.md5(F.array_join(F.slice(F.col("toks"), F.col("pos"), n), " ")).alias("h"),
+    )
+    hot = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("id").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    return (
+        wins.join(hot, "h", "left")
+        .groupBy("id", *keep)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias(
+                "dup_windows"
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

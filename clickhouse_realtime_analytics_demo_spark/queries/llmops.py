@@ -452,6 +452,66 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_duplicate_spans",
+    # the window key md5(join(slice(toks, pos, 10), ' ')) is portable,
+    # so the whole exact-substring dedup signal is oracle-checked;
+    # all-integer outputs
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(toks[pos:pos+9], ' ')) AS h
+        FROM (
+            SELECT doc_id, lang, toks,
+                   unnest(generate_series(1, len(toks) - 9)) AS pos
+            FROM d WHERE len(toks) >= 10
+        )
+    ),
+    hot AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    per_doc AS (
+        SELECT w.doc_id, w.lang,
+               COUNT(*) AS n_windows,
+               SUM(CASE WHEN hot.h IS NULL THEN 0 ELSE 1 END) AS dup_windows
+        FROM w LEFT JOIN hot ON w.h = hot.h
+        GROUP BY w.doc_id, w.lang
+    )
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(n_windows) AS BIGINT) AS total_windows,
+           CAST(SUM(dup_windows) AS BIGINT) AS dup_windows,
+           CAST(SUM(CASE WHEN dup_windows > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_dups
+    FROM per_doc
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 10-token spans (the exact-substring
+    dedup signal of Lee et al. 2022, suffix arrays re-shaped to a
+    window-hash groupBy — operators/dedup.py::duplicate_span_stats):
+    per-lang window totals, duplicated-window totals, and how many
+    docs carry at least one span that also appears in another doc."""
+    docs = table(spark, sf_dir, "documents")
+    per_doc = dedup.duplicate_span_stats(docs, n=10, min_docs=2, keep=("lang",))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_windows").alias("total_windows"),
+            F.sum("dup_windows").alias("dup_windows"),
+            F.sum(F.when(F.col("dup_windows") > 0, 1).otherwise(0)).alias(
+                "docs_with_dups"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "doc_chunk_stats",
     # all-integer outputs; the oracle re-derives the chunk windows
     # with generate_series arithmetic, so a wrong chunk count, start

@@ -81,6 +81,12 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # r8: chunking is a narrow explode over per-doc offset sequences —
     # no join, no UDF, only the bounded per-lang summary agg
     "doc_chunk_stats": ({}, False),
+    # r8: duplicated-span join shuffles on the uniform md5 key by
+    # DESIGN (the duplicated set is not Zipf-bounded); at this SF AQE
+    # correctly broadcasts the tiny hot side — that downgrade-to-
+    # broadcast is the locked contract here, the operator itself
+    # never forces one
+    "doc_duplicate_spans": ({"BroadcastHashJoinExec": 1}, False),
     "doc_pack_shards": (
         {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 1},
         False,
