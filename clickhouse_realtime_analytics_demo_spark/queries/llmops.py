@@ -452,6 +452,70 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_pack_concat",
+    # the ORDER-SENSITIVE completion of doc_pack_shards: each shard's
+    # payload is the docs concatenated in offset order with a 0x1e
+    # record separator, pinned by md5 — a wrong offset, order, or
+    # shard cut changes the hash. Shard groups are bounded by the
+    # 512-token budget, so the per-shard collect is tiny by
+    # construction.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               CAST(length(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ps AS (
+        SELECT doc_id, text, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS token_offset
+        FROM toks
+    )
+    SELECT token_offset // 512 AS shard_id,
+           COUNT(*) AS docs,
+           md5(string_agg(coalesce(text, ''), chr(30) ORDER BY token_offset, doc_id))
+             AS payload_md5,
+           CAST(length(string_agg(coalesce(text, ''), chr(30) ORDER BY token_offset, doc_id)) AS BIGINT)
+             AS payload_chars
+    FROM ps GROUP BY 1 ORDER BY 1
+    """,
+)
+def doc_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard MATERIALIZATION for the GPT-style packing layout: within
+    each 512-token shard, concatenate the member docs in token-offset
+    order with a 0x1e record separator (the write step after
+    doc_pack_shards' offset assignment). The md5 of each shard payload
+    is order-sensitive, so the oracle pins offsets, ordering, and the
+    shard cut simultaneously; the within-shard collect is bounded by
+    the token budget."""
+    from clickhouse_realtime_analytics_demo_spark.operators import packing
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = packing.pack_token_budget(
+        docs, budget=512, token_count=text.bpe_token_count(F.col("text"))
+    )
+    member = F.struct(
+        F.col("token_offset").alias("o"),
+        F.col("doc_id").alias("d"),
+        F.coalesce(F.col("text"), F.lit("")).alias("t"),
+    )
+    payload = F.concat_ws(
+        "\x1e",
+        F.transform(F.sort_array(F.collect_list(member)), lambda s: s["t"]),
+    )
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.md5(payload).alias("payload_md5"),
+            F.length(payload).cast("bigint").alias("payload_chars"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@register(
     "doc_duplicate_spans",
     # the window key md5(join(slice(toks, pos, 10), ' ')) is portable,
     # so the whole exact-substring dedup signal is oracle-checked;

@@ -91,6 +91,13 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
         {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 1},
         False,
     ),
+    # r8: the shard-materialization twin rides the same packing plan
+    # (bounded triangular offsets join) + the budget-bounded per-shard
+    # collect — no new join shapes
+    "doc_pack_concat": (
+        {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 1},
+        False,
+    ),
 }
 
 _JOIN_NODES = (
@@ -103,7 +110,7 @@ _JOIN_NODES = (
 _PYTHON_NODES = ("BatchEvalPythonExec", "ArrowEvalPythonExec", "MapInPandasExec")
 # 1-row broadcasts; doc_pack_shards adds the ≤num_buckets² triangular
 # offsets join (bounded build regardless of table size)
-_BNLJ_ALLOWED = {"kpi_snapshot", "ann_cosine_topk", "doc_pack_shards"}
+_BNLJ_ALLOWED = {"kpi_snapshot", "ann_cosine_topk", "doc_pack_shards", "doc_pack_concat"}
 
 
 def _walk(node):
