@@ -1,5 +1,6 @@
-"""Physical-plan regression snapshots for the 19 headline queries
-(VERDICT r5 next-round #6; extended r7): the round-5 quality came from plan
+"""Physical-plan regression snapshots for the headline queries and the
+post-window pipeline queries (29 pinned shapes as of r8; VERDICT r5
+next-round #6, extended r7/r8): the round-5 quality came from plan
 discipline — no unpartitioned windows, pre-agg below joins,
 TakeOrderedAndProject for top-k, no cartesian products, no Python in
 the hot path. This locks those properties so a Spark upgrade or a
