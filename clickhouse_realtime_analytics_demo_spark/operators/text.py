@@ -347,6 +347,77 @@ def winnow_fingerprints(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """BM25 relevance of each document to a bag of query terms — the
+    classic ranked-retrieval scorer (Robertson/Spärck Jones), shaped
+    for Spark:
+
+    - per-doc term frequencies are narrow array ops over the token
+      column (``size(filter(toks, x = term))`` per term — no explode,
+      no shuffle);
+    - the corpus statistics (N, avgdl, and one document frequency per
+      query term) are ONE scalar aggregate row, collected to driver
+      literals (bounded by |query|, the same bounded-collect pattern
+      as the packing bounds) so the scoring pass is a single narrow
+      projection;
+    - idf uses the standard BM25 form ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Returns ``(id[, keep...], score)`` for docs matching ≥1 term.
+    The score sums per-term contributions in the FIXED order of
+    ``query_terms`` (a left-fold of doubles), so an oracle that sums
+    in the same written order reproduces it bit-for-bit up to the
+    ln() libm ulp — callers comparing across engines should round
+    (the ann_cosine_topk precedent).
+    """
+    import math
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), *keep, F.split(norm, " ").alias("toks")
+    )
+    def _eq(term: str):
+        # single-arg closure: a 2-param lambda (`lambda x, t=t`) is
+        # pyspark's (element, index) form — the index shadows the term
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter("toks", _eq(t))).alias(f"_tf{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    scored_input = base.select("id", *keep, F.size("toks").alias("_dl"), *tf_cols)
+    stats = scored_input.agg(
+        F.count("*").alias("n"),
+        F.avg("_dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0)).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    ).collect()[0]
+    n, avgdl = int(stats["n"]), float(stats["avgdl"])
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        df_t = int(stats[f"_df{i}"])
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        tf = F.col(f"_tf{i}").cast("double")
+        score = score + F.lit(idf) * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)))
+        )
+    matched = scored_input.filter(
+        sum((F.col(f"_tf{i}") > 0).cast("int") for i in range(len(query_terms))) > 0
+    )
+    return matched.select("id", *keep, score.alias("score"))
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_size: int = 500,

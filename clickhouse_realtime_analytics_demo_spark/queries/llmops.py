@@ -452,6 +452,65 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_search_bm25",
+    # every arithmetic step is written in the same association order
+    # as the Spark expression (idf*( (tf*(k1+1)) / (tf + k1*((1-b) +
+    # (b*dl)/avgdl)) ), terms summed left-to-right), so the only
+    # cross-engine divergence is the ln() libm ulp — absorbed by
+    # ROUND(...,6), the ann_cosine_topk precedent.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (
+        SELECT doc_id, len(toks) AS dl,
+               len(list_filter(toks, x -> x = 'merge'))  AS tf0,
+               len(list_filter(toks, x -> x = 'vector')) AS tf1,
+               len(list_filter(toks, x -> x = 'scan'))   AS tf2
+        FROM d
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+               SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM f
+    )
+    SELECT doc_id,
+           ROUND(
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+           + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+           + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + (0.75 * dl) / avgdl))),
+           6) AS score
+    FROM f, s
+    WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents table (query: merge,
+    vector, scan; k1=1.2, b=0.75) — top-20 by relevance. Per-doc term
+    frequencies are narrow array ops (no explode); corpus stats are
+    one scalar-aggregate row collected to driver literals (bounded by
+    |query| — the packing-bounds pattern); the ranked cut is a
+    distributed TakeOrderedAndProject (operators/text.py::
+    bm25_scores)."""
+    docs = table(spark, sf_dir, "documents")
+    scored = text.bm25_scores(docs, ("merge", "vector", "scan"))
+    return (
+        scored.select(F.col("id").alias("doc_id"), F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
     "doc_pack_concat",
     # the ORDER-SENSITIVE completion of doc_pack_shards: each shard's
     # payload is the docs concatenated in offset order with a 0x1e

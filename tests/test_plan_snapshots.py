@@ -1,5 +1,5 @@
 """Physical-plan regression snapshots for the headline queries and the
-post-window pipeline queries (29 pinned shapes as of r8; VERDICT r5
+post-window pipeline queries (30 pinned shapes as of r8; VERDICT r5
 next-round #6, extended r7/r8): the round-5 quality came from plan
 discipline — no unpartitioned windows, pre-agg below joins,
 TakeOrderedAndProject for top-k, no cartesian products, no Python in
@@ -82,6 +82,10 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # r8: chunking is a narrow explode over per-doc offset sequences —
     # no join, no UDF, only the bounded per-lang summary agg
     "doc_chunk_stats": ({}, False),
+    # r8: BM25 — corpus stats collected to driver literals (bounded by
+    # |query|), scoring is one narrow projection, ranked cut is a
+    # distributed TakeOrderedAndProject; no join anywhere
+    "doc_search_bm25": ({}, True),
     # r8: duplicated-span join shuffles on the uniform md5 key by
     # DESIGN (the duplicated set is not Zipf-bounded); at this SF AQE
     # correctly broadcasts the tiny hot side — that downgrade-to-
