@@ -1,0 +1,119 @@
+"""As-of (point-in-time) join — ClickHouse ``ASOF JOIN`` analog.
+
+ClickHouse joins each left row to the single right row with the
+largest ``right_time <= left_time`` per key (``ASOF JOIN ... USING
+(key, time)``). Spark has no built-in as-of join, so this implements
+the classic scalable formulation: UNION both sides tagged with a
+side marker, sort each key's timeline once with a *partitioned*
+window, and carry the most recent right-side payload forward with
+``last(..., ignorenulls=True)``.
+
+Why this shape at 100 TB:
+
+- ONE shuffle, on the join key — the same exchange any equi-join
+  would pay. No range-explosion join (``l.key = r.key AND r.t <=
+  l.t`` as a raw join predicate degenerates to per-key Cartesian
+  blow-up), no per-row driver logic.
+- The window is partitioned by key (never the "No Partition Defined"
+  scale-killer); cost per key is one sort of that key's combined
+  timeline, which is the information-theoretic floor for as-of
+  semantics.
+- Payload rides in ONE struct column, so a right row whose payload
+  legitimately contains NULL fields is still carried atomically
+  (per-column ``last(ignorenulls)`` would mix attributes from
+  different right rows).
+
+Skew note: a pathologically hot key serializes its own timeline into
+one task, like any per-key sequence operator (sessionization has the
+same floor). Mitigate upstream by time-bucketing the key if a single
+key's history exceeds a task (documented, not needed at any tested
+SF).
+
+Determinism: ties at equal ``right_time`` within a key are broken by
+``right_tie`` (highest wins) — explicitly, because the driver's
+value-hash comparison needs ONE answer. ClickHouse leaves the
+equal-time winner to part order; we pin it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_tie: str,
+    payload_cols: Sequence[str],
+    prefix: str = "asof_",
+    strict: bool = False,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Left as-of join: attach, to every ``left`` row, the most recent
+    ``right`` row of the same key with ``right_time <= left_time``
+    (``<`` when ``strict``), or NULLs when none exists.
+
+    Output: every ``left`` column, then ``{prefix}{right_time}`` and
+    ``{prefix}{c}`` for each payload column. ``right_tie`` must be
+    unique per (key, time) group (e.g. a primary key); the highest
+    tie value wins equal-time ties. ``tolerance`` (an SQL interval
+    literal body like ``'7 days'``) nulls out matches older than
+    ``left_time - tolerance``, mirroring pandas ``merge_asof``.
+    """
+    for c in left.columns:
+        if c.startswith("_asof_"):
+            raise ValueError(f"left column {c!r} collides with internal _asof_ prefix")
+    out_names = [right_time, *payload_cols]
+
+    # Side marker: inclusive semantics sort right rows BEFORE left
+    # rows at equal time (an order placed at the event instant is
+    # visible); strict sorts them after (invisible).
+    right_side = 2 if strict else 0
+    r = right.select(
+        F.col(right_on).alias("_asof_k"),
+        F.col(right_time).alias("_asof_t"),
+        F.lit(right_side).alias("_asof_side"),
+        F.col(right_tie).alias("_asof_tie"),
+        F.struct(*[F.col(c) for c in out_names]).alias("_asof_payload"),
+    )
+    l_rows = left.select(
+        F.col(left_on).alias("_asof_k"),
+        F.col(left_time).alias("_asof_t"),
+        F.lit(1).alias("_asof_side"),
+        F.struct(*left.columns).alias("_asof_row"),
+    )
+    u = l_rows.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy("_asof_k")
+        .orderBy(F.col("_asof_t").asc(), F.col("_asof_side").asc(), F.col("_asof_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hit = F.last("_asof_payload", ignorenulls=True).over(w)
+    if tolerance is not None:
+        hit = F.when(
+            F.col(f"_asof_hit.{right_time}")
+            >= F.col("_asof_t") - F.expr(f"INTERVAL {tolerance}"),
+            F.col("_asof_hit"),
+        )
+        carried = (
+            u.withColumn("_asof_hit", F.last("_asof_payload", ignorenulls=True).over(w))
+            .withColumn("_asof_hit", hit)
+        )
+    else:
+        carried = u.withColumn("_asof_hit", hit)
+
+    return carried.filter(F.col("_asof_side") == 1).select(
+        F.col("_asof_row.*"),
+        *[F.col(f"_asof_hit.{c}").alias(prefix + c) for c in out_names],
+    )

@@ -406,3 +406,58 @@ def gap_sessions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_asof_order",
+    # Independent oracle formulation: instead of the union+window
+    # carry, dedup orders per (custkey, orderdate) with the same
+    # highest-orderkey tie-break, then LEFT JOIN every event to all
+    # at-or-before orders and arg_max by orderdate. Agreement proves
+    # the carried window picks exactly the latest-at-or-before row.
+    oracle="""
+    WITH od AS (
+        SELECT o_custkey, o_orderdate,
+               MAX(o_orderkey) AS okey,
+               ARG_MAX(o_totalprice, o_orderkey) AS oprice
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id,
+           e.user_id,
+           e.ts,
+           e.event_type,
+           MAX(od.o_orderdate) AS asof_o_orderdate,
+           ARG_MAX(od.okey, od.o_orderdate) AS asof_o_orderkey,
+           ARG_MAX(od.oprice, od.o_orderdate) AS asof_o_totalprice
+    FROM events e
+    LEFT JOIN od ON od.o_custkey = e.user_id AND od.o_orderdate <= e.ts
+    GROUP BY 1, 2, 3, 4
+    ORDER BY event_id
+    """,
+)
+def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN analog (ClickHouse ``ASOF JOIN``; reference engine
+    supports it natively — no sample query uses it, but a switching
+    user would reach for it on exactly this shape): each behavioral
+    event tagged with the user's most recent order at-or-before the
+    event instant — the point-in-time feature-lookup every
+    leakage-safe training pipeline needs.
+
+    One shuffle on user key, partitioned-window carry
+    (operators/temporal.py); equal-time ties pinned to the highest
+    orderkey.
+    """
+    from clickhouse_realtime_analytics_demo_spark.operators.temporal import asof_join
+
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    orders = table(spark, sf_dir, "orders")
+    return asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_tie="o_orderkey",
+        payload_cols=("o_orderkey", "o_totalprice"),
+    ).orderBy("event_id")

@@ -1,0 +1,136 @@
+"""As-of join operator: edge-case semantics + oracle parity.
+
+The registered ``events_asof_order`` query is also swept by
+tests/test_correctness.py and the determinism gate; this file pins
+the operator's contract on handcrafted timelines where every edge is
+known: inclusive vs strict equal-time, highest-tie wins, no-match
+NULLs, payload-internal NULLs carried atomically, and tolerance
+cutoff.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from clickhouse_realtime_analytics_demo_spark.operators.temporal import asof_join
+from tests.conftest import SF_DIR_MID, compare_with_oracle
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05 00:00:00")),  # between r1 and r2
+            (2, 10, _ts("2024-01-10 00:00:00")),  # EXACTLY r2's time
+            (3, 10, _ts("2024-01-01 00:00:00")),  # before any right row
+            (4, 20, _ts("2024-06-01 00:00:00")),  # key with no right rows
+            (5, 30, _ts("2024-03-01 00:00:00")),  # key 30: tie + null payload
+        ],
+        "event_id long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-02 00:00:00"), 1.0),
+            (101, 10, _ts("2024-01-10 00:00:00"), 2.0),
+            # key 30: two rows at the SAME time — highest rid wins —
+            # and the winner carries a NULL value (must NOT fall back
+            # to the older row's 9.9: struct payload is atomic).
+            (200, 30, _ts("2024-02-01 00:00:00"), 9.9),
+            (201, 30, _ts("2024-02-20 00:00:00"), 5.5),
+            (202, 30, _ts("2024-02-20 00:00:00"), None),
+        ],
+        "rid long, k long, rt timestamp, val double",
+    )
+    return left, right
+
+
+def _run(left, right, **kw):
+    out = asof_join(
+        left,
+        right,
+        left_on="k",
+        right_on="k",
+        left_time="t",
+        right_time="rt",
+        right_tie="rid",
+        payload_cols=("rid", "val"),
+        **kw,
+    )
+    return {r["event_id"]: r for r in out.collect()}
+
+
+def test_backward_inclusive(frames):
+    left, right = frames
+    by_id = _run(left, right)
+    assert len(by_id) == 5  # every left row survives
+    assert by_id[1]["asof_rid"] == 100
+    assert by_id[2]["asof_rid"] == 101  # equal time IS visible
+    assert by_id[2]["asof_val"] == 2.0
+    assert by_id[3]["asof_rid"] is None
+    assert by_id[3]["asof_rt"] is None
+    assert by_id[4]["asof_rid"] is None
+    # tie at 2024-02-20: rid 202 (highest) wins, and its NULL val is
+    # carried as-is — not patched from rid 201 or 200.
+    assert by_id[5]["asof_rid"] == 202
+    assert by_id[5]["asof_val"] is None
+
+
+def test_backward_strict(frames):
+    left, right = frames
+    by_id = _run(left, right, strict=True)
+    assert by_id[2]["asof_rid"] == 100  # equal time NOT visible
+    assert by_id[1]["asof_rid"] == 100
+    assert by_id[3]["asof_rid"] is None
+
+
+def test_tolerance_cutoff(frames):
+    left, right = frames
+    by_id = _run(left, right, tolerance="5 days")
+    # event 1 at 01-05 vs match at 01-02: within 5 days — kept.
+    assert by_id[1]["asof_rid"] == 100
+    # event 5 at 03-01 vs match at 02-20: 10 days — nulled out.
+    assert by_id[5]["asof_rid"] is None
+    assert by_id[5]["asof_rt"] is None
+
+
+def test_prefix_collision_guard(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="_asof_"):
+        asof_join(
+            left.withColumn("_asof_x", left.event_id),
+            right,
+            left_on="k",
+            right_on="k",
+            left_time="t",
+            right_time="rt",
+            right_tie="rid",
+            payload_cols=("rid",),
+        )
+
+
+def test_window_is_partitioned(frames):
+    left, right = frames
+    out = asof_join(
+        left,
+        right,
+        left_on="k",
+        right_on="k",
+        left_time="t",
+        right_time="rt",
+        right_tie="rid",
+        payload_cols=("rid", "val"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the scale-killer shape is a windowing exchange to ONE partition
+    assert "SinglePartition" not in plan
+
+
+def test_events_asof_order_oracle_mid(spark):
+    compare_with_oracle(spark, "events_asof_order", sf_dir=SF_DIR_MID)
