@@ -461,3 +461,51 @@ def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_tie="o_orderkey",
         payload_cols=("o_orderkey", "o_totalprice"),
     ).orderBy("event_id")
+
+
+@register(
+    "order_value_quantiles",
+    # Same pinned nearest-rank definition, independent plan: DuckDB
+    # computes rank/count windows directly and probes via a VALUES
+    # table; prob cast to DOUBLE so both sides emit IEEE doubles.
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment AS segment,
+               o.o_totalprice AS v,
+               row_number() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice, o.o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY c.c_mktsegment) AS n
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT segment, CAST(p AS DOUBLE) AS prob, v AS quantile
+    FROM j, (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) probs(p)
+    WHERE rn = CAST(floor(CAST(p AS DOUBLE) * (n - 1)) AS BIGINT) + 1
+    ORDER BY segment, prob
+    """,
+)
+def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-value quantiles (p25/p50/p75/p90/p99) per market
+    segment — ClickHouse ``quantileExact`` semantics (actual data
+    values, rank-selected), distributed as one group-partitioned
+    sort (operators/quantiles.py). The sketch path at 100 TB is
+    ``percentile_approx`` (already used internally by
+    operators/ranking.py and packing.py); exact is the contractual
+    twin."""
+    from clickhouse_realtime_analytics_demo_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "segment", "o_totalprice", "o_orderkey"
+    )
+    return exact_group_quantiles(
+        joined,
+        group_cols=("segment",),
+        value_col="o_totalprice",
+        tie_col="o_orderkey",
+        probs=(0.25, 0.5, 0.75, 0.9, 0.99),
+    ).orderBy("segment", "prob")
