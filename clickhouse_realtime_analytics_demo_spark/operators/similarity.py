@@ -295,3 +295,50 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed per-label vector mean (class centroids) — the
+    aggregation under IVF/k-means training, class prototypes, and
+    embedding-drift monitors.
+
+    Exactness contract: each component is quantized to fixed-point
+    ``floor(x * scale)`` BIGINT *before* summing, so the sum is
+    order-independent (integer) and bit-identical for any partition
+    count — same pattern as queries/_det.py's decimal money sums,
+    chosen over decimal casts because double→decimal rounding modes
+    differ across engines while ``floor`` does not. At the default
+    micro-unit scale the per-component quantization error is ≤1e-6
+    on unit-scale embeddings.
+
+    Scale shape: posexplode fans each vector into (dim, component)
+    rows, but partial aggregation (map-side combine) collapses them
+    to ≤ labels x dim rows per task before the ONE shuffle — at
+    100 TB the exchange carries |labels| x dim x num_tasks rows, not
+    n x dim.
+    """
+    comp = F.posexplode(vec_col)
+    return (
+        embeddings.select(F.col(label_col).alias("label"), comp.alias("dim", "_x"))
+        .select(
+            "label",
+            "dim",
+            F.floor(F.col("_x").cast("double") * F.lit(float(scale)))
+            .cast("bigint")
+            .alias("_micro"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("_micro").alias("sum_micro"),
+        )
+        .withColumn(
+            "avg_micro", F.col("sum_micro").cast("double") / F.col("n_vecs").cast("double")
+        )
+    )

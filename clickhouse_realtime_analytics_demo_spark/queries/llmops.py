@@ -863,3 +863,40 @@ def doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@register(
+    "embedding_centroids",
+    # Independent formulation: DuckDB indexes components by zipping
+    # parallel unnests (value + 1-based range) instead of posexplode.
+    # Both sides quantize with floor(x * 1e6) BEFORE summing —
+    # integer sums are order-independent, so Spark's 32-partition
+    # partial aggregation and DuckDB's single-threaded fold agree
+    # bit-for-bit (the double-sum version cannot; see
+    # operators/similarity.py::label_centroids).
+    oracle="""
+    WITH comp AS (
+        SELECT label,
+               unnest(range(1, length(embedding) + 1)) - 1 AS dim,
+               unnest(embedding) AS x
+        FROM embeddings
+    )
+    SELECT label,
+           dim,
+           COUNT(*) AS n_vecs,
+           SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sum_micro,
+           CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_micro
+    FROM comp
+    GROUP BY 1, 2
+    ORDER BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids over the embedding corpus — the
+    distributed vector mean every IVF/k-means trainer, class
+    prototype, and drift monitor needs. Fixed-point micro-unit
+    aggregation for cross-engine bit-exactness; one shuffle, map-side
+    combined."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb).orderBy("label", "dim")
