@@ -479,3 +479,60 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(t, F.col("n_chars")))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+def bigram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_below: int = 10,
+) -> DataFrame:
+    """Character-bigram LM novelty signals — the integer-exact analog
+    of a perplexity filter (gibberish / encoding-noise detection):
+    train bigram counts on the corpus itself, then score each doc by
+    how rare its bigrams are under that model.
+
+    Deliberately integer-only where perplexity would use ``ln``:
+    corpus counts, per-doc rare-bigram count (corpus count <
+    ``rare_below``), and the doc's rarest-bigram count are exact
+    BIGINTs, and the single closing division (rare rate) is one
+    deterministic double op — so the result is bit-identical across
+    engines and partition counts, where a sum of ``log()`` terms is
+    ulp-hostage to libm. The ordering a perplexity filter needs is
+    preserved (rare-mass ranks documents the same way).
+
+    Scale shape: the model is a groupBy over a BOUNDED vocab (the
+    normalized alphabet is ~37 symbols → ≤ ~1.4k bigrams), so the
+    count table broadcasts at ANY corpus size — the same
+    bounded-model-broadcast argument as rare_token_stats' COMMON set.
+    Per-doc scoring is one explode + broadcast join + groupBy on
+    doc_id (the shared per-doc key). Two document scans (model +
+    probe); re-scan beats persist here (measured pattern, see
+    queries/graphops.py).
+    """
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        "[^a-z0-9 ]",
+        "_",
+    )
+    d = docs.select(F.col(id_col).alias("id"), norm.alias("norm"))
+    s = F.col("norm")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - 1, F.lit(1)))
+    grams = d.select(
+        "id",
+        F.explode_outer(F.transform(idx, lambda i: F.substring(s, i, 2))).alias("bg"),
+    )
+    model = grams.groupBy("bg").agg(F.count("*").alias("cnt"))
+    scored = grams.join(F.broadcast(model), "bg")
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum((F.col("cnt") < rare_below).cast("long")).alias("n_rare"),
+            F.min("cnt").alias("min_count"),
+        )
+        .withColumn(
+            "rare_rate",
+            F.round(F.col("n_rare").cast("double") / F.col("n_bigrams").cast("double"), 6),
+        )
+    )

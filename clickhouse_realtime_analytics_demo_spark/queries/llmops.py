@@ -900,3 +900,44 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.label_centroids(emb).orderBy("label", "dim")
+
+
+@register(
+    "doc_bigram_novelty",
+    # Same normalization chain, independent bigram indexing (unnest of
+    # range vs sequence+transform). All comparison-bearing outputs are
+    # exact integers; the one double (rare_rate) is a single division
+    # + ROUND(6) on both sides.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               regexp_replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                              '[^a-z0-9 ]', '_', 'g') AS norm
+        FROM documents
+    ), g AS (
+        SELECT doc_id, substr(norm, CAST(i AS INT), 2) AS bg
+        FROM (SELECT doc_id, norm,
+                     unnest(range(1, greatest(length(norm) - 1, 1) + 1)) AS i
+              FROM d)
+    ), m AS (
+        SELECT bg, COUNT(*) AS cnt FROM g GROUP BY bg
+    )
+    SELECT g.doc_id AS id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN m.cnt < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           MIN(m.cnt) AS min_count,
+           ROUND(CAST(SUM(CASE WHEN m.cnt < 10 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS rare_rate
+    FROM g JOIN m USING (bg)
+    GROUP BY g.doc_id
+    ORDER BY id
+    """,
+)
+def doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter, integer-exact: self-trained
+    character-bigram model (bounded vocab → broadcast) scoring each
+    document's rare-bigram mass — the gibberish/encoding-noise signal
+    of a pretraining pipeline without libm's cross-engine ulp
+    (operators/text.py::bigram_novelty)."""
+    docs = table(spark, sf_dir, "documents")
+    return text.bigram_novelty(docs).orderBy("id")
