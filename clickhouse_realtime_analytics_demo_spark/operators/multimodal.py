@@ -173,6 +173,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -408,6 +410,240 @@ def encode_png(rows: list[list[tuple[int, ...]]], color_type: int = 2) -> bytes:
     )
 
 
+def _lzw_decode(data: bytes, mcs: int, expected: int) -> bytes:
+    """GIF-variant LZW: LSB-first variable-width codes starting at
+    ``mcs``+1 bits, CLEAR/END codes at 2^mcs and 2^mcs+1, table capped
+    at 12-bit codes. Returns ``expected`` palette indices."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    init = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(init)
+    width = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total = 0, len(data) * 8
+    while len(out) < expected:
+        if bitpos + width > total:
+            raise ValueError("truncated GIF LZW stream")
+        # LSB-first bit packing across byte boundaries
+        byte0 = bitpos // 8
+        chunk = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        code = (chunk >> (bitpos % 8)) & ((1 << width) - 1)
+        bitpos += width
+        if code == end:
+            break
+        if code == clear:
+            table = list(init)
+            width = mcs + 1
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(init) - 2:
+                raise ValueError("corrupt GIF LZW stream (bad first code)")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("corrupt GIF LZW stream (code gap)")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("GIF LZW stream ended before raster complete")
+    return bytes(out[:expected])
+
+
+# GIF interlace passes: (row offset, row step), in storage order.
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(h: int, interlaced: bool) -> list[int]:
+    if not interlaced:
+        return list(range(h))
+    return [y for off, step in _GIF_PASSES for y in range(off, h, step)]
+
+
+def _parse_gif(payload: bytes):
+    """GIF87a/89a first frame: palette LZW decode (variable-width
+    codes, 12-bit cap, KwKwK case), Adam-style 4-pass de-interlace,
+    frame composited onto the logical screen over the background
+    color — a second COMPRESSED image format closed with zero
+    libraries. Extensions (GCE/comment/application) are walked and
+    skipped; transparency is treated as its palette color (single
+    -frame features, no disposal chain). Same return contract as
+    :func:`_parse_bmp`."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    if w == 0 or h == 0:
+        raise ValueError("empty GIF logical screen")
+    packed, bg_idx = payload[10], payload[11]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    frame = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension block: label byte + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            ix, iy, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            lct = None
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                lct = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            mcs = payload[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError(f"bad GIF LZW min code size {mcs}")
+            data = bytearray()
+            while payload[pos] != 0:
+                sz = payload[pos]
+                data.extend(payload[pos + 1 : pos + 1 + sz])
+                pos += 1 + sz
+            pos += 1
+            frame = (ix, iy, iw, ih, bool(ipacked & 0x40), lct, mcs, bytes(data))
+            break  # first frame only
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if frame is None:
+        raise ValueError("GIF missing image data")
+    ix, iy, iw, ih, interlaced, lct, mcs, data = frame
+    palette = lct or gct
+    if palette is None:
+        raise ValueError("GIF frame has no color table")
+    if ix + iw > w or iy + ih > h:
+        raise ValueError("GIF frame exceeds logical screen")
+    indices = _lzw_decode(data, mcs, iw * ih)
+
+    content = bytearray(w * h * 3)
+    if gct is not None:  # canvas = background color
+        bo = 3 * bg_idx
+        if bo + 3 <= len(gct):
+            content[:] = gct[bo : bo + 3] * (w * h)
+    for row_i, y in enumerate(_gif_row_order(ih, interlaced)):
+        for x in range(iw):
+            ci = indices[row_i * iw + x] * 3
+            if ci + 3 > len(palette):
+                raise ValueError("GIF index outside color table")
+            o = ((iy + y) * w + (ix + x)) * 3
+            content[o : o + 3] = palette[ci : ci + 3]
+    content = bytes(content)
+
+    def pixel(x: int, y: int) -> tuple[int, int, int]:
+        o = (y * w + x) * 3
+        return content[o], content[o + 1], content[o + 2]
+
+    return w, h, pixel, content
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW encoder (the test/synthesis twin of
+    :func:`_lzw_decode`): real dictionary growth so decode exercises
+    width bumps and the 12-bit reset, CLEAR emitted at start and at
+    table overflow."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(1 << mcs)}, end + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    cur = b""
+    for raw in indices:
+        nxt = cur + bytes([raw])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code == (1 << 12):
+            emit(clear, width)
+            table, next_code, width = fresh()
+        cur = nxt[-1:]
+    if cur:
+        emit(table[cur], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    rows: list[list[tuple[int, int, int]]], *, interlaced: bool = False
+) -> bytes:
+    """Minimal single-frame GIF writer (global color table built from
+    the image's distinct colors, ≤256; optional interlacing) — the
+    synthesis/test twin of :func:`_parse_gif`."""
+    import struct
+
+    h, w = len(rows), len(rows[0])
+    colors: dict[tuple[int, int, int], int] = {}
+    for row in rows:
+        for px in row:
+            colors.setdefault(tuple(px), len(colors))
+    if len(colors) > 256:
+        raise ValueError(f"GIF palette overflow ({len(colors)} colors)")
+    bits = max(2, (len(colors) - 1).bit_length())  # LZW mcs minimum is 2
+    mcs = bits
+    table_n = 1 << bits
+    palette = bytearray()
+    for c in colors:
+        palette.extend(c)
+    palette.extend(b"\x00" * (3 * table_n - len(palette)))
+
+    indices = bytes(
+        colors[tuple(rows[y][x])] for y in _gif_row_order(h, interlaced) for x in range(w)
+    )
+    lzw = _lzw_encode(indices, mcs)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        sub.append(len(block))
+        sub.extend(block)
+    sub.append(0)
+
+    header = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80 | (bits - 1), 0, 0])
+    img = (
+        b"\x2c"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlaced else 0])
+        + bytes([mcs])
+        + bytes(sub)
+    )
+    return header + bytes(palette) + img + b"\x3b"
+
+
 def _pixel_features(w, h, pixel, raster: bytes) -> dict:
     """IMAGE_FEATURES fields from decoded pixels: byte stats over the
     RASTER (the image content, not the file container — that is the
@@ -500,8 +736,9 @@ def decode_image(payload: bytes, *, fake: bool | None = None) -> dict:
 
     ``fake=None`` (default) auto-selects the best available real
     decode: PIL when importable, else the pure-Python parser for
-    BMP/PPM/PNG (sniffed by magic bytes; PNG via stdlib zlib +
-    defilter), else the deterministic byte-level stand-in.
+    BMP/PPM/PNG/GIF (sniffed by magic bytes; PNG via stdlib zlib +
+    defilter, GIF via the LZW decoder), else the deterministic
+    byte-level stand-in.
     ``fake=False`` demands a real decode and raises when neither PIL
     nor a pure parser applies
     (e.g. JPEG without PIL) OR when a sniffed payload fails to parse;
@@ -522,6 +759,8 @@ def decode_image(payload: bytes, *, fake: bool | None = None) -> dict:
                 return _pixel_features(*_parse_ppm(payload))
             if fmt == "png":
                 return _pixel_features(*_parse_png(payload))
+            if fmt == "gif":
+                return _pixel_features(*_parse_gif(payload))
         except _DIRTY_PAYLOAD_ERRORS:
             if fake is False:
                 raise
