@@ -60,6 +60,12 @@ HEADLINE = (
     "corpus_prep_pipeline_lsh",
     "doc_repetition_stats",
     "contamination_check",
+    # round-8 second-wave operators: point-in-time join, exact
+    # quantiles, vector centroids, bigram LM novelty
+    "events_asof_order",
+    "order_value_quantiles",
+    "embedding_centroids",
+    "doc_bigram_novelty",
 )
 
 

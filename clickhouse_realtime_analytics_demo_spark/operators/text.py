@@ -515,20 +515,33 @@ def bigram_novelty(
         "[^a-z0-9 ]",
         "_",
     )
-    d = docs.select(F.col(id_col).alias("id"), norm.alias("norm"))
+    spark = docs.sparkSession
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 16)
+    # Spread BEFORE the per-row-heavy sequence/substring build: small
+    # parquet inputs arrive as one split, which would serialize the
+    # explode (measured 3.07→0.67 s on the LSH shingle build, r8).
+    d = docs.select(F.col(id_col).alias("id"), norm.alias("norm")).repartition(n_parts, "id")
     s = F.col("norm")
     idx = F.sequence(F.lit(1), F.greatest(F.length(s) - 1, F.lit(1)))
     grams = d.select(
         "id",
         F.explode_outer(F.transform(idx, lambda i: F.substring(s, i, 2))).alias("bg"),
     )
-    model = grams.groupBy("bg").agg(F.count("*").alias("cnt"))
-    scored = grams.join(F.broadcast(model), "bg")
+    # Collapse to per-(doc, bigram) counts FIRST: one explode scan
+    # feeds both the model and the probe, and the broadcast join then
+    # touches ≤ docs x distinct-bigrams rows (≤1.4k/doc) instead of
+    # every bigram instance (~n_chars/doc) — measured 3.9→1.7 s at
+    # sf0.1.
+    per_doc = grams.groupBy("id", "bg").agg(F.count("*").alias("c"))
+    model = per_doc.groupBy("bg").agg(F.sum("c").alias("cnt"))
+    scored = per_doc.join(F.broadcast(model), "bg")
     return (
         scored.groupBy("id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum((F.col("cnt") < rare_below).cast("long")).alias("n_rare"),
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.when(F.col("cnt") < rare_below, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_rare"
+            ),
             F.min("cnt").alias("min_count"),
         )
         .withColumn(

@@ -1,5 +1,5 @@
 """Physical-plan regression snapshots for the headline queries and the
-post-window pipeline queries (30 pinned shapes as of r8; VERDICT r5
+post-window pipeline queries (34 pinned shapes as of r8; VERDICT r5
 next-round #6, extended r7/r8): the round-5 quality came from plan
 discipline — no unpartitioned windows, pre-agg below joins,
 TakeOrderedAndProject for top-k, no cartesian products, no Python in
@@ -103,6 +103,17 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
         {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 1},
         False,
     ),
+    # r8 (continued): the as-of join is the union+partitioned-window
+    # carry — NO join node at all (the WindowExec partition check
+    # below is the load-bearing assertion)
+    "events_asof_order": ({}, False),
+    # exact quantiles: orders⋈customer (broadcast dim) + two windows
+    # sharing one group-key exchange; never an unpartitioned window
+    "order_value_quantiles": ({"BroadcastHashJoinExec": 1}, False),
+    # centroids: pure explode+groupBy, map-side combined — no join
+    "embedding_centroids": ({}, False),
+    # bigram novelty: the bounded-vocab model is explicitly broadcast
+    "doc_bigram_novelty": ({"BroadcastHashJoinExec": 1}, False),
 }
 
 _JOIN_NODES = (
