@@ -66,6 +66,7 @@ HEADLINE = (
     "order_value_quantiles",
     "embedding_centroids",
     "doc_bigram_novelty",
+    "window_funnel",
 )
 
 

@@ -509,3 +509,64 @@ def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_col="o_orderkey",
         probs=(0.25, 0.5, 0.75, 0.9, 0.99),
     ).orderBy("segment", "prob")
+
+
+@register(
+    "window_funnel",
+    # Independent oracle: per-anchor correlated MINs state the SUBSET
+    # windows directly ((t_prev, t_anchor + W] at every stage), while
+    # Spark uses one range-frame window pass + the superset-min
+    # equivalence — agreement proves both the operator and the
+    # argument (operators/funnel.py). epoch_us on both sides; strict
+    # timestamp increase pinned.
+    oracle="""
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS vt FROM events WHERE event_type = 'view'
+    ), c1 AS (
+        SELECT v.user_id, v.vt,
+               (SELECT MIN(epoch_us(c.ts)) FROM events c
+                 WHERE c.user_id = v.user_id AND c.event_type = 'click'
+                   AND epoch_us(c.ts) > v.vt
+                   AND epoch_us(c.ts) <= v.vt + 14400000000) AS ct
+        FROM v
+    ), c2 AS (
+        SELECT user_id, vt, ct,
+               (SELECT MIN(epoch_us(p.ts)) FROM events p
+                 WHERE p.user_id = c1.user_id AND p.event_type = 'purchase'
+                   AND ct IS NOT NULL
+                   AND epoch_us(p.ts) > c1.ct
+                   AND epoch_us(p.ts) <= c1.vt + 14400000000) AS pt
+        FROM c1
+    ), per_user AS (
+        SELECT user_id,
+               MAX(1 + CASE WHEN ct IS NOT NULL THEN 1 ELSE 0 END
+                     + CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END) AS depth
+        FROM c2 GROUP BY user_id
+    )
+    SELECT l.level, COUNT(*) AS users
+    FROM per_user, (VALUES (1), (2), (3)) AS l(level)
+    WHERE per_user.depth >= l.level
+    GROUP BY l.level
+    ORDER BY level
+    """,
+)
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(14400)(ts, view, click, purchase)``
+    analog (strict-increase mode): users reaching each ordered stage
+    within 4 hours of the anchoring view (sized so the synthetic
+    corpus exercises every level: 150/99/4 at sf0.01). One user-partitioned
+    range-frame window + one exact-timestamp equi-join — no
+    range-explosion join, no per-anchor rescans."""
+    from clickhouse_realtime_analytics_demo_spark.operators.funnel import (
+        funnel_levels,
+        window_funnel as wf,
+    )
+
+    events = table(spark, sf_dir, "events")
+    t = F.col("event_type")
+    per_user = wf(
+        events,
+        stages=[t == "view", t == "click", t == "purchase"],
+        window_us=14_400_000_000,
+    )
+    return funnel_levels(per_user, 3).orderBy("level")

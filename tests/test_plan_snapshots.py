@@ -1,5 +1,5 @@
 """Physical-plan regression snapshots for the headline queries and the
-post-window pipeline queries (34 pinned shapes as of r8; VERDICT r5
+post-window pipeline queries (35 pinned shapes as of r8; VERDICT r5
 next-round #6, extended r7/r8): the round-5 quality came from plan
 discipline — no unpartitioned windows, pre-agg below joins,
 TakeOrderedAndProject for top-k, no cartesian products, no Python in
@@ -114,6 +114,10 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     "embedding_centroids": ({}, False),
     # bigram novelty: the bounded-vocab model is explicitly broadcast
     "doc_bigram_novelty": ({"BroadcastHashJoinExec": 1}, False),
+    # windowFunnel: one range-frame window pass + ONE exact-timestamp
+    # stage-stitch equi-join (AQE-broadcast at this SF) — never a
+    # range-explosion join
+    "window_funnel": ({"BroadcastHashJoinExec": 1}, False),
 }
 
 _JOIN_NODES = (
