@@ -58,26 +58,36 @@ def asof_join(
     prefix: str = "asof_",
     strict: bool = False,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: attach, to every ``left`` row, the most recent
     ``right`` row of the same key with ``right_time <= left_time``
-    (``<`` when ``strict``), or NULLs when none exists.
+    (``<`` when ``strict``), or NULLs when none exists. With
+    ``direction="forward"`` the nearest FUTURE right row instead
+    (``right_time >= left_time``, ``>`` when strict) — ClickHouse
+    ASOF's ``>=``/``>`` inequality forms.
 
     Output: every ``left`` column, then ``{prefix}{right_time}`` and
     ``{prefix}{c}`` for each payload column. ``right_tie`` must be
-    unique per (key, time) group (e.g. a primary key); the highest
-    tie value wins equal-time ties. ``tolerance`` (an SQL interval
-    literal body like ``'7 days'``) nulls out matches older than
-    ``left_time - tolerance``, mirroring pandas ``merge_asof``.
+    unique per (key, time) group (e.g. a primary key); the tie nearer
+    the left row wins equal-time ties (highest backward, lowest
+    forward). ``tolerance`` (an SQL interval literal body like
+    ``'7 days'``) nulls out matches farther than that from the left
+    time, mirroring pandas ``merge_asof``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     for c in left.columns:
         if c.startswith("_asof_"):
             raise ValueError(f"left column {c!r} collides with internal _asof_ prefix")
     out_names = [right_time, *payload_cols]
 
     # Side marker: inclusive semantics sort right rows BEFORE left
-    # rows at equal time (an order placed at the event instant is
-    # visible); strict sorts them after (invisible).
+    # rows at equal time in SCAN ORDER (an order placed at the event
+    # instant is visible); strict sorts them after (invisible). The
+    # scan runs time-ascending for backward, time-descending for
+    # forward — either way the carried ``last`` is the nearest
+    # eligible right row.
     right_side = 2 if strict else 0
     r = right.select(
         F.col(right_on).alias("_asof_k"),
@@ -94,21 +104,27 @@ def asof_join(
     )
     u = l_rows.unionByName(r, allowMissingColumns=True)
 
+    if direction == "backward":
+        order = [F.col("_asof_t").asc(), F.col("_asof_side").asc(), F.col("_asof_tie").asc()]
+    else:
+        order = [F.col("_asof_t").desc(), F.col("_asof_side").asc(), F.col("_asof_tie").desc()]
     w = (
         Window.partitionBy("_asof_k")
-        .orderBy(F.col("_asof_t").asc(), F.col("_asof_side").asc(), F.col("_asof_tie").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     hit = F.last("_asof_payload", ignorenulls=True).over(w)
     if tolerance is not None:
-        hit = F.when(
-            F.col(f"_asof_hit.{right_time}")
-            >= F.col("_asof_t") - F.expr(f"INTERVAL {tolerance}"),
-            F.col("_asof_hit"),
+        hit_t = F.col(f"_asof_hit.{right_time}")
+        bound = F.expr(f"INTERVAL {tolerance}")
+        tol_ok = (
+            hit_t >= F.col("_asof_t") - bound
+            if direction == "backward"
+            else hit_t <= F.col("_asof_t") + bound
         )
         carried = (
             u.withColumn("_asof_hit", F.last("_asof_payload", ignorenulls=True).over(w))
-            .withColumn("_asof_hit", hit)
+            .withColumn("_asof_hit", F.when(tol_ok, F.col("_asof_hit")))
         )
     else:
         carried = u.withColumn("_asof_hit", hit)

@@ -134,3 +134,43 @@ def test_window_is_partitioned(frames):
 
 def test_events_asof_order_oracle_mid(spark):
     compare_with_oracle(spark, "events_asof_order", sf_dir=SF_DIR_MID)
+
+
+def test_forward_inclusive(frames):
+    left, right = frames
+    by_id = _run(left, right, direction="forward")
+    # event 1 at 01-05 → nearest FUTURE right row is rid 101 at 01-10
+    assert by_id[1]["asof_rid"] == 101
+    # equal time IS visible forward too
+    assert by_id[2]["asof_rid"] == 101
+    # event 3 at 01-01 → earliest right row 01-02
+    assert by_id[3]["asof_rid"] == 100
+    assert by_id[4]["asof_rid"] is None
+    # key 30 at 03-01: no future rows at all
+    assert by_id[5]["asof_rid"] is None
+
+
+def test_forward_strict_and_tie(frames):
+    left, right = frames
+    by_id = _run(left, right, direction="forward", strict=True)
+    assert by_id[2]["asof_rid"] is None  # equal time invisible, nothing later
+    # forward tie: lowest rid wins — craft an equal-time future pair
+    spark = left.sparkSession
+    l2 = spark.createDataFrame([(9, 30, _ts("2024-02-10 00:00:00"))], "event_id long, k long, t timestamp")
+    by_id2 = _run(l2, right, direction="forward")
+    assert by_id2[9]["asof_rid"] == 201  # 201/202 tie at 02-20 → lowest
+
+
+def test_forward_tolerance(frames):
+    left, right = frames
+    l2 = frames[0].sparkSession.createDataFrame(
+        [(9, 30, _ts("2024-02-10 00:00:00"))], "event_id long, k long, t timestamp"
+    )
+    by_id = _run(l2, right, direction="forward", tolerance="5 days")
+    assert by_id[9]["asof_rid"] is None  # match at 02-20 is 10 days out
+
+
+def test_bad_direction_rejected(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        _run(left, right, direction="sideways")
