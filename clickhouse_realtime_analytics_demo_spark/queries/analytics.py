@@ -570,3 +570,33 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_us=14_400_000_000,
     )
     return funnel_levels(per_user, 3).orderBy("level")
+
+
+@register("order_value_quantiles_approx")  # rows-only: t-digest-style
+# sketch state has no DuckDB twin (same reason ClickHouse splits
+# quantile from quantileExact); accuracy pinned vs the exact operator
+# by tests/test_quantiles.py::test_approx_within_rank_tolerance
+def order_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path: ``percentile_approx`` (bounded sketch
+    state, map-side merge, NO per-group sort) over the same
+    segment×prob grid as ``order_value_quantiles``. ClickHouse's
+    ``quantile`` vs ``quantileExact`` split, reproduced."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    probs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    agg = joined.groupBy("segment").agg(
+        F.percentile_approx("o_totalprice", probs, 10_000).alias("qs")
+    )
+    pairs = F.arrays_zip(F.array(*[F.lit(p) for p in probs]), F.col("qs")).alias("pz")
+    return (
+        agg.select("segment", F.explode(pairs).alias("pq"))
+        .select(
+            "segment",
+            F.col("pq")["0"].alias("prob"),
+            F.col("pq")["qs"].alias("quantile"),
+        )
+        .orderBy("segment", "prob")
+    )

@@ -59,3 +59,41 @@ def test_empty_probs_rejected(spark):
     df = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, t long")
     with pytest.raises(ValueError):
         exact_group_quantiles(df, group_cols=("g",), value_col="v", tie_col="t", probs=())
+
+
+def test_approx_within_rank_tolerance(spark):
+    """The sketch path must land within 1% rank error of the exact
+    path (percentile_approx accuracy=10k ⇒ ε=1e-4; 1% is a loose,
+    box-independent bound): for each (segment, prob), the approx
+    value's true rank must be within ±1% · n of floor(p(n-1))+1."""
+    from clickhouse_realtime_analytics_demo_spark.queries import all_queries
+    from tests.conftest import SF_DIR_MID
+
+    import duckdb
+
+    qs = all_queries()
+    approx = {
+        (r["segment"], round(r["prob"], 2)): r["quantile"]
+        for r in qs["order_value_quantiles_approx"].fn(spark, SF_DIR_MID).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW j AS SELECT c.c_mktsegment AS segment, o.o_totalprice AS v"
+        f" FROM '{SF_DIR_MID}/orders.parquet' o"
+        f" JOIN '{SF_DIR_MID}/customer.parquet' c ON c.c_custkey = o.o_custkey"
+    )
+    for (seg, prob), val in approx.items():
+        n, rank_of_val = con.execute(
+            "SELECT COUNT(*), COUNT(*) FILTER (WHERE v <= ?) FROM j WHERE segment = ?",
+            [val, seg],
+        ).fetchone()
+        target = int(prob * (n - 1)) + 1
+        assert abs(rank_of_val - target) <= max(1, 0.01 * n), (
+            seg,
+            prob,
+            val,
+            rank_of_val,
+            target,
+            n,
+        )
+    assert len(approx) == 25  # 5 segments x 5 probs
