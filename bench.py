@@ -67,6 +67,7 @@ HEADLINE = (
     "embedding_centroids",
     "doc_bigram_novelty",
     "window_funnel",
+    "sequence_match_levels",
 )
 
 

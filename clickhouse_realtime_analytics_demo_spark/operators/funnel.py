@@ -113,3 +113,63 @@ def funnel_levels(per_user_depth: DataFrame, k: int) -> DataFrame:
         .groupBy("level")
         .agg(F.count("*").alias("users"))
     )
+
+
+def sequence_match(
+    events: DataFrame,
+    *,
+    stages: Sequence[Column],
+    user_col: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')(ts, c1, c2, c3)``
+    analog — the UNwindowed sibling of :func:`window_funnel`: does an
+    ordered chain t1 < t2 < … < tk of stage events exist anywhere in
+    the user's history? Returns ``(user, depth)`` where depth is the
+    longest matched prefix (users with no stage-1 event are absent),
+    so :func:`funnel_levels` reports it the same way.
+
+    Existence is decided by the GREEDY earliest chain: taking the
+    earliest stage-1 time, then the earliest later stage-2 time, and
+    so on, never forecloses a longer match (any valid chain's stage-i
+    time is ≥ the greedy one, so every later stage keeps a superset
+    of candidates). Strict increase keeps equal-timestamp chains
+    unambiguous — the same determinism choice as window_funnel.
+
+    Distributed shape: k chained ``min(CASE)`` window aggregates over
+    one unordered user partition — ONE exchange on the user key, no
+    per-partition sort (unbounded frames need no ordering), no
+    collect_list arrays, no joins. The follow-up groupBy reuses the
+    window's hash partitioning, so the whole operator is
+    single-shuffle regardless of k.
+    """
+    k = len(stages)
+    if k < 2:
+        raise ValueError("sequenceMatch needs at least 2 stages")
+    w = Window.partitionBy("_u")
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(time_col)).alias("_t"),
+        *[c.cast("boolean").alias(f"_is{i}") for i, c in enumerate(stages)],
+    )
+    cur = ev.withColumn("_m0", F.min(F.when(F.col("_is0"), F.col("_t"))).over(w))
+    for i in range(1, k):
+        cur = cur.withColumn(
+            f"_m{i}",
+            F.min(
+                F.when(
+                    F.col(f"_is{i}") & (F.col("_t") > F.col(f"_m{i-1}")), F.col("_t")
+                )
+            ).over(w),
+        )
+    depth = F.lit(0)
+    for i in range(k):
+        depth = depth + F.when(F.col(f"_m{i}").isNotNull(), 1).otherwise(0)
+    # _m{i} is null whenever _m{i-1} is (the CASE guard), so depth
+    # counts exactly the matched prefix length.
+    return (
+        cur.withColumn("_depth", depth)
+        .filter(F.col("_m0").isNotNull())
+        .groupBy(F.col("_u").alias("user_id"))
+        .agg(F.max("_depth").alias("depth"))
+    )

@@ -336,3 +336,74 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "priority")
     )
+
+
+@register(
+    "user_first_last_action",
+    # Oracle restates argMin/argMax as two row_number() passes (the
+    # window formulation of the same selection) — agreement checks the
+    # sort-free aggregate against an independently-ordered evaluation.
+    # Ties are impossible at the comparator: (ts, event_id) is unique
+    # per row because event_id is unique.
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM events
+    )
+    SELECT f.user_id,
+           f.event_type AS first_type,
+           l.event_type AS last_type,
+           l.value AS last_value,
+           CAST(date_diff('second', f.ts, l.ts) AS BIGINT) AS lifespan_s
+    FROM ranked f
+    JOIN ranked l ON f.user_id = l.user_id
+    WHERE f.rn_first = 1 AND l.rn_last = 1
+    ORDER BY f.user_id
+    """,
+)
+def user_first_last_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``argMin(event_type, (ts, event_id))`` /
+    ``argMax(...)`` analog (the dialect shim maps argMax→max_by,
+    plans/dialect.py:184; this registers the family as a first-class
+    oracle-checked query): each user's first and last action plus
+    account lifespan. One hash aggregate with map-side combine — at
+    100 TB this is the argMax-vs-ROW_NUMBER trade that matters, since
+    the aggregate keeps one candidate per key per partition while the
+    window form must sort every partition; the oracle deliberately
+    uses the window form so the two formulations check each other.
+    The (ts, event_id) struct comparator makes the selection
+    deterministic under ties exactly like the reference's
+    ``argMax(x, (ts, id))`` tuple form."""
+    events = table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", key).alias("first_type"),
+            F.max_by("event_type", key).alias("last_type"),
+            F.max_by("value", key).alias("last_value"),
+            F.min(key).alias("_first_key"),
+            F.max(key).alias("_max_key"),
+        )
+        .select(
+            "user_id",
+            "first_type",
+            "last_type",
+            "last_value",
+            # second-BOUNDARY count (truncate each endpoint, then
+            # subtract), matching DuckDB/ClickHouse date_diff — NOT
+            # floor(delta): the two differ whenever the endpoints'
+            # sub-second fractions wrap.
+            (
+                F.floor(F.unix_micros(F.col("_max_key.ts")) / F.lit(1_000_000))
+                - F.floor(F.unix_micros(F.col("_first_key.ts")) / F.lit(1_000_000))
+            )
+            .cast("long")
+            .alias("lifespan_s"),
+        )
+        .orderBy("user_id")
+    )

@@ -600,3 +600,138 @@ def order_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "prob")
     )
+
+
+@register(
+    "sequence_match_levels",
+    # Independent oracle: the greedy chain is restated as a cascade of
+    # per-user MIN CTEs (earliest signup, earliest later click,
+    # earliest later purchase) — joins instead of windows, so
+    # agreement checks the operator's single-shuffle chained-window
+    # form against a structurally different evaluation of the same
+    # greedy-earliest argument. epoch_us on both sides.
+    oracle="""
+    WITH m0 AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), m1 AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+        FROM events e JOIN m0 ON e.user_id = m0.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > m0.t0
+        GROUP BY e.user_id
+    ), m2 AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+        FROM events e JOIN m1 ON e.user_id = m1.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > m1.t1
+        GROUP BY e.user_id
+    ), per_user AS (
+        SELECT m0.user_id,
+               1 + CASE WHEN m1.user_id IS NOT NULL THEN 1 ELSE 0 END
+                 + CASE WHEN m2.user_id IS NOT NULL THEN 1 ELSE 0 END AS depth
+        FROM m0
+        LEFT JOIN m1 ON m0.user_id = m1.user_id
+        LEFT JOIN m2 ON m0.user_id = m2.user_id
+    )
+    SELECT l.level, COUNT(*) AS users
+    FROM per_user, (VALUES (1), (2), (3)) AS l(level)
+    WHERE per_user.depth >= l.level
+    GROUP BY l.level
+    ORDER BY level
+    """,
+)
+def sequence_match_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')(ts, signup,
+    click, purchase)`` analog: the unwindowed ordered-chain funnel
+    (any signup, then any later click, then any later purchase —
+    anywhere in the user's history), reported as cumulative levels
+    like ``window_funnel``. Reference ecosystem: sequenceMatch is the
+    other half of ClickHouse's funnel pair (windowFunnel = bounded
+    window, sequenceMatch = pattern existence). Single shuffle on the
+    user key; no sort, no arrays (operators/funnel.py:sequence_match).
+    """
+    from clickhouse_realtime_analytics_demo_spark.operators.funnel import (
+        funnel_levels,
+        sequence_match as sm,
+    )
+
+    events = table(spark, sf_dir, "events")
+    t = F.col("event_type")
+    per_user = sm(events, stages=[t == "signup", t == "click", t == "purchase"])
+    return funnel_levels(per_user, 3).orderBy("level")
+
+
+@register(
+    "purchase_retention",
+    # Oracle restates retention() as per-user boolean flags then a
+    # conditional count — the direct SQL form of the aggregate's
+    # definition (r_i = cond_0 AND cond_i).
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND CAST(ts AS DATE) = DATE '2024-01-02'
+                        THEN 1 ELSE 0 END) AS c0,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND CAST(ts AS DATE) = DATE '2024-01-03'
+                        THEN 1 ELSE 0 END) AS c1,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND CAST(ts AS DATE) = DATE '2024-01-09'
+                        THEN 1 ELSE 0 END) AS c2
+        FROM events GROUP BY user_id
+    )
+    SELECT cond,
+           users,
+           CAST(ROUND(100.0 * users / NULLIF(base, 0), 2) AS DOUBLE) AS pct_of_base
+    FROM (
+        SELECT 0 AS cond, SUM(c0) AS users, SUM(c0) AS base FROM per_user
+        UNION ALL
+        SELECT 1, SUM(c0 * c1), SUM(c0) FROM per_user
+        UNION ALL
+        SELECT 2, SUM(c0 * c2), SUM(c0) FROM per_user
+    )
+    ORDER BY cond
+    """,
+)
+def purchase_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention(cond_0, …, cond_n)`` analog (the classic
+    day-0 / day-1 / day-7 cut): per user, flag_i = cond_0 AND cond_i
+    with cond_0 = purchased on 2024-01-02, then day-1 and day-7
+    re-purchase; summed across users with the retained share of the
+    day-0 base. Two hash aggregates (user flags, then a 1-row global
+    sum exploded to one row per condition) — the per-user stage
+    map-side combines, the global stage moves n_users booleans, so
+    the whole aggregate is one shuffle on the user key + a constant
+    tail. Frozen-clock dates per the ANCHOR_DATE convention."""
+    events = table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    is_p = F.col("event_type") == "purchase"
+
+    def flag(day: str):
+        return F.max(F.when(is_p & (d == F.lit(day).cast("date")), 1).otherwise(0))
+
+    per_user = events.groupBy("user_id").agg(
+        flag("2024-01-02").alias("c0"),
+        flag("2024-01-03").alias("c1"),
+        flag("2024-01-09").alias("c2"),
+    )
+    totals = per_user.agg(
+        F.sum("c0").alias("base"),
+        F.sum(F.col("c0") * F.col("c1")).alias("r1"),
+        F.sum(F.col("c0") * F.col("c2")).alias("r2"),
+    )
+    conds = F.array(
+        F.struct(F.lit(0).alias("cond"), F.col("base").alias("users")),
+        F.struct(F.lit(1).alias("cond"), F.col("r1").alias("users")),
+        F.struct(F.lit(2).alias("cond"), F.col("r2").alias("users")),
+    )
+    return (
+        totals.select(F.explode(conds).alias("e"), "base")
+        .select(
+            F.col("e.cond").alias("cond"),
+            F.col("e.users").alias("users"),
+            F.round(
+                100.0 * F.col("e.users") / F.nullif(F.col("base"), F.lit(0)), 2
+            ).alias("pct_of_base"),
+        )
+        .orderBy("cond")
+    )

@@ -125,3 +125,64 @@ def test_window_is_partitioned(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan
+
+
+# --- sequenceMatch (unwindowed ordered-chain existence) ---------------
+
+from clickhouse_realtime_analytics_demo_spark.operators.funnel import (  # noqa: E402
+    sequence_match,
+)
+
+
+def _sm_depths(spark, rows, k=3):
+    stages = [F.col("event_type") == s for s in ("view", "click", "purchase")[:k]]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = sequence_match(df, stages=stages)
+    return {r["user_id"]: r["depth"] for r in out.collect()}
+
+
+def test_sm_unbounded_gap_matches(spark):
+    # weeks between stages — windowFunnel(600s) would stop at 1, the
+    # pattern form matches anywhere in the history
+    d = _sm_depths(
+        spark,
+        [_ev(1, 0, "view"), _ev(1, 14 * 86400, "click"), _ev(1, 30 * 86400, "purchase")],
+    )
+    assert d == {1: 3}
+
+
+def test_sm_order_violation(spark):
+    # purchase exists but only BEFORE the earliest later click
+    d = _sm_depths(spark, [_ev(1, 0, "view"), _ev(1, 5, "purchase"), _ev(1, 10, "click")])
+    assert d == {1: 2}
+
+
+def test_sm_strict_increase_equal_ts(spark):
+    d = _sm_depths(spark, [_ev(1, 0, "view"), _ev(1, 0, "click")])
+    assert d == {1: 1}
+
+
+def test_sm_greedy_earliest_never_forecloses(spark):
+    # two views (0, 100); the only click (50) sits between them; the
+    # only purchase (60) follows it — greedy anchors at view=0 and
+    # still completes; anchoring at view=100 would find nothing
+    d = _sm_depths(
+        spark,
+        [
+            _ev(1, 0, "view"),
+            _ev(1, 100, "view"),
+            _ev(1, 50, "click"),
+            _ev(1, 60, "purchase"),
+        ],
+    )
+    assert d == {1: 3}
+
+
+def test_sm_no_stage1_absent(spark):
+    d = _sm_depths(spark, [_ev(1, 0, "click"), _ev(1, 5, "purchase"), _ev(2, 0, "view")])
+    assert d == {2: 1}
+
+
+def test_sm_rejects_single_stage(spark):
+    with pytest.raises(ValueError):
+        _sm_depths(spark, [_ev(1, 0, "view")], k=1)

@@ -118,6 +118,15 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # stage-stitch equi-join (AQE-broadcast at this SF) — never a
     # range-explosion join
     "window_funnel": ({"BroadcastHashJoinExec": 1}, False),
+    # r8 wave 3: sequenceMatch is k chained mins over ONE user-keyed
+    # window partition — no join, no range frame; the WindowExec
+    # partition check below is the load-bearing assertion
+    "sequence_match_levels": ({}, False),
+    # retention(): two hash aggregates, constant-width tail — no join
+    "purchase_retention": ({}, False),
+    # argMin/argMax family: one sort-free hash aggregate — no join,
+    # no window (the oracle uses the window form on purpose)
+    "user_first_last_action": ({}, False),
 }
 
 _JOIN_NODES = (
