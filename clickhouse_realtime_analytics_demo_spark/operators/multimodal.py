@@ -736,12 +736,13 @@ def decode_image(payload: bytes, *, fake: bool | None = None) -> dict:
 
     ``fake=None`` (default) auto-selects the best available real
     decode: PIL when importable, else the pure-Python parser for
-    BMP/PPM/PNG/GIF (sniffed by magic bytes; PNG via stdlib zlib +
-    defilter, GIF via the LZW decoder), else the deterministic
-    byte-level stand-in.
+    BMP/PPM/PNG/GIF/baseline-JPEG (sniffed by magic bytes; PNG via
+    stdlib zlib + defilter, GIF via the LZW decoder, JPEG via the
+    Huffman+IDCT decoder in ``operators.jpeg_codec``), else the
+    deterministic byte-level stand-in.
     ``fake=False`` demands a real decode and raises when neither PIL
-    nor a pure parser applies
-    (e.g. JPEG without PIL) OR when a sniffed payload fails to parse;
+    nor a pure parser applies (e.g. progressive/subsampled JPEG
+    without PIL) OR when a sniffed payload fails to parse;
     ``fake=True`` forces the stub (used by the synthetic-corpus
     queries, whose payloads are not image bytes). With ``fake=None`` a
     dirty payload (sniffs as a format, fails to parse) falls through
@@ -761,6 +762,12 @@ def decode_image(payload: bytes, *, fake: bool | None = None) -> dict:
                 return _pixel_features(*_parse_png(payload))
             if fmt == "gif":
                 return _pixel_features(*_parse_gif(payload))
+            if fmt == "jpeg":
+                from clickhouse_realtime_analytics_demo_spark.operators.jpeg_codec import (
+                    parse_jpeg,
+                )
+
+                return _pixel_features(*parse_jpeg(payload))
         except _DIRTY_PAYLOAD_ERRORS:
             if fake is False:
                 raise
@@ -769,8 +776,9 @@ def decode_image(payload: bytes, *, fake: bool | None = None) -> dict:
             if fake is False:
                 raise NotImplementedError(
                     f"real decode of format {fmt!r} requires an image library "
-                    "(PIL/torchvision); only uncompressed BMP/PPM decode "
-                    "without one. Re-run with fake=True for the stub."
+                    "(PIL/torchvision); without one the pure parsers cover "
+                    "BMP/PPM/PNG/GIF/baseline-JPEG only. Re-run with "
+                    "fake=True for the stub."
                 )
     import math
 
@@ -1055,6 +1063,63 @@ def synthesize_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     {
                         "media_type": "image",
                         "format": "png",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                        "size_bytes": len(payloads[-1]),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["_id"].values,
+                    "doc_id": pdf["_id"].values,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("_id")).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synthesize_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MEDIA_SCHEMA table of REAL baseline-JPEG payloads
+    — the lossy-codec twin of :func:`synthesize_png_media`, built on
+    JPEG's lossless corner: every 8×8-aligned tile is a constant gray
+    value, so each block is DC-only and a flat quantization step of 8
+    reconstructs it bit-exactly (see ``operators.jpeg_codec``). With
+
+        tiles_x = 2^(doc_id % 3), tiles_y = 2^(doc_id % 2)
+        w = 8*tiles_x, h = 8*tiles_y
+        tile t value v_t = (doc_id*7 + t*13) % 256  (row-major t)
+
+    the decoded stats are arithmetic identities: ``n_bytes = w*h``
+    and ``byte_mean = avg_t(v_t)`` — a power-of-two tile count keeps
+    that average exactly representable, so the SQL twin matches
+    bit-for-bit. A wrong Huffman code, stuffing byte, DC prediction
+    or IDCT on EITHER side breaks the identity."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from clickhouse_realtime_analytics_demo_spark.operators.jpeg_codec import (
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["_id"]:
+                did = int(did)
+                tx, ty = 1 << (did % 3), 1 << (did % 2)
+                w, h = 8 * tx, 8 * ty
+                rows = [
+                    [(did * 7 + ((y // 8) * tx + x // 8) * 13) % 256 for x in range(w)]
+                    for y in range(h)
+                ]
+                payloads.append(encode_jpeg(rows, gray=True, quant_luma=8))
+                metas.append(
+                    {
+                        "media_type": "image",
+                        "format": "jpeg",
                         "width": w,
                         "height": h,
                         "duration_ms": None,

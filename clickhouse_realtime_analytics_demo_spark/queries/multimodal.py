@@ -187,3 +187,53 @@ def media_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "media_jpeg_stats",
+    # The LOSSY-codec roundtrip: synthesize_jpeg_media's constant
+    # 8×8 tiles are DC-only blocks, exact under a flat quant step of
+    # 8, so width/height/content-bytes/byte-mean are closed-form
+    # functions of doc_id that this SQL states with no knowledge of
+    # the codec. Per-media rows (no cross-row float sums); the tile
+    # count is a power of two so AVG is exactly representable and
+    # hash-stable on both engines.
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS tx,
+               CASE doc_id % 2 WHEN 0 THEN 1 ELSE 2 END AS ty
+        FROM documents WHERE doc_id < 240
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(8 * p.tx AS INTEGER) AS width,
+           CAST(8 * p.ty AS INTEGER) AS height,
+           CAST(64 * p.tx * p.ty AS BIGINT) AS content_bytes,
+           AVG(CAST((p.doc_id * 7 + s.t * 13) % 256 AS DOUBLE)) AS byte_mean
+    FROM params p
+    JOIN (SELECT unnest(generate_series(0, 7)) AS t) s ON s.t < p.tx * p.ty
+    GROUP BY p.doc_id, p.tx, p.ty
+    ORDER BY media_id
+    """,
+)
+def media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG write→read roundtrip through Arrow plumbing:
+    synthesize genuine JPEG payloads (FDCT + Annex-K Huffman entropy
+    coder, mapInPandas) and decode them back with the pure-Python
+    baseline decoder (operators/jpeg_codec.py::parse_jpeg via
+    decode_image fake=None — the decoder rebuilds Huffman/quant
+    tables from the file's own DQT/DHT, sharing no constants with
+    the writer). Dimensions and pixel stats are closed-form
+    identities of doc_id (DC-only blocks: JPEG's lossless corner),
+    so the oracle pins the full marker/Huffman/DC-prediction/IDCT
+    path end to end."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    media = multimodal.synthesize_jpeg_media(docs)
+    feats = multimodal.extract_image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.col("n_bytes").alias("content_bytes"),
+        "byte_mean",
+    ).orderBy("media_id")
