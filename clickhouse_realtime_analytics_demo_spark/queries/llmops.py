@@ -941,3 +941,89 @@ def doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py::bigram_novelty)."""
     docs = table(spark, sf_dir, "documents")
     return text.bigram_novelty(docs).orderBy("id")
+
+
+@register(
+    "doc_mixture_rebalance",
+    # Membership is INTEGER-exact on both engines: the 60-bit md5
+    # draw and the keep probability p_s = (w_s/W)·total/cnt_s (target
+    # weights w: boosted sources 8, rest 3, W = Σw over the 20
+    # sources = 80) are compared by cross-multiplication
+    # (u·cnt_s·W < w_s·total·2^60), so no float enters membership;
+    # p_s ≥ 1 (an under-target source) degenerates to always-keep
+    # through the same inequality. DuckDB widens via HUGEINT, Spark
+    # via bounded decimals.
+    oracle="""
+    WITH c AS (
+        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ), t AS (
+        SELECT SUM(cnt) AS total FROM c
+    ), s AS (
+        SELECT d.source,
+               CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'),
+                                        1, 15) AS BIGINT) AS HUGEINT)
+                 * (c.cnt * 80)
+                 < CAST(CASE WHEN d.source IN ('src0', 'src1', 'src2', 'src3')
+                             THEN 8 ELSE 3 END AS HUGEINT)
+                   * t.total * 1152921504606846976 AS kept
+        FROM documents d
+        JOIN c USING (source)
+        CROSS JOIN t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+    FROM s
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing — resample the corpus toward a
+    literal target source mix (the corpus-composition knob of a
+    pretraining pipeline): here sources src0–src3 are boosted to 10%
+    target share each and the remaining sixteen carry 3.75%, so over-
+    represented sources are hash-downsampled by
+    p_s = target_share_s / current_share_s = (w_s/W) · total / cnt_s,
+    clamped to 1 for sources already at or under target. Acceptance is the
+    sampling family's deterministic md5 draw
+    (operators/sampling.py::hash_unit_prefix) compared in exact
+    integers — reproducible under any partitioning, no RNG state.
+    Scale shape: one count aggregate over the bounded source
+    dimension, broadcast back onto the fact side (never a shuffle of
+    documents by source), then a per-row comparison and one
+    groupBy(source) — the only document-sized pass is the scan
+    itself."""
+    from pyspark.sql.functions import broadcast
+
+    from clickhouse_realtime_analytics_demo_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(F.sum("cnt").alias("total"))
+    weights = counts.crossJoin(broadcast(totals))
+    u60 = F.conv(sampling.hash_unit_prefix(F.col("doc_id"), "mix"), 16, 10).cast(
+        "decimal(20,0)"
+    )
+    w_s = F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 8).otherwise(3)
+    kept = (u60 * (F.col("cnt") * F.lit(80)).cast("decimal(18,0)")) < (
+        (w_s * F.col("total")).cast("decimal(18,0)")
+        * F.lit(1_152_921_504_606_846_976).cast("decimal(20,0)")
+    )
+    scored = docs.select("doc_id", "source").join(broadcast(weights), "source")
+    return (
+        scored.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.round(
+                F.sum(F.when(F.col("kept"), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )

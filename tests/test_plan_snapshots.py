@@ -1,5 +1,5 @@
 """Physical-plan regression snapshots for the headline queries and the
-post-window pipeline queries (35 pinned shapes as of r8; VERDICT r5
+post-window pipeline queries (39 pinned shapes as of r8; VERDICT r5
 next-round #6, extended r7/r8): the round-5 quality came from plan
 discipline — no unpartitioned windows, pre-agg below joins,
 TakeOrderedAndProject for top-k, no cartesian products, no Python in
@@ -127,6 +127,13 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # argMin/argMax family: one sort-free hash aggregate — no join,
     # no window (the oracle uses the window form on purpose)
     "user_first_last_action": ({}, False),
+    # mixture rebalance: bounded source-dim weights broadcast onto
+    # the doc scan (BHJ) + the 1-row totals crossJoin (BNLJ) — the
+    # only document-sized pass is the scan
+    "doc_mixture_rebalance": (
+        {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 1},
+        False,
+    ),
 }
 
 _JOIN_NODES = (
@@ -139,7 +146,13 @@ _JOIN_NODES = (
 _PYTHON_NODES = ("BatchEvalPythonExec", "ArrowEvalPythonExec", "MapInPandasExec")
 # 1-row broadcasts; doc_pack_shards adds the ≤num_buckets² triangular
 # offsets join (bounded build regardless of table size)
-_BNLJ_ALLOWED = {"kpi_snapshot", "ann_cosine_topk", "doc_pack_shards", "doc_pack_concat"}
+_BNLJ_ALLOWED = {
+    "kpi_snapshot",
+    "ann_cosine_topk",
+    "doc_pack_shards",
+    "doc_pack_concat",
+    "doc_mixture_rebalance",
+}
 
 
 def _walk(node):
