@@ -892,12 +892,70 @@ def extract_image_features(media: DataFrame, *, fake: bool | None = None) -> Dat
     return media.select("media_id", "payload").mapInPandas(run, schema=IMAGE_FEATURES)
 
 
-def resize_images(media: DataFrame, width: int, height: int, *, fake: bool = False) -> DataFrame:
+def _resize_pixels(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize through the pure codec tier: parse any supported
+    container (BMP/PPM/PNG/GIF/baseline-JPEG), box-average resample to
+    ``width``×``height`` (the area-mean grid of ``_pixel_features``),
+    re-encode losslessly as PNG. Raises on unsupported/dirty payloads
+    — tier policy is the caller's (``resize_images``)."""
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        sw, sh, pixel, _ = _parse_bmp(payload)
+    elif fmt == "ppm":
+        sw, sh, pixel, _ = _parse_ppm(payload)
+    elif fmt == "png":
+        sw, sh, pixel, _ = _parse_png(payload)
+    elif fmt == "gif":
+        sw, sh, pixel, _ = _parse_gif(payload)
+    elif fmt == "jpeg":
+        from clickhouse_realtime_analytics_demo_spark.operators.jpeg_codec import (
+            parse_jpeg,
+        )
+
+        sw, sh, pixel, _ = parse_jpeg(payload)
+    else:
+        raise ValueError(f"unsupported image format {fmt!r} for resize")
+    rows = []
+    for y in range(height):
+        y0 = y * sh // height
+        y1 = min(max((y + 1) * sh // height, y0 + 1), sh)
+        y0 = min(y0, sh - 1)
+        row = []
+        for x in range(width):
+            x0 = x * sw // width
+            x1 = min(max((x + 1) * sw // width, x0 + 1), sw)
+            x0 = min(x0, sw - 1)
+            rs = gs = bs = cnt = 0
+            for yy in range(y0, y1):
+                for xx in range(x0, x1):
+                    r, g, b = pixel(xx, yy)
+                    rs += r
+                    gs += g
+                    bs += b
+                    cnt += 1
+            row.append(
+                (
+                    (2 * rs + cnt) // (2 * cnt),
+                    (2 * gs + cnt) // (2 * cnt),
+                    (2 * bs + cnt) // (2 * cnt),
+                )
+            )
+        rows.append(row)
+    return encode_png(rows, color_type=2)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, *, fake: bool | None = None
+) -> DataFrame:
     """payload -> resized payload (same schema), mapInPandas.
 
-    The fake resize is a deterministic re-digest tagged with the target
-    dims — it preserves the real operator's contract (binary in,
-    binary out, metadata updated) without an image library.
+    ``fake=None`` (default) resizes for real when the payload parses
+    through the pure codec tier (BMP/PPM/PNG/GIF/baseline-JPEG →
+    box-average resample → PNG out) and falls back to the
+    deterministic re-digest stand-in for anything else;
+    ``fake=False`` demands the real path (dirty/unsupported payloads
+    raise); ``fake=True`` forces the stub (used by the
+    synthetic-corpus queries, whose payloads are not image bytes).
     """
     out_schema = T.StructType(
         [
@@ -907,27 +965,36 @@ def resize_images(media: DataFrame, width: int, height: int, *, fake: bool = Fal
         ]
     )
 
+    def one(payload: bytes) -> tuple[bytes, str]:
+        if not fake:  # None or False: try the real resize first
+            try:
+                return _resize_pixels(payload, width, height), "png"
+            except _DIRTY_PAYLOAD_ERRORS:
+                if fake is False:
+                    raise
+        return (
+            hashlib.sha256(payload + f":{width}x{height}".encode()).digest(),
+            "raw",
+        )
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize requires an image library")
-            payloads = [
-                hashlib.sha256(bytes(p) + f":{width}x{height}".encode()).digest()
-                for p in pdf["payload"]
-            ]
-            metas = [
-                {
-                    "media_type": "image",
-                    "format": "raw",
-                    "width": width,
-                    "height": height,
-                    "duration_ms": None,
-                    "size_bytes": len(p),
-                }
-                for p in payloads
-            ]
+            payloads, metas = [], []
+            for p in pdf["payload"]:
+                buf, fmt = one(bytes(p))
+                payloads.append(buf)
+                metas.append(
+                    {
+                        "media_type": "image",
+                        "format": fmt,
+                        "width": width,
+                        "height": height,
+                        "duration_ms": None,
+                        "size_bytes": len(buf),
+                    }
+                )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].values, "payload": payloads, "meta": metas}
             )

@@ -237,3 +237,46 @@ def media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").alias("content_bytes"),
         "byte_mean",
     ).orderBy("media_id")
+
+
+@register(
+    "media_resize_roundtrip",
+    # Constant images are the resize identity: box-averaging a
+    # constant is the constant, so restricting to the constant
+    # members of the JPEG corpus (doc_id % 6 = 0 ⇒ one 8×8 tile)
+    # gives closed-form outputs for the WHOLE three-stage chain —
+    # synthesize JPEG → decode+box-resample+re-encode PNG → decode
+    # PNG. Output raster is RGB (3 bytes/px), value (doc_id*7) % 256.
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(48 AS BIGINT) AS content_bytes,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS byte_mean
+    FROM documents
+    WHERE doc_id < 600 AND doc_id % 6 = 0
+    ORDER BY media_id
+    """,
+)
+def media_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image resize through the pure codec tier, pinned end to
+    end: baseline-JPEG payloads (operators/jpeg_codec.py) are decoded,
+    box-average resampled to 4×4 and re-encoded as PNG
+    (operators/multimodal.py::resize_images fake=None), then decoded
+    AGAIN by the PNG parser for feature extraction — three independent
+    Arrow mapInPandas stages whose composition must reproduce the
+    closed-form constants. Any defect in the JPEG decode, the
+    resampler, the PNG write or the PNG read breaks the hash."""
+    docs = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 600) & (F.col("doc_id") % 6 == 0)
+    )
+    media = multimodal.synthesize_jpeg_media(docs)
+    resized = multimodal.resize_images(media, 4, 4)
+    feats = multimodal.extract_image_features(resized)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.col("n_bytes").alias("content_bytes"),
+        "byte_mean",
+    ).orderBy("media_id")

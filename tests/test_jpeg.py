@@ -131,3 +131,75 @@ def test_decoder_reads_tables_from_stream():
             encode_jpeg(rows, gray=True, quant_luma=step)
         )
         assert list(raster) == [v for row in rows for v in row], f"step={step}"
+
+
+# --- real resize through the codec tier -------------------------------
+
+
+def test_resize_pixels_exact_box_average():
+    from clickhouse_realtime_analytics_demo_spark.operators.multimodal import (
+        _parse_png,
+        _resize_pixels,
+    )
+
+    # 4×4 → 2×2: each output pixel is the exact mean of one 2×2 box
+    rows = [
+        [(0, 0, 0), (4, 8, 12), (100, 100, 100), (104, 108, 112)],
+        [(8, 4, 0), (4, 4, 4), (96, 96, 96), (100, 100, 92)],
+        [(200, 0, 0), (0, 200, 0), (40, 40, 40), (40, 40, 40)],
+        [(0, 0, 200), (200, 200, 200), (40, 40, 40), (40, 40, 40)],
+    ]
+    buf = _resize_pixels(_make_ppm(rows), 2, 2)
+    w, h, pixel, raster = _parse_png(buf)
+    assert (w, h) == (2, 2)
+    assert pixel(0, 0) == (4, 4, 4)
+    assert pixel(1, 0) == (100, 101, 100)
+    assert pixel(0, 1) == (100, 100, 100)
+    assert pixel(1, 1) == (40, 40, 40)
+
+
+def test_resize_jpeg_payload_constant_exact():
+    # constant-tile JPEG → any resize of a constant image is the same
+    # constant, end to end through parse_jpeg + encode_png
+    from clickhouse_realtime_analytics_demo_spark.operators.multimodal import (
+        _parse_png,
+        _resize_pixels,
+    )
+
+    rows = [[77] * 16 for _ in range(16)]
+    buf = _resize_pixels(
+        encode_jpeg(rows, gray=True, quant_luma=8), 5, 3
+    )
+    w, h, pixel, _ = _parse_png(buf)
+    assert (w, h) == (5, 3)
+    assert all(pixel(x, y) == (77, 77, 77) for y in range(3) for x in range(5))
+
+
+def test_resize_images_tiering(spark):
+    import pandas as pd  # noqa: F401  (mapInPandas dependency)
+
+    from clickhouse_realtime_analytics_demo_spark.operators.multimodal import (
+        _parse_png,
+        resize_images,
+    )
+
+    ppm = _make_ppm([[(10, 20, 30)] * 8] * 8)
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(b"not an image"))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 4, 4).collect()}
+    # real path: payload is a PNG of the right dims with the constant
+    w, h, pixel, _ = _parse_png(bytes(out[1]["payload"]))
+    assert (w, h) == (4, 4) and pixel(0, 0) == (10, 20, 30)
+    assert out[1]["meta"]["format"] == "png"
+    # dirty payload: deterministic stand-in, tagged raw
+    assert out[2]["meta"]["format"] == "raw"
+    assert len(out[2]["payload"]) == 32  # sha256 digest
+
+    import pytest
+
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException):
+        resize_images(media, 4, 4, fake=False).collect()
