@@ -352,6 +352,7 @@ def minhash_char_dedup_pairs(
     max_bucket_size: int | None = None,
     block_col: str | None = None,
     num_partitions: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """MinHash-LSH over CHAR-n-gram sets, verified with the exact
     char-n-gram Jaccard — the scale-shaped candidate generator for the
@@ -412,11 +413,24 @@ def minhash_char_dedup_pairs(
     win is that THIS formulation's cost is Σ bucket² (valve-capped)
     while the exact form's is Σ block² (unbounded, corpus-linear
     blocks).
+
+    ``eager`` (default True) runs the four checkpoint materializations
+    at DataFrame-CONSTRUCTION time — merely building the plan executes
+    Spark jobs and pins checkpoint RDDs for the session. Plan-only
+    tooling (EXPLAIN walkers, plan snapshots) should pass
+    ``eager=False``: NO barriers are inserted (a lazy
+    ``localCheckpoint`` would not help — under AQE, each downstream
+    checkpoint's ``toRdd`` finalizes the adaptive plan and submits the
+    upstream shuffle stages anyway, measured 13 jobs at construction)
+    and the signatures use the explode form, so construction runs zero
+    jobs. Results are bit-identical; the barriered eager form is the
+    one to EXECUTE (the perf notes above).
     """
     spark = docs.sparkSession
     n_parts = num_partitions or max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 16
     )
+    _barrier = (lambda df: df.localCheckpoint(eager=True)) if eager else (lambda df: df)
     keep = (block_col,) if block_col else ()
     # Spread the input BEFORE the gram build: a small parquet file (or
     # a filter's AQE-coalesced output) arrives as 1-few partitions, and
@@ -424,30 +438,31 @@ def minhash_char_dedup_pairs(
     # run on the INPUT partitioning — measured at sf0.1: 3.07 s
     # single-task vs 0.67 s over 32 (same lesson as the r6 probe-side
     # coalescing, this time at the scan).
-    sh = char_ngram_sets(
+    sh = _barrier(char_ngram_sets(
         docs.repartition(n_parts, id_col), text_col, id_col, shingle_n, keep=keep
-    ).localCheckpoint(eager=True)
-    sigs = minhash_signatures_from_sets(sh, num_hashes, keep=keep, materialized=True)
-    cands = lsh_candidates_from_sigs(
+    ))
+    sigs = minhash_signatures_from_sets(
+        sh, num_hashes, keep=keep, materialized=eager
+    )
+    cands = _barrier(lsh_candidates_from_sigs(
         sigs, num_hashes, bands, max_bucket_size, block_col
-    ).localCheckpoint(eager=True)
+    ))
     ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    shc = (
+    shc = _barrier(
         sh.join(ids, "id")  # semi-prune; AQE sizes the (candidate-id) build side
         .withColumn("nsh", F.size("sh"))
         .repartition(n_parts, "id")
-        .localCheckpoint(eager=True)
     )
     a = shc.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("nsh").alias("na"))
     b = shc.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("nsh").alias("nb"))
     thr = F.lit(threshold)
     # size-ratio prefilter before the per-pair intersect, as in
     # ngram_jaccard_pairs: J ≤ min/max, two integer compares
-    attached = (
+    attached = _barrier(
         cands.join(a, "id_a")
         .join(b, "id_b")
         .filter(
@@ -455,7 +470,6 @@ def minhash_char_dedup_pairs(
             & (F.col("nb") >= F.col("na") * thr - F.lit(1e-9))
         )
         .repartition(n_parts, "id_a", "id_b")
-        .localCheckpoint(eager=True)
     )
     return (
         attached.select(

@@ -277,10 +277,10 @@ def encode_jpeg(
 
     ql = q_table(quant_luma, _Q_LUMA)
     qc = q_table(quant_chroma, _Q_CHROMA)
+    if not rows or not rows[0]:
+        raise ValueError("empty image")
     h = len(rows)
     w = len(rows[0])
-    if h == 0 or w == 0:
-        raise ValueError("empty image")
 
     # Component planes, level-shifted; pad to 8×8 by edge replication.
     if gray:

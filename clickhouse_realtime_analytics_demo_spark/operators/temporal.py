@@ -81,6 +81,12 @@ def asof_join(
         if c.startswith("_asof_"):
             raise ValueError(f"left column {c!r} collides with internal _asof_ prefix")
     out_names = [right_time, *payload_cols]
+    for c in out_names:
+        if prefix + c in left.columns:
+            raise ValueError(
+                f"output column {prefix + c!r} collides with an existing left "
+                f"column; pass a different prefix="
+            )
 
     # Side marker: inclusive semantics sort right rows BEFORE left
     # rows at equal time in SCAN ORDER (an order placed at the event
@@ -113,7 +119,9 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    hit = F.last("_asof_payload", ignorenulls=True).over(w)
+    carried = u.withColumn(
+        "_asof_hit", F.last("_asof_payload", ignorenulls=True).over(w)
+    )
     if tolerance is not None:
         hit_t = F.col(f"_asof_hit.{right_time}")
         bound = F.expr(f"INTERVAL {tolerance}")
@@ -122,12 +130,7 @@ def asof_join(
             if direction == "backward"
             else hit_t <= F.col("_asof_t") + bound
         )
-        carried = (
-            u.withColumn("_asof_hit", F.last("_asof_payload", ignorenulls=True).over(w))
-            .withColumn("_asof_hit", F.when(tol_ok, F.col("_asof_hit")))
-        )
-    else:
-        carried = u.withColumn("_asof_hit", hit)
+        carried = carried.withColumn("_asof_hit", F.when(tol_ok, F.col("_asof_hit")))
 
     return carried.filter(F.col("_asof_side") == 1).select(
         F.col("_asof_row.*"),

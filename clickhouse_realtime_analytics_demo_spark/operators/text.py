@@ -401,7 +401,15 @@ def bm25_scores(
             for i in range(len(query_terms))
         ],
     ).collect()[0]
-    n, avgdl = int(stats["n"]), float(stats["avgdl"])
+    n = int(stats["n"])
+    if n == 0:
+        # Empty filtered corpus: avgdl is NULL and would crash both the
+        # float() conversion and the score's division — return an empty
+        # frame with the output schema instead.
+        return scored_input.select(
+            "id", *keep, F.lit(0.0).alias("score")
+        ).limit(0)
+    avgdl = float(stats["avgdl"])
     score = F.lit(0.0)
     for i in range(len(query_terms)):
         df_t = int(stats[f"_df{i}"])

@@ -174,3 +174,20 @@ def test_bad_direction_rejected(frames):
     left, right = frames
     with pytest.raises(ValueError, match="direction"):
         _run(left, right, direction="sideways")
+
+
+def test_output_prefix_collision_guard(frames):
+    # a left column literally named like an OUTPUT column (prefix+payload)
+    # must be rejected, not silently duplicated (ADVICE r8)
+    left, right = frames
+    with pytest.raises(ValueError, match="asof_rid"):
+        asof_join(
+            left.withColumn("asof_rid", left.event_id),
+            right,
+            left_on="k",
+            right_on="k",
+            left_time="t",
+            right_time="rt",
+            right_tie="rid",
+            payload_cols=("rid",),
+        )

@@ -80,3 +80,19 @@ def test_unblocked_cap_refuses_oversized_input(spark):
         (r.id_a, r.id_b)
         for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
+
+
+def test_lazy_checkpoint_knob(spark):
+    # eager=False (ADVICE r8): plan CONSTRUCTION must not run Spark
+    # jobs; results must match the eager form bit-for-bit.
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 3} jumps over the lazy dog") for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    lazy = dedup.minhash_char_dedup_pairs(docs, threshold=0.5, eager=False)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "constructing the lazy plan ran Spark jobs"
+    eager = dedup.minhash_char_dedup_pairs(docs, threshold=0.5)
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, eager.collect()))

@@ -203,3 +203,12 @@ def test_resize_images_tiering(spark):
 
     with pytest.raises(PythonException):
         resize_images(media, 4, 4, fake=False).collect()
+
+
+def test_empty_image_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="empty image"):
+        encode_jpeg([])
+    with pytest.raises(ValueError, match="empty image"):
+        encode_jpeg([[]])

@@ -126,3 +126,14 @@ def test_chunk_documents_window_algebra(spark):
 
     with pytest.raises(ValueError):
         t.chunk_documents(docs, chunk_size=500, stride=501)
+
+
+def test_bm25_empty_corpus(spark):
+    # ADVICE r8: an empty filtered corpus used to crash float(None) on
+    # the NULL avgdl; it must return an empty frame with the schema.
+    from clickhouse_realtime_analytics_demo_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    out = bm25_scores(docs, ("merge", "vector"))
+    assert out.columns == ["id", "score"]
+    assert out.count() == 0
