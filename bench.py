@@ -68,6 +68,8 @@ HEADLINE = (
     "doc_bigram_novelty",
     "window_funnel",
     "sequence_match_levels",
+    # round 9: distributed BPE tokenizer training (12 merges)
+    "doc_bpe_train",
 )
 
 

@@ -1,0 +1,181 @@
+"""Distributed BPE tokenizer training (vocabulary induction).
+
+Word-level byte-pair encoding a la Sennrich et al. 2016 ("Neural
+Machine Translation of Rare Words with Subword Units"): pre-tokenize
+the corpus into words, reduce to a (word, count) vocabulary once, then
+iteratively (1) count adjacent symbol pairs weighted by word count,
+(2) pick the most frequent pair, (3) merge it greedily left-to-right
+inside every word. Every pretraining pipeline fits a tokenizer on a
+corpus sample; this is that fit as Spark aggregations.
+
+Scale shape — the driver holds ONLY the merge table (num_merges rows,
+two short strings each); the corpus never leaves executors:
+
+- the corpus-sized pass happens ONCE (explode words -> groupBy word),
+  collapsing 100 TB of text to a word vocabulary (tens of millions of
+  rows at web scale — still a DataFrame, never collected);
+- each merge iteration is one partial-aggregated shuffle over the
+  vocabulary (explode adjacent pairs map-side, sum by pair) plus a
+  TakeOrdered top-1 (count desc, pair asc — deterministic across
+  cluster sizes), then a map-side array fold applying the merge;
+- the per-iteration rewrite is a JVM ``aggregate`` (fold) expression:
+  greedy left-to-right non-overlap falls out of the fold (a just-merged
+  tail element never string-equals the left symbol, so "aaaa" under
+  (a,a) becomes [aa, aa], not [aa, a, a]);
+- lineage is truncated with ``localCheckpoint`` every
+  ``checkpoint_every`` merges (the vocabulary frame is small relative
+  to the corpus; the checkpoint bounds plan depth at hundreds of
+  merges).
+
+Reference parity: ClickHouse has no tokenizer-training operator; the
+reference repo counts tokens only (see ``operators/text.py``
+``bpe_token_count``, reference `sample_queries.sql` token estimates).
+This operator is the training-side extension the survey's LLM-pipeline
+section calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+END_MARKER = "</w>"
+#: pre-tokenizer for TRAINING (oracle-shared): lowercase letter runs.
+#: Deliberately narrower than text.BPE_PATTERN — symbols stay ASCII
+#: [a-z]+ (plus the end marker), so lexicographic tie-breaks order
+#: identically in Spark (UTF8_BINARY) and any SQL oracle (binary
+#: collation), and merged symbols can never collide with the marker.
+WORD_PATTERN = "[a-z]+"
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text", pattern: str = WORD_PATTERN
+) -> DataFrame:
+    """(word, cnt): the one corpus-sized pass. Partial aggregation
+    combines map-side; the single shuffle key is the word itself."""
+    return (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) into one
+    symbol, as a map-side fold. The accumulator is the rewritten
+    prefix; a merge replaces its last element, so an element consumed
+    by one merge can't start another (BPE's non-overlap rule)."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    pattern: str = WORD_PATTERN,
+    end_marker: str = END_MARKER,
+    checkpoint_every: int = 6,
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``num_merges`` BPE merges from a document corpus. Returns
+    the merge table ``[(merge_rank, lhs, rhs, merged, pair_count)]`` —
+    the ONLY driver-side data; stops early if no adjacent pairs remain.
+
+    Ties on pair count break by (lhs, rhs) ascending — a total,
+    engine-independent order (Sennrich's reference breaks ties by dict
+    order, which is insertion-dependent; ours is reproducible across
+    partitionings, required by the determinism gate).
+    """
+    words = (
+        word_counts(docs, text_col, pattern)
+        .select(
+            F.concat(
+                F.expr("regexp_extract_all(word, '.', 0)"),
+                F.array(F.lit(end_marker)),
+            ).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for k in range(num_merges):
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        left, right, count = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((k + 1, left, right, left + right, count))
+        words = words.withColumn("syms", _merge_fold(F.col("syms"), left, right))
+        if (k + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    return merges
+
+
+def train_bpe_df(
+    spark: SparkSession, docs: DataFrame, num_merges: int, **kw
+) -> DataFrame:
+    """The merge table as a DataFrame (rank, lhs, rhs, merged,
+    pair_count) — vocab-sized driver data parallelized back, the dict-
+    literal precedent (`plans/dictionaries.py`)."""
+    merges = train_bpe(docs, num_merges, **kw)
+    rows = [
+        Row(merge_rank=m[0], lhs=m[1], rhs=m[2], merged=m[3], pair_count=m[4])
+        for m in merges
+    ]
+    schema = "merge_rank int, lhs string, rhs string, merged string, pair_count bigint"
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+
+def segment_words(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    word_col: str = "word",
+    end_marker: str = END_MARKER,
+) -> DataFrame:
+    """ENCODE with a learned merge table: apply every merge, in rank
+    order, to each word's symbol sequence (the standard BPE encoder
+    semantics — training-order replay). Adds a ``bpe`` array column.
+
+    Map-side only (num_merges chained folds, no shuffle); chains a
+    ``localCheckpoint`` every 16 merges to bound expression depth.
+    """
+    out = words.withColumn(
+        "bpe",
+        F.concat(
+            F.expr(f"regexp_extract_all({word_col}, '.', 0)"),
+            F.array(F.lit(end_marker)),
+        ),
+    )
+    for i, (_, left, right, _, _) in enumerate(sorted(merges)):
+        out = out.withColumn("bpe", _merge_fold(F.col("bpe"), left, right))
+        if (i + 1) % 16 == 0:
+            out = out.localCheckpoint()
+    return out

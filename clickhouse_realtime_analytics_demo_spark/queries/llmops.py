@@ -14,8 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_realtime_analytics_demo_spark.catalog import table
-from clickhouse_realtime_analytics_demo_spark.operators import dedup, similarity, text
+from clickhouse_realtime_analytics_demo_spark.operators import bpe, dedup, similarity, text
 from clickhouse_realtime_analytics_demo_spark.queries.registry import register
+
+_BPE_WORD_PATTERN = bpe.WORD_PATTERN
+_BPE_END = bpe.END_MARKER
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -1027,3 +1030,101 @@ def doc_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _bpe_train_oracle(num_merges: int) -> str:
+    """Unrolled N-iteration BPE training as a single DuckDB SQL string
+    (generated — the oracle-side twin of operators/bpe.py train_bpe).
+
+    Each iteration: adjacent-pair counts from lockstep unnest of two
+    shifted list slices; deterministic top-1 (count desc, pair asc);
+    greedy left-to-right rewrite via match positions with alternate-
+    parity selection inside consecutive runs (positions i and i+1 both
+    matching means overlap; keep even offsets from the run head —
+    exactly the fold semantics of the Spark side)."""
+    parts = [
+        f"""
+    WITH wc AS MATERIALIZED (
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '{_BPE_WORD_PATTERN}')) AS word
+              FROM documents)
+        GROUP BY word
+    ),
+    w0 AS MATERIALIZED (
+        SELECT word AS wid,
+               list_append(regexp_extract_all(word, '.'), '{_BPE_END}') AS syms,
+               cnt
+        FROM wc
+    )"""
+    ]
+    for k in range(1, num_merges + 1):
+        p = k - 1
+        parts.append(f""",
+    p{k} AS MATERIALIZED (
+        SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c
+        FROM (SELECT unnest(syms[1:len(syms) - 1]) AS l,
+                     unnest(syms[2:len(syms)]) AS r, cnt
+              FROM w{p} WHERE len(syms) >= 2)
+        GROUP BY l, r
+    ),
+    t{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+    e{k} AS MATERIALIZED (
+        SELECT wid, cnt,
+               CAST(unnest(range(1, len(syms) + 1)) AS INTEGER) AS i,
+               unnest(syms) AS s
+        FROM w{p}
+    ),
+    mm{k} AS MATERIALIZED (
+        SELECT wid, i FROM (
+            SELECT wid, i, s, lead(s) OVER (PARTITION BY wid ORDER BY i) AS s2
+            FROM e{k})
+        WHERE s = (SELECT l FROM t{k}) AND s2 = (SELECT r FROM t{k})
+    ),
+    g{k} AS MATERIALIZED (
+        SELECT wid, i FROM (
+            SELECT wid, i,
+                   i - MIN(i) OVER (PARTITION BY wid, i - rn) AS off
+            FROM (SELECT wid, i,
+                         row_number() OVER (PARTITION BY wid ORDER BY i) AS rn
+                  FROM mm{k}))
+        WHERE off % 2 = 0
+    ),
+    w{k} AS MATERIALIZED (
+        SELECT e.wid,
+               list(CASE WHEN g.i IS NOT NULL
+                         THEN (SELECT l || r FROM t{k}) ELSE e.s END
+                    ORDER BY e.i) AS syms,
+               ANY_VALUE(e.cnt) AS cnt
+        FROM e{k} e
+        LEFT JOIN g{k} g ON g.wid = e.wid AND g.i = e.i
+        LEFT JOIN g{k} g2 ON g2.wid = e.wid AND g2.i = e.i - 1
+        WHERE g2.i IS NULL
+        GROUP BY e.wid
+    )""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, c AS pair_count FROM t{k}"
+        for k in range(1, num_merges + 1)
+    )
+    parts.append(f"""
+    SELECT * FROM ({unions})
+    ORDER BY merge_rank
+    """)
+    return "".join(parts)
+
+
+_BPE_MERGES = 12
+
+
+@register("doc_bpe_train", oracle=_bpe_train_oracle(_BPE_MERGES))
+def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016 vocabulary
+    induction): the first 12 learned merges over the documents corpus
+    — (merge_rank, lhs, rhs, merged, pair_count).
+
+    Scale: one corpus pass reduces 100 TB of text to a word-count
+    vocabulary; each merge is one partial-aggregated shuffle over that
+    vocabulary + a TakeOrdered top-1; the driver holds ONLY the merge
+    table (see operators/bpe.py). The oracle replays the identical
+    algorithm as 12 unrolled SQL iterations."""
+    docs = table(spark, sf_dir, "documents")
+    return bpe.train_bpe_df(spark, docs, _BPE_MERGES)

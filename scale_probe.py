@@ -478,6 +478,64 @@ def write_textops_section(rows: list[dict]) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
+def bpe_probe(spark, ks=(1, 4, 10), num_merges=12) -> list[dict]:
+    """Round-9 BPE tokenizer training vs corpus size: one corpus pass
+    to a word vocabulary, then num_merges iterations of (pair-count
+    shuffle over the vocabulary + top-1 + map-side rewrite). Cipher
+    replication grows the WORD VOCABULARY ~linearly with K (each copy
+    contributes disjoint words) — the stress axis that matters, since
+    every iteration's cost is vocabulary-sized, not corpus-sized.
+    Records the vocab size so the ratio column can be read against the
+    thing that actually grew."""
+    from clickhouse_realtime_analytics_demo_spark.operators import bpe as _bpe
+
+    out = []
+    for k in ks:
+        d = tempfile.mkdtemp(prefix=f"bpe_k{k}_")
+        replicate(spark, d, k, only=("documents",))
+        docs = table(spark, d, "documents")
+        row: dict = {"k": k, "vocab": _bpe.word_counts(docs).count()}
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            merges = _bpe.train_bpe(docs, num_merges)
+            best = min(best, time.perf_counter() - t0)
+        row["train_s"] = round(best, 2)
+        row["merges"] = len(merges)
+        out.append(row)
+        print(json.dumps({"bpe_probe": row}), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def write_bpe_section(rows: list[dict], num_merges: int = 12) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## BPE tokenizer training vs corpus size"
+    text, tail_sections = _splice_section(text, marker)
+    base = rows[0]
+    lines = [
+        marker.strip(),
+        "",
+        f"`scale_probe.py bpe`: operators/bpe.py train_bpe ({num_merges} merges)"
+        " on cipher-replicated documents, best-of-2 warm. The cipher"
+        " copies carry disjoint words, so the WORD VOCABULARY (the"
+        " per-iteration working set) grows ~linearly with K — the"
+        " honest stress for an operator whose corpus-sized work is one"
+        " pass and whose iteration cost is vocabulary-sized. The"
+        " driver holds only the merge table at every K.",
+        "",
+        "| K | docs | word vocab | train (s) | ratio |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['k']} | {r['k'] * 4792} | {r['vocab']} |"
+            f" {r['train_s']} | {round(r['train_s'] / base['train_s'], 1)}x |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def write_corpusprep_section(rows: list[dict]) -> None:
     md = Path("SCALEPROBE.md")
     text = md.read_text() if md.exists() else ""
@@ -1503,6 +1561,12 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_temporal")
         rows = temporal_probe(spark)
         write_temporal_section(rows)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bpe":
+        spark = get_spark(app_name="scale_probe_bpe")
+        rows = bpe_probe(spark)
+        write_bpe_section(rows)
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "textops":

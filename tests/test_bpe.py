@@ -1,0 +1,187 @@
+"""BPE tokenizer training pinned against a from-scratch pure-Python
+reference (Sennrich et al. 2016 learn_bpe semantics, our deterministic
+(count desc, pair asc) tie-break) — the union-find-vs-star-contraction
+pinning pattern from test_graph.py — plus encoder roundtrip and the
+greedy-overlap corner."""
+
+from __future__ import annotations
+
+import re
+
+from clickhouse_realtime_analytics_demo_spark.operators.bpe import (
+    END_MARKER,
+    WORD_PATTERN,
+    segment_words,
+    train_bpe,
+)
+
+# ------------------------------------------------ pure-Python reference
+
+
+def reference_word_counts(texts, pattern=WORD_PATTERN):
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in re.findall(pattern, t.lower()):
+            wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def reference_train_bpe(wc, num_merges, end_marker=END_MARKER):
+    words = {tuple(list(w) + [end_marker]): c for w, c in wc.items()}
+    merges = []
+    for k in range(num_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + c
+        if not stats:
+            break
+        (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((k + 1, l, r, l + r, c))
+        new_words: dict[tuple[str, ...], int] = {}
+        for syms, cnt in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + cnt
+        words = new_words
+    return merges
+
+
+def reference_segment(word, merges, end_marker=END_MARKER):
+    syms = list(word) + [end_marker]
+    for _, l, r, m, _ in sorted(merges):
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(m)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+# ------------------------------------------------------------------ tests
+
+FIXTURE = [
+    "low low low lower lower lowest",
+    "new newer newest newest newest wide",
+    "wider widest wide wide new low",
+    "the newest widget is newer than the widest one",
+]
+
+
+def test_fixture_matches_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FIXTURE)], "doc_id bigint, text string"
+    )
+    got = train_bpe(docs, 20)
+    want = reference_train_bpe(reference_word_counts(FIXTURE), 20)
+    assert got == want
+
+
+def test_sf0001_documents_match_reference(spark):
+    import pyarrow.parquet as pq
+
+    texts = [
+        t for t in pq.read_table("/root/testdata/sf0.001/documents.parquet")
+        .column("text").to_pylist() if t is not None
+    ]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = train_bpe(docs, 24, checkpoint_every=5)
+    want = reference_train_bpe(reference_word_counts(texts), 24)
+    assert got == want
+
+
+def test_greedy_overlap_runs(spark):
+    # "aaaa" under merge (a,a) must become [aa, aa, </w>] — the fold's
+    # just-merged tail must not re-merge with the next element.
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaa")], "doc_id bigint, text string"
+    )
+    merges = train_bpe(docs, 2)
+    want = reference_train_bpe(reference_word_counts(["aaaa aaaa aaa"]), 2)
+    assert merges == want
+    # (a,a) pair count over {aaaa:2, aaa:1}: overlapping adjacent
+    # occurrences all count (3*2 + 2*1 = 8)
+    assert merges[0][1:] == ("a", "a", "aa", 8)
+    # after merge 1, aaaa -> [aa,aa,</w>] x2 and aaa -> [aa,a,</w>]:
+    # (aa,aa) and (aa,</w>) tie at 2; '<' (0x3C) < 'a' so the marker
+    # pair wins the lexicographic tie-break
+    assert merges[1][1:] == ("aa", "</w>", "aa</w>", 2)
+
+
+def test_early_stop_no_pairs(spark):
+    # single-letter words reduce to 2-symbol [c, </w>] words; after
+    # merging each with the marker there are no pairs left
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id bigint, text string")
+    merges = train_bpe(docs, 10)
+    assert len(merges) == 2
+    assert {m[3] for m in merges} == {"a</w>", "b</w>"}
+
+
+def test_segment_words_matches_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FIXTURE)], "doc_id bigint, text string"
+    )
+    merges = train_bpe(docs, 12)
+    vocab = ["lowest", "newest", "widest", "low", "new", "unseen"]
+    words = spark.createDataFrame([(w,) for w in vocab], "word string")
+    got = {r["word"]: r["bpe"] for r in segment_words(words, merges).collect()}
+    for w in vocab:
+        assert got[w] == reference_segment(w, merges), w
+
+
+def test_iteration_plan_shape(spark):
+    # the registered query returns the driver-built merge table, so the
+    # registry-level plan snapshot sees only a LocalTableScan; THIS is
+    # where the per-iteration plan contract is locked: the pair count
+    # is a partially-aggregated explode (no join, no Python node), the
+    # rewrite is a pure map-side Project (no exchange at all).
+    from pyspark.sql import functions as F
+
+    from clickhouse_realtime_analytics_demo_spark.operators.bpe import (
+        _merge_fold,
+        word_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = word_counts(docs).select(
+        F.concat(
+            F.expr("regexp_extract_all(word, '.', 0)"), F.array(F.lit(END_MARKER))
+        ).alias("syms"),
+        "cnt",
+    )
+    pairs = (
+        words.filter(F.size("syms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2),"
+                    " i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "PythonExec" not in plan and "EvalPython" not in plan
+    assert "HashAggregate" in plan
+    rewrite = words.withColumn("syms", _merge_fold(F.col("syms"), "t", "h"))
+    rplan = rewrite._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" not in rplan and "Join" not in rplan

@@ -127,6 +127,12 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # argMin/argMax family: one sort-free hash aggregate — no join,
     # no window (the oracle uses the window form on purpose)
     "user_first_last_action": ({}, False),
+    # r9: BPE training returns the driver-built merge table
+    # (LocalTableScan — vocab-sized by construction); the per-
+    # iteration pair-count/rewrite plan properties (partial agg, no
+    # join, no corpus-sized broadcast, no Python nodes) are asserted
+    # by tests/test_bpe.py::test_iteration_plan_shape
+    "doc_bpe_train": ({}, False),
     # mixture rebalance: bounded source-dim weights broadcast onto
     # the doc scan (BHJ) + the 1-row totals crossJoin (BNLJ) — the
     # only document-sized pass is the scan
