@@ -306,6 +306,38 @@ def create_app(
         ],
     )
 
+    @app.route("/api/live/funnel-depth")
+    def live_funnel_depth():
+        """Live windowFunnel depth (r9: the first r8 temporal operator
+        on the live surface): users reaching each ordered stage
+        view→click→purchase within the funnel window, plus each
+        level's share of level 1 — the poll-mix sibling of
+        /api/live/conversion-rate, which counts UNordered totals."""
+        try:
+            rows = run_named("window_funnel")
+            # levels a dashboard always renders: unreached ones are 0
+            # (the aggregate drops empty groups)
+            by_level = {r["level"]: r["users"] for r in rows}
+            base = by_level.get(1, 0)
+            return jsonify(
+                {
+                    "levels": [
+                        {
+                            "level": lv,
+                            "users": by_level.get(lv, 0),
+                            "pct_of_entry": (
+                                round(by_level.get(lv, 0) * 100.0 / base, 2)
+                                if base
+                                else 0
+                            ),
+                        }
+                        for lv in (1, 2, 3)
+                    ]
+                }
+            )
+        except Exception as exc:
+            return jsonify({"error": str(exc)}), 500
+
     @app.route("/api/live/conversion-rate")
     def live_conversion_rate():
         try:

@@ -1148,6 +1148,58 @@ def synthesize_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(F.col(id_col).alias("_id")).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def synthesize_gif_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MEDIA_SCHEMA table of REAL GIF payloads — the
+    palette-codec twin of :func:`synthesize_png_media`, exercising the
+    LZW + interlace path. Each doc becomes a gray gradient GIF with
+    closed-form stats (lossless format, so the PNG-style identities
+    hold exactly):
+
+        w = 8 + doc_id % 5,  h = 6 + doc_id % 4,  base = doc_id % 200
+        pixel(x, y) = base + x + 2*y   (r = g = b; max 227, no wrap)
+        interlaced = doc_id % 2 == 1
+
+    so ``byte_mean = base + (w-1)/2 + (h-1)`` and ``n_bytes = 3*w*h``
+    over the decoded RGB raster. Distinct colors = w + 2h - 2 ≤ 28, so
+    the palette fits; h ≥ 6 puts rows in all four interlace passes,
+    and half the corpus is interlaced — a wrong LZW code width,
+    CLEAR/reset, sub-block framing or row de-interleave on EITHER the
+    write or the read side breaks the identity."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["_id"]:
+                did = int(did)
+                w, h, base = 8 + did % 5, 6 + did % 4, did % 200
+                rows = [
+                    [(base + x + 2 * y,) * 3 for x in range(w)] for y in range(h)
+                ]
+                payloads.append(encode_gif(rows, interlaced=did % 2 == 1))
+                metas.append(
+                    {
+                        "media_type": "image",
+                        "format": "gif",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                        "size_bytes": len(payloads[-1]),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["_id"].values,
+                    "doc_id": pdf["_id"].values,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("_id")).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def synthesize_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic MEDIA_SCHEMA table of REAL baseline-JPEG payloads
     — the lossy-codec twin of :func:`synthesize_png_media`, built on

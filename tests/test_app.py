@@ -252,3 +252,16 @@ def test_explain_endpoint(client):
 
 def test_explain_unknown_404(client):
     assert client.get("/api/system/explain/nope").status_code == 404
+
+
+def test_live_funnel_depth_contract(client):
+    """r9: the live windowFunnel route — levels are cumulative
+    (monotone non-increasing users), level 1 anchors pct at 100."""
+    d = client.get("/api/live/funnel-depth").get_json()
+    assert set(d) == {"levels"}
+    levels = d["levels"]
+    assert [r["level"] for r in levels] == [1, 2, 3]
+    users = [r["users"] for r in levels]
+    assert users == sorted(users, reverse=True)
+    assert levels[0]["pct_of_entry"] == 100.0
+    assert all(0 <= r["pct_of_entry"] <= 100.0 for r in levels)
