@@ -25,9 +25,14 @@ Why this shape at 100 TB:
 
 Skew note: a pathologically hot key serializes its own timeline into
 one task, like any per-key sequence operator (sessionization has the
-same floor). Mitigate upstream by time-bucketing the key if a single
-key's history exceeds a task (documented, not needed at any tested
-SF).
+same floor) — measured (SCALEPROBE "As-of hot key"): a planted
+1-key timeline is 2.6×/3.2× slower than uniform at 4M/8M rows.
+``split_bucket_us`` is the valve: partition each key's timeline into
+fixed time buckets, carry within (key, bucket) in parallel, and stitch
+buckets with a per-bucket final-state spine (one row per non-empty
+(key, bucket)) — results are bit-identical to the unsplit form for
+every direction/strict/tolerance combination
+(tests/test_asof.py::test_split_matches_unsplit).
 
 Determinism: ties at equal ``right_time`` within a key are broken by
 ``right_tie`` (highest wins) — explicitly, because the driver's
@@ -59,6 +64,7 @@ def asof_join(
     strict: bool = False,
     tolerance: str | None = None,
     direction: str = "backward",
+    split_bucket_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join: attach, to every ``left`` row, the most recent
     ``right`` row of the same key with ``right_time <= left_time``
@@ -74,6 +80,15 @@ def asof_join(
     forward). ``tolerance`` (an SQL interval literal body like
     ``'7 days'``) nulls out matches farther than that from the left
     time, mirroring pandas ``merge_asof``.
+
+    ``split_bucket_us`` is the hot-key valve (module docstring): the
+    per-key timeline is cut into fixed time buckets of that many
+    microseconds, carried in parallel per (key, bucket), and stitched
+    through a per-bucket final-state spine. Identical results; one
+    extra (small) spine window and join. Size it so one bucket of the
+    hottest key fits a task (e.g. an hour of a key that logs ~10⁶
+    events/day); buckets-per-key stays bounded because retention
+    bounds the time range.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -114,14 +129,74 @@ def asof_join(
         order = [F.col("_asof_t").asc(), F.col("_asof_side").asc(), F.col("_asof_tie").asc()]
     else:
         order = [F.col("_asof_t").desc(), F.col("_asof_side").asc(), F.col("_asof_tie").desc()]
-    w = (
-        Window.partitionBy("_asof_k")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.withColumn(
-        "_asof_hit", F.last("_asof_payload", ignorenulls=True).over(w)
-    )
+
+    if split_bucket_us is None:
+        w = (
+            Window.partitionBy("_asof_k")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = u.withColumn(
+            "_asof_hit", F.last("_asof_payload", ignorenulls=True).over(w)
+        )
+    else:
+        # Hot-key valve. Floor-divide time into buckets (pmod form:
+        # `div` truncates toward zero, wrong for pre-epoch times), then:
+        #  1. carry within each (key, bucket) — parallel across buckets;
+        #  2. per-bucket final state = the right row a LATER-in-scan
+        #     bucket would see as most recent (max_by (t, tie) in scan
+        #     order; buckets partition time, so cross-bucket carries
+        #     never involve equal-time/strictness subtleties);
+        #  3. spine of ALL (key, bucket) pairs present (a bucket with
+        #     only left rows still needs the carry), window over the
+        #     per-key bucket sequence — |buckets-per-key| rows, tiny —
+        #     takes the last non-null state STRICTLY BEFORE each bucket;
+        #  4. join the spine back (AQE broadcasts it; the big side is
+        #     already hash-partitioned on (key, bucket) by the window)
+        #     and coalesce in-bucket hit with the carried-in state.
+        wus = int(split_bucket_us)
+        bucket = F.expr(
+            f"(unix_micros(_asof_t) - pmod(unix_micros(_asof_t), {wus})) div {wus}"
+        )
+        u = u.withColumn("_asof_b", bucket)
+        scan_asc = direction == "backward"
+        w_in = (
+            Window.partitionBy("_asof_k", "_asof_b")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        state_of = F.max_by if scan_asc else F.min_by
+        states = (
+            u.filter(F.col("_asof_side") != 1)
+            .groupBy("_asof_k", "_asof_b")
+            .agg(
+                state_of(
+                    "_asof_payload", F.struct(F.col("_asof_t"), F.col("_asof_tie"))
+                ).alias("_asof_bstate")
+            )
+        )
+        spine = (
+            u.select("_asof_k", "_asof_b")
+            .distinct()
+            .join(states, ["_asof_k", "_asof_b"], "left")
+        )
+        w_b = (
+            Window.partitionBy("_asof_k")
+            .orderBy(F.col("_asof_b").asc() if scan_asc else F.col("_asof_b").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        spine = spine.select(
+            "_asof_k",
+            "_asof_b",
+            F.last("_asof_bstate", ignorenulls=True).over(w_b).alias("_asof_prev"),
+        )
+        carried = (
+            u.withColumn(
+                "_asof_inhit", F.last("_asof_payload", ignorenulls=True).over(w_in)
+            )
+            .join(spine, ["_asof_k", "_asof_b"], "left")
+            .withColumn("_asof_hit", F.coalesce("_asof_inhit", "_asof_prev"))
+        )
     if tolerance is not None:
         hit_t = F.col(f"_asof_hit.{right_time}")
         bound = F.expr(f"INTERVAL {tolerance}")

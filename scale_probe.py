@@ -1476,6 +1476,91 @@ def temporal_probe(spark, ks=(1, 4, 10)) -> list[dict]:
     return out
 
 
+def asof_hotkey_probe(spark, sizes=(1_000_000, 4_000_000, 8_000_000)) -> list[dict]:
+    """Round-9 as-of hot-key ceiling (VERDICT r8 #6): plant ALL rows on
+    ONE key (the per-key window's serialization floor), compare
+    against a uniform 10k-key spread, then apply the split_bucket_us
+    valve to the hot timeline. Fresh plan per timed run — re-collecting
+    one adaptively-executed DataFrame reuses its materialized shuffle
+    stages and measures only the final stage (hit while building this
+    probe: 8M rows "in 0.03 s")."""
+    from clickhouse_realtime_analytics_demo_spark.operators.temporal import asof_join
+
+    def build(n_left, n_users, split=None):
+        left = spark.range(1, n_left + 1, numPartitions=32).select(
+            F.col("id").alias("event_id"),
+            (F.xxhash64("id", F.lit(1)) % n_users).alias("k")
+            if n_users > 1 else F.lit(1).alias("k"),
+            F.timestamp_micros(
+                (F.col("id") * 1000 + F.xxhash64("id") % 997).cast("long")
+            ).alias("t"),
+        )
+        right = spark.range(1, 10_001, numPartitions=8).select(
+            F.col("id").alias("rid"),
+            (F.xxhash64("id", F.lit(2)) % n_users).alias("k")
+            if n_users > 1 else F.lit(1).alias("k"),
+            F.timestamp_micros((F.col("id") * 250_000).cast("long")).alias("rt"),
+            (F.col("id") % 100).alias("payload"),
+        )
+        out = asof_join(
+            left, right, left_on="k", right_on="k", left_time="t",
+            right_time="rt", right_tie="rid", payload_cols=("payload",),
+            split_bucket_us=split,
+        )
+        # aggregate the CARRIED column: a bare count() prunes the window
+        return out.agg(F.sum("asof_payload").alias("s"), F.count("*").alias("n"))
+
+    build(100_000, 100).collect()  # JVM warm
+    rows = []
+    for n in sizes:
+        row: dict = {"rows": n}
+        # bucket the hot timeline into ~64 tasks' worth of work
+        split = max(1, (n * 1000) // 64)
+        for label, users, sp in (
+            ("hot_s", 1, None),
+            ("uniform_s", 10_000, None),
+            ("hot_split_s", 1, split),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                q = build(n, users, sp)
+                t0 = time.perf_counter()
+                q.collect()
+                best = min(best, time.perf_counter() - t0)
+            row[label] = round(best, 2)
+        rows.append(row)
+        print(json.dumps({"asof_hotkey_probe": row}), flush=True)
+    return rows
+
+
+def write_asof_hotkey_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## As-of hot key"
+    text, tail_sections = _splice_section(text, marker)
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py asofhotkey`: ALL events on ONE key vs a uniform"
+        " 10k-key spread, then the same hot timeline with the r9"
+        " `split_bucket_us` valve (time buckets sized to ~64 tasks;"
+        " results bit-identical across every direction/strict/tolerance"
+        " combination, tests/test_asof.py). Fresh plan per run,"
+        " best-of-2. The unvalved hot key is the per-key window's"
+        " serialization floor; the valve turns it back into parallel"
+        " work at the cost of one spine window + join.",
+        "",
+        "| rows (one key) | hot (s) | uniform 10k keys (s) | hot/uniform | hot + split valve (s) |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['rows']} | {r['hot_s']} | {r['uniform_s']} |"
+            f" {round(r['hot_s'] / r['uniform_s'], 1)}x | {r['hot_split_s']} |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def write_temporal_section(rows: list[dict]) -> None:
     base = {r["k"]: r for r in rows}[rows[0]["k"]]
     lines = [
@@ -1555,6 +1640,12 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_router")
         rows = router_probe(spark, k)
         write_router_section(rows, k)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "asofhotkey":
+        spark = get_spark(app_name="scale_probe_asof_hotkey")
+        rows = asof_hotkey_probe(spark)
+        write_asof_hotkey_section(rows)
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "temporal":

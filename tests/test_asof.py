@@ -191,3 +191,63 @@ def test_output_prefix_collision_guard(frames):
             right_tie="rid",
             payload_cols=("rid",),
         )
+
+
+# ---------------------------------------------- hot-key split valve (r9)
+
+
+def _norm(df):
+    return sorted(
+        tuple("null" if v is None else str(v) for v in row) for row in df.collect()
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+@pytest.mark.parametrize("tolerance", [None, "36 hours"])
+def test_split_matches_unsplit(spark, frames, direction, strict, tolerance):
+    """The time-bucket valve must be bit-identical to the unsplit form
+    in every direction/strict/tolerance combination, at bucket widths
+    that cut the fixture mid-timeline, per-row, and not at all."""
+    left, right = frames
+    kw = dict(
+        left_on="k", right_on="k", left_time="t", right_time="rt",
+        right_tie="rid", payload_cols=("rid", "val"),
+        direction=direction, strict=strict, tolerance=tolerance,
+    )
+    want = _norm(asof_join(left, right, **kw))
+    day_us = 86_400_000_000
+    for width in (3 * day_us, 1_000_000, 400 * day_us):
+        got = _norm(asof_join(left, right, split_bucket_us=width, **kw))
+        assert got == want, (direction, strict, tolerance, width)
+
+
+def test_split_matches_unsplit_randomized(spark):
+    """Dense randomized timeline (equal times, boundary collisions,
+    keys with only-left / only-right buckets) — split ≡ unsplit."""
+    from pyspark.sql import functions as F
+
+    left = spark.range(0, 600).select(
+        F.col("id").alias("event_id"),
+        (F.xxhash64("id", F.lit(3)) % 5).alias("k"),
+        F.timestamp_micros(
+            (F.abs(F.xxhash64("id", F.lit(4))) % 100) * 250_000
+        ).alias("t"),
+    )
+    right = spark.range(0, 200).select(
+        F.col("id").alias("rid"),
+        (F.xxhash64("id", F.lit(5)) % 5).alias("k"),
+        F.timestamp_micros(
+            (F.abs(F.xxhash64("id", F.lit(6))) % 100) * 250_000
+        ).alias("rt"),
+        (F.col("id") % 7).cast("double").alias("val"),
+    )
+    for direction in ("backward", "forward"):
+        kw = dict(
+            left_on="k", right_on="k", left_time="t", right_time="rt",
+            right_tie="rid", payload_cols=("rid", "val"), direction=direction,
+        )
+        want = _norm(asof_join(left, right, **kw))
+        for width in (250_000, 1_000_000, 7_250_000):
+            got = _norm(asof_join(left, right, split_bucket_us=width, **kw))
+            assert got == want, (direction, width)
