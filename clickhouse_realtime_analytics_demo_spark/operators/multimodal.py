@@ -694,19 +694,25 @@ def _pixel_features(w, h, pixel, raster: bytes) -> dict:
 
 
 def _parse_wav(payload: bytes) -> dict:
-    """RIFF/WAVE PCM header walk: channels, sample rate, bit depth and
-    duration from the fmt/data chunks — no audio library."""
+    """RIFF/WAVE header walk: channels, sample rate, bit depth and
+    duration from the fmt/data chunks — no audio library. Handles PCM
+    (format tag 1) and IMA ADPCM (tag 0x11, r9: duration from
+    samples-per-block × whole blocks, the compressed-audio tier)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data_size = 12, None, None
+    pos, fmt, data_size, block_align, spb = 12, None, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack_from("<HHI", payload, pos + 8)
+            block_align = struct.unpack_from("<H", payload, pos + 20)[0]
             bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            if audio_fmt == 0x11 and size >= 20:
+                # cbSize (2) then wSamplesPerBlock
+                spb = struct.unpack_from("<H", payload, pos + 26)[0]
             fmt = (audio_fmt, channels, rate, bits)
         elif cid == b"data":
             data_size = size
@@ -714,6 +720,18 @@ def _parse_wav(payload: bytes) -> dict:
     if fmt is None or data_size is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, rate, bits = fmt
+    if audio_fmt == 0x11:
+        if not block_align or not spb or not rate:
+            raise ValueError("malformed IMA-ADPCM fmt chunk")
+        n_samples = (data_size // block_align) * spb
+        return {
+            "format": "wav",
+            "channels": channels,
+            "sample_rate": rate,
+            "bits_per_sample": bits,
+            "duration_ms": n_samples * 1000 // rate,
+            "n_bytes": data_size,
+        }
     if audio_fmt != 1:
         raise ValueError(f"non-PCM WAV unsupported (format tag {audio_fmt})")
     bytes_per_s = rate * channels * (bits // 8)
@@ -729,6 +747,121 @@ def _parse_wav(payload: bytes) -> dict:
         "duration_ms": data_size * 1000 // bytes_per_s,
         "n_bytes": data_size,
     }
+
+
+# -------------------------------------------------- IMA ADPCM (r9)
+#
+# The compressed-audio tier (VERDICT r8 #7): IMA/DVI ADPCM is the one
+# compressed WAV codec that is a pure integer state machine (IMA
+# "Recommended Practices for Enhancing Digital Audio Compatibility",
+# 1992 — the step/index tables below are spec constants, like PNG's
+# filter rules). 4 bits/sample; each block restarts prediction, so
+# blocks decode independently (and, at scale, in parallel).
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, code: int) -> tuple[int, int]:
+    """One decoder state transition (shared by encode and decode so
+    the encoder's predicted waveform IS the decoder's output)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[code & 7]))
+    return pred, index
+
+
+def ima_adpcm_decode(data: bytes, block_align: int) -> list[int]:
+    """Mono IMA-ADPCM block stream -> 16-bit samples. Low nibble
+    first; 4-byte block header (predictor int16, index, reserved) is
+    sample 1 of each block."""
+    import struct
+
+    out: list[int] = []
+    for base in range(0, len(data) - block_align + 1, block_align):
+        pred = struct.unpack_from("<h", data, base)[0]
+        index = data[base + 2]
+        if index > 88:
+            raise ValueError(f"ADPCM step index {index} out of range")
+        out.append(pred)
+        for b in data[base + 4 : base + block_align]:
+            for code in (b & 0xF, b >> 4):
+                pred, index = _ima_step(pred, index, code)
+                out.append(pred)
+    return out
+
+
+def ima_adpcm_encode(samples: list[int], block_align: int = 256) -> bytes:
+    """Mono 16-bit samples -> IMA-ADPCM block stream (the test/synthesis
+    twin of :func:`ima_adpcm_decode`). len(samples) must be a whole
+    number of blocks: samples_per_block = (block_align - 4) * 2 + 1."""
+    import struct
+
+    spb = (block_align - 4) * 2 + 1
+    if len(samples) % spb:
+        raise ValueError(f"need a multiple of {spb} samples, got {len(samples)}")
+    out = bytearray()
+    index = 0
+    for base in range(0, len(samples), spb):
+        pred = samples[base]
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles: list[int] = []
+        for s in samples[base + 1 : base + spb]:
+            delta = s - pred
+            code = 8 if delta < 0 else 0
+            delta = abs(delta)
+            tmp = _IMA_STEPS[index]
+            if delta >= tmp:
+                code |= 4
+                delta -= tmp
+            tmp >>= 1
+            if delta >= tmp:
+                code |= 2
+                delta -= tmp
+            tmp >>= 1
+            if delta >= tmp:
+                code |= 1
+            pred, index = _ima_step(pred, index, code)
+            nibbles.append(code)
+        for i in range(0, len(nibbles), 2):
+            out.append(nibbles[i] | (nibbles[i + 1] << 4))
+    return bytes(out)
+
+
+def encode_wav_ima(samples: list[int], rate: int = 8000, block_align: int = 256) -> bytes:
+    """Write a complete mono IMA-ADPCM WAV (fmt tag 0x11 + fact chunk,
+    per the RIFF spec for compressed formats)."""
+    import struct
+
+    spb = (block_align - 4) * 2 + 1
+    data = ima_adpcm_encode(samples, block_align)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, rate, rate * block_align // spb, block_align, 4, 2, spb,
+    )
+    fact = struct.pack("<I", len(samples))
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_image(payload: bytes, *, fake: bool | None = None) -> dict:
@@ -817,10 +950,11 @@ def decode_audio(payload: bytes, *, fake: bool | None = None) -> dict:
     """Decode one audio payload to an AUDIO_FEATURES dict.
 
     ``fake=None`` auto-selects per payload: the pure-Python RIFF
-    header walk for PCM WAV (sniffed), else the deterministic
-    stand-in. ``fake=False`` demands the real parse (raises on
-    non-WAV — compressed audio needs a codec library this container
-    lacks — and on malformed/non-PCM WAV headers); ``fake=True``
+    header walk for PCM and IMA-ADPCM WAV (sniffed), else the
+    deterministic stand-in. ``fake=False`` demands the real parse
+    (raises on non-WAV — compressed audio beyond IMA ADPCM needs a
+    codec library this container lacks — and on malformed WAV
+    headers); ``fake=True``
     forces the stand-in. Dirty sniffed-as-WAV payloads fall through to
     the stand-in under ``fake=None`` (see :data:`_DIRTY_PAYLOAD_ERRORS`)."""
     if not fake:
@@ -1133,6 +1267,51 @@ def synthesize_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "width": w,
                         "height": h,
                         "duration_ms": None,
+                        "size_bytes": len(payloads[-1]),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["_id"].values,
+                    "doc_id": pdf["_id"].values,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("_id")).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synthesize_adpcm_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MEDIA_SCHEMA table of REAL IMA-ADPCM WAV payloads
+    — the compressed-audio twin of :func:`synthesize_wav_media` (r9).
+    Each doc becomes a mono 8 kHz ADPCM WAV of ``1 + doc_id % 4``
+    whole 256-byte blocks (505 samples each), so the parsed metadata
+    is closed-form: duration_ms = blocks*505*1000 // 8000, data bytes
+    = blocks*256, 4 bits/sample. The waveform is a deterministic
+    triangle of doc_id, so payload bytes (hence the whole encode→parse
+    path) are reproducible."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["_id"]:
+                did = int(did)
+                blocks = 1 + did % 4
+                n = blocks * 505
+                samples = [
+                    ((did * 31 + i * 7) % 2048) - 1024 for i in range(n)
+                ]
+                payloads.append(encode_wav_ima(samples))
+                metas.append(
+                    {
+                        "media_type": "audio",
+                        "format": "wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": n * 1000 // 8000,
                         "size_bytes": len(payloads[-1]),
                     }
                 )

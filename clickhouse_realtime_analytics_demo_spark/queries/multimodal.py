@@ -190,6 +190,54 @@ def media_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_adpcm_stats",
+    # The COMPRESSED-audio twin of media_wav_stats (r9, VERDICT #7):
+    # whole-block IMA-ADPCM payloads make every parsed field a
+    # closed-form function of doc_id (blocks = 1 + doc_id%4, 505
+    # samples/block at 8 kHz, 256 bytes/block, 4 bits/sample), stated
+    # here with no knowledge of the codec.
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_assets,
+           CAST(SUM(((1 + doc_id % 4) * 505 * 1000) // 8000) AS BIGINT)
+             AS total_duration_ms,
+           CAST(MIN(8000) AS INT) AS sample_rate,
+           CAST(MAX(4) AS INT) AS bits_per_sample,
+           CAST(SUM((1 + doc_id % 4) * 256) AS BIGINT) AS total_adpcm_bytes
+    FROM documents
+    WHERE doc_id < 300
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def media_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA-ADPCM write→parse roundtrip through Arrow plumbing:
+    synthesize genuine compressed WAVs (integer ADPCM encoder +
+    fmt-0x11/fact RIFF writer, mapInPandas) and parse them back with
+    the extended pure-Python header walk
+    (operators/multimodal.py::_parse_wav via decode_audio fake=None).
+    Block-count arithmetic is a doc_id identity, so the oracle pins
+    the samples-per-block duration math end to end; the sample-level
+    decoder itself is pinned by tests/test_adpcm.py."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.synthesize_adpcm_media(docs)
+    feats = multimodal.extract_audio_features(media)
+    joined = feats.join(
+        docs.select(F.col("doc_id").alias("media_id"), "lang"), "media_id"
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+            F.min("sample_rate").alias("sample_rate"),
+            F.max("bits_per_sample").alias("bits_per_sample"),
+            F.sum("n_bytes").alias("total_adpcm_bytes"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "media_gif_stats",
     # The palette-codec (LZW + interlace) twin of media_png_stats:
     # synthesize_gif_media's gradient gives the same closed-form
