@@ -11,13 +11,16 @@ Spark-side plumbing here is real and tested: schemas, Arrow-batched
 preservation. Codec tiers (``decode_image``/``decode_audio``):
 
 1. **PIL** when importable — full-format real decode;
-2. **pure-Python parsers** (this file, no library): uncompressed BMP
-   and binary PPM give real width/height/pixel-stats/average-hash;
-   PCM WAV's RIFF header gives real channels/rate/duration;
-3. **deterministic stand-in** for everything else (JPEG/PNG frames,
-   compressed audio — their codecs are not in this container):
-   byte-histogram features and digest-derived dimensions, clearly
-   fake and stable across runs/partitionings.
+2. **pure-Python parsers** (this file + ``operators/jpeg_codec.py``,
+   no library): BMP, binary PPM, PNG (zlib inflate + all five
+   defilters), GIF (variable-width LZW + interlace), baseline JPEG,
+   PCM and IMA-ADPCM WAV, and AVI video with DIB/MJPG frames (r9) —
+   real width/height/pixel-stats/average-hash, real
+   channels/rate/duration, real frame sampling;
+3. **deterministic stand-in** for everything else (progressive JPEG,
+   inter-frame video, perceptual audio codecs — those need real
+   libraries): byte-histogram features and digest-derived dimensions,
+   clearly fake and stable across runs/partitionings.
 
 ``fake=None`` auto-selects the best tier per payload; ``fake=False``
 demands a real decode (tier 1/2) and raises otherwise; ``fake=True``
@@ -175,6 +178,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -642,6 +647,155 @@ def encode_gif(
         + bytes(sub)
     )
     return header + bytes(palette) + img + b"\x3b"
+
+
+# ------------------------------------------------------ AVI video (r9)
+#
+# The video tier, honest and library-free: AVI is RIFF (the container
+# this codebase already walks for WAV) and two of its stock codecs are
+# pure byte formats — 'DIB ' (uncompressed bottom-up BGR, the BMP
+# raster) and 'MJPG' (each frame chunk is a baseline JPEG, which
+# operators/jpeg_codec.py decodes). That turns "video frame decode"
+# from an env-blocked stub into a real parse for the uncompressed/
+# MJPEG subset; inter-frame codecs (H.264 etc.) remain honestly
+# rejected under fake=False.
+
+
+def _parse_avi(payload: bytes) -> dict:
+    """Minimal AVI walk: main header + first video stream + movi frame
+    chunks. Returns ``{w, h, us_per_frame, n_frames, handler, frames}``
+    with ``frames`` = the raw per-frame chunk bytes in stream order."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    avih = None
+    handler = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal avih, handler
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body = pos + 8
+            if cid == b"LIST":
+                walk(buf, body + 4, body + size)  # skip the list type
+            elif cid == b"avih":
+                avih = struct.unpack_from("<14I", buf, body)
+            elif cid == b"strh" and handler is None:
+                if buf[body : body + 4] == b"vids":
+                    handler = buf[body + 4 : body + 8]
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frames.append(buf[body : body + size])
+            pos = body + size + (size & 1)
+
+    walk(payload, 12, len(payload))
+    if avih is None or handler is None:
+        raise ValueError("AVI missing avih/vids stream header")
+    us_per_frame, w, h = avih[0], avih[8], avih[9]
+    if not us_per_frame or not w or not h:
+        raise ValueError("malformed AVI main header")
+    return {
+        "w": w,
+        "h": h,
+        "us_per_frame": us_per_frame,
+        "n_frames": len(frames),
+        "handler": handler,
+        "frames": frames,
+    }
+
+
+def _decode_avi_frame(avi: dict, i: int):
+    """One frame -> the (w, h, pixel, raster) parser contract."""
+    w, h, chunk = avi["w"], avi["h"], avi["frames"][i]
+    handler = avi["handler"]
+    if handler == b"MJPG":
+        from clickhouse_realtime_analytics_demo_spark.operators.jpeg_codec import (
+            parse_jpeg,
+        )
+
+        return parse_jpeg(chunk)
+    if handler in (b"DIB ", b"\x00\x00\x00\x00"):
+        stride = (3 * w + 3) & ~3  # BGR rows padded to 4, bottom-up
+        if len(chunk) < stride * h:
+            raise ValueError("truncated DIB frame")
+        rgb = bytearray(3 * w * h)
+        for y in range(h):
+            src = (h - 1 - y) * stride
+            for x in range(w):
+                b, g, r = chunk[src + 3 * x : src + 3 * x + 3]
+                rgb[3 * (y * w + x) : 3 * (y * w + x) + 3] = (r, g, b)
+        raster = bytes(rgb)
+
+        def pixel(x: int, y: int):
+            o = 3 * (y * w + x)
+            return (raster[o], raster[o + 1], raster[o + 2])
+
+        return w, h, pixel, raster
+    raise ValueError(f"unsupported AVI codec {handler!r} (DIB/MJPG only)")
+
+
+def encode_avi(
+    frames: list[list[list[tuple[int, int, int]]]],
+    fps: int = 5,
+    codec: str = "DIB ",
+) -> bytes:
+    """Minimal AVI writer (one video stream, 'DIB ' uncompressed or
+    'MJPG' baseline-JPEG frames) — the synthesis/test twin of
+    :func:`_parse_avi`. ``frames`` = list of RGB row grids, all the
+    same dimensions."""
+    if codec not in ("DIB ", "MJPG"):
+        raise ValueError(f"codec must be 'DIB ' or 'MJPG', got {codec!r}")
+    h, w = len(frames[0]), len(frames[0][0])
+    chunks: list[bytes] = []
+    for rows in frames:
+        if codec == "MJPG":
+            from clickhouse_realtime_analytics_demo_spark.operators.jpeg_codec import (
+                encode_jpeg,
+            )
+
+            # gray baseline JPEG (r=g=b frames; DC-only when constant)
+            chunks.append(
+                encode_jpeg([[px[0] for px in row] for row in rows], gray=True,
+                            quant_luma=8)
+            )
+        else:
+            stride = (3 * w + 3) & ~3
+            buf = bytearray()
+            for y in range(h - 1, -1, -1):
+                line = bytearray()
+                for r, g, b in rows[y]:
+                    line += bytes((b, g, r))
+                line += b"\x00" * (stride - len(line))
+                buf += line
+            chunks.append(bytes(buf))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(chunks)
+    uspf = 1_000_000 // fps
+    maxbuf = max(len(c) for c in chunks)
+    avih = struct.pack(
+        "<14I", uspf, maxbuf * fps, 0, 0x10, n, 0, 1, maxbuf, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + codec.encode("ascii")
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, maxbuf, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24,
+        b"MJPG" if codec == "MJPG" else b"\x00\x00\x00\x00",
+        ((3 * w + 3) & ~3) * h, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    tag = b"00db" if codec == "DIB " else b"00dc"
+    movi = lst(b"movi", b"".join(chunk(tag, c) for c in chunks))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _pixel_features(w, h, pixel, raster: bytes) -> dict:
@@ -1136,29 +1290,66 @@ def resize_images(
     return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000, *, fake: bool = False) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, *, fake: bool | None = None
+) -> DataFrame:
     """video payload -> one row per sampled frame (FRAME_SCHEMA).
 
     Row-expanding mapInPandas: output rows >= input rows, still no
-    shuffle. Frame count comes from meta.duration_ms; the fake frame
-    payload is a per-index digest of the source payload.
-    """
+    shuffle. ``fake=None`` (default, r9) auto-tiers per payload like
+    the image/audio decoders: a sniffed AVI is REALLY sampled — one
+    frame per ``every_ms`` of container duration, nearest frame at
+    each sample instant decoded ('DIB ' raster or MJPG via the
+    baseline-JPEG decoder) and re-encoded as PNG — while non-AVI (and,
+    under None, dirty-AVI) payloads take the deterministic digest
+    stand-in with frame count from meta.duration_ms. ``fake=False``
+    demands the real path (raises on non-AVI — inter-frame codecs
+    need a video library this container lacks); ``fake=True`` forces
+    the stub."""
+
+    def real(payload: bytes):
+        avi = _parse_avi(payload)
+        dur_ms = avi["n_frames"] * avi["us_per_frame"] // 1000
+        out = []
+        for i in range(max(1, dur_ms // every_ms)):
+            fidx = min(
+                i * every_ms * 1000 // avi["us_per_frame"], avi["n_frames"] - 1
+            )
+            w, h, pixel, _ = _decode_avi_frame(avi, fidx)
+            rows = [[pixel(x, y) for x in range(w)] for y in range(h)]
+            out.append((i, encode_png(rows, color_type=2)))
+        return out
+
+    def one(payload: bytes, dur) -> list[tuple[int, bytes]]:
+        if not fake:
+            if sniff_format(payload) == "avi":
+                try:
+                    return real(payload)
+                except _DIRTY_PAYLOAD_ERRORS:
+                    if fake is False:
+                        raise
+            elif fake is False:
+                raise NotImplementedError(
+                    "real frame sampling beyond DIB/MJPG AVI requires a video "
+                    "library (av); re-run with fake=True for the stub"
+                )
+        return [
+            (i, hashlib.sha256(payload + i.to_bytes(4, "big")).digest())
+            for i in range(max(1, int(dur or 0) // every_ms))
+        ]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real frame sampling requires a video library")
             ids, idxs, frames = [], [], []
             for mid, p, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"], strict=True
             ):
-                n_frames = max(1, int(dur or 0) // every_ms)
-                for i in range(n_frames):
+                for i, buf in one(bytes(p), dur):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(hashlib.sha256(bytes(p) + i.to_bytes(4, "big")).digest())
+                    frames.append(buf)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_index": idxs, "frame_payload": frames}
             )
@@ -1267,6 +1458,60 @@ def synthesize_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "width": w,
                         "height": h,
                         "duration_ms": None,
+                        "size_bytes": len(payloads[-1]),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["_id"].values,
+                    "doc_id": pdf["_id"].values,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("_id")).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synthesize_avi_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MEDIA_SCHEMA table of REAL AVI payloads (r9 — the
+    video tier): each doc becomes a 5 fps clip of ``2 + doc_id % 7``
+    constant-color frames, alternating codec per doc ('DIB '
+    uncompressed for even ids, MJPG baseline-JPEG for odd — constant
+    frames are JPEG's DC-only lossless corner, so BOTH decode
+    bit-exactly):
+
+        w = 8 + doc_id % 5,  h = 5 + doc_id % 4
+        frame i value v_i = (doc_id*7 + i*13) % 256
+        duration_ms = n_frames * 200
+
+    so every sampled frame's dimensions and byte_mean are closed-form
+    identities of (doc_id, frame_index) an SQL oracle states with no
+    knowledge of either codec or the container."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["_id"]:
+                did = int(did)
+                w, h, n = 8 + did % 5, 5 + did % 4, 2 + did % 7
+                frames = [
+                    [[((did * 7 + i * 13) % 256,) * 3 for _ in range(w)]
+                     for _ in range(h)]
+                    for i in range(n)
+                ]
+                payloads.append(
+                    encode_avi(frames, fps=5, codec="DIB " if did % 2 == 0 else "MJPG")
+                )
+                metas.append(
+                    {
+                        "media_type": "video",
+                        "format": "avi",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": n * 200,
                         "size_bytes": len(payloads[-1]),
                     }
                 )

@@ -1128,3 +1128,29 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm as 12 unrolled SQL iterations."""
     docs = table(spark, sf_dir, "documents")
     return bpe.train_bpe_df(spark, docs, _BPE_MERGES)
+
+
+@register("doc_bpe_segment")  # rows-only: the encoder replays the
+# learned merge table (driver-held, vocab-sized); full-stream SQL
+# replay would re-unroll training per word — the encode path is
+# instead pinned bit-for-bit against the pure-Python reference by
+# tests/test_bpe.py::test_segment_words_matches_reference
+def doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with the trained merges (operators/bpe.py
+    segment_words): tokenize the corpus vocabulary with the learned
+    merge table and report segmentation stats per token count —
+    (n_pieces, words, total_occurrences). Map-side folds only; the
+    merge table is the only driver-side state."""
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, _BPE_MERGES)
+    words = bpe.word_counts(docs)
+    seg = bpe.segment_words(words, merges)
+    return (
+        seg.select(F.size("bpe").alias("n_pieces"), "cnt")
+        .groupBy("n_pieces")
+        .agg(
+            F.count("*").alias("words"),
+            F.sum("cnt").alias("total_occurrences"),
+        )
+        .orderBy("n_pieces")
+    )

@@ -190,6 +190,54 @@ def media_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_video_frames",
+    # The VIDEO roundtrip (r9): synthesize_avi_media's constant frames
+    # give closed-form (doc_id, frame_index) identities through FOUR
+    # codec layers — AVI container write, DIB/MJPG frame encode, frame
+    # decode + PNG re-encode in sample_frames, PNG decode in feature
+    # extraction. At 5 fps and every_ms=200 the sampler hits each
+    # frame exactly once, so the spine is generate_series over the
+    # per-doc frame count.
+    oracle="""
+    SELECT d.doc_id AS media_id,
+           CAST(s.i AS INTEGER) AS frame_index,
+           CAST(8 + d.doc_id % 5 AS INTEGER) AS width,
+           CAST(5 + d.doc_id % 4 AS INTEGER) AS height,
+           CAST((d.doc_id * 7 + s.i * 13) % 256 AS DOUBLE) AS byte_mean
+    FROM documents d
+    JOIN (SELECT unnest(generate_series(0, 8)) AS i) s
+      ON s.i < 2 + d.doc_id % 7
+    WHERE d.doc_id < 240
+    ORDER BY media_id, frame_index
+    """,
+)
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end to end (r9 — closes the last
+    env-blocked media stub for the DIB/MJPG tier): synthesize genuine
+    AVI clips (uncompressed DIB for even docs, MJPG reusing the
+    baseline-JPEG encoder for odd), sample one frame per 200 ms with
+    the real tier (container walk + frame decode + PNG re-encode,
+    operators/multimodal.py::sample_frames fake=None), then decode
+    each sampled PNG back to features. (media_id, frame_index) ride
+    packed through the feature extractor's media_id column."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    media = multimodal.synthesize_avi_media(docs)
+    frames = multimodal.sample_frames(media, every_ms=200)
+    packed = frames.select(
+        (F.col("media_id") * 100 + F.col("frame_index")).alias("media_id"),
+        F.col("frame_payload").alias("payload"),
+    )
+    feats = multimodal.extract_image_features(packed)
+    return feats.select(
+        F.expr("media_id div 100").alias("media_id"),
+        (F.col("media_id") % 100).cast("int").alias("frame_index"),
+        "width",
+        "height",
+        "byte_mean",
+    ).orderBy("media_id", "frame_index")
+
+
+@register(
     "media_adpcm_stats",
     # The COMPRESSED-audio twin of media_wav_stats (r9, VERDICT #7):
     # whole-block IMA-ADPCM payloads make every parsed field a
