@@ -22,10 +22,12 @@ two short strings each); the corpus never leaves executors:
   greedy left-to-right non-overlap falls out of the fold (a just-merged
   tail element never string-equals the left symbol, so "aaaa" under
   (a,a) becomes [aa, aa], not [aa, a, a]);
-- lineage is truncated with ``localCheckpoint`` every
-  ``checkpoint_every`` merges (the vocabulary frame is small relative
-  to the corpus; the checkpoint bounds plan depth at hundreds of
-  merges).
+- lineage is truncated with an explicit ``repartition`` +
+  ``localCheckpoint`` every ``checkpoint_every`` merges (the
+  vocabulary frame is small relative to the corpus; the checkpoint
+  bounds plan depth, and each top-1 job re-executes the folds stacked
+  since the last one — measured at a 259k-word vocab, every-3 beats
+  every-6 by 1.7x, hence the default).
 
 Reference parity: ClickHouse has no tokenizer-training operator; the
 reference repo counts tokens only (see ``operators/text.py``
@@ -90,7 +92,7 @@ def train_bpe(
     text_col: str = "text",
     pattern: str = WORD_PATTERN,
     end_marker: str = END_MARKER,
-    checkpoint_every: int = 6,
+    checkpoint_every: int = 3,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn ``num_merges`` BPE merges from a document corpus. Returns
     the merge table ``[(merge_rank, lhs, rhs, merged, pair_count)]`` —
@@ -101,6 +103,14 @@ def train_bpe(
     order, which is insertion-dependent; ours is reproducible across
     partitionings, required by the determinism gate).
     """
+    # Explicit spread at every checkpoint: AQE's byte-based coalescing
+    # sees a few MB of (syms, cnt) rows and folds the vocabulary to 1-2
+    # partitions, but each iteration re-runs the pair explode and the
+    # stacked merge folds PER ROW on that partitioning — measured at a
+    # 259k-word vocab: 12 merges in 97 s on 2 AQE-coalesced tasks vs
+    # 22 s spread over the session's shuffle parallelism (the r6/r8
+    # expression-heavy-coalescing lesson, again).
+    n_parts = max(int(spark_conf_parts(docs)), 16)
     words = (
         word_counts(docs, text_col, pattern)
         .select(
@@ -110,6 +120,7 @@ def train_bpe(
             ).alias("syms"),
             "cnt",
         )
+        .repartition(n_parts)
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, str, int]] = []
@@ -135,8 +146,12 @@ def train_bpe(
         merges.append((k + 1, left, right, left + right, count))
         words = words.withColumn("syms", _merge_fold(F.col("syms"), left, right))
         if (k + 1) % checkpoint_every == 0:
-            words = words.localCheckpoint()
+            words = words.repartition(n_parts).localCheckpoint()
     return merges
+
+
+def spark_conf_parts(df: DataFrame) -> str:
+    return df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
 
 
 def train_bpe_df(

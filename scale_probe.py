@@ -536,6 +536,74 @@ def write_bpe_section(rows: list[dict], num_merges: int = 12) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
+def bpe_synth_probe(spark, n_docs=(10_000, 40_000, 120_000), num_merges=12) -> list[dict]:
+    """Round-9 BPE at a NON-degenerate vocabulary (the testdata corpus
+    holds only 31 distinct words, so the documents-table probe mostly
+    measures fixed iteration overhead): synthesize documents of 15
+    hash-derived pseudo-words (digits translated to [a-j], ≤7 chars)
+    so the WORD VOCABULARY reaches the 10⁵ scale where the
+    per-iteration pair-count shuffle carries real weight — the thing
+    that grows on a 100 TB corpus. Everything stays JVM expressions;
+    fresh plan per timed run."""
+    from clickhouse_realtime_analytics_demo_spark.operators import bpe as _bpe
+
+    out = []
+    for n in n_docs:
+        docs = spark.range(0, n, numPartitions=32).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(15)),
+                    lambda j: F.translate(
+                        (F.abs(F.xxhash64(F.col("id"), j)) % 1_000_000).cast("string"),
+                        "0123456789",
+                        "abcdefghij",
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        ).localCheckpoint()
+        vocab = _bpe.word_counts(docs).count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            merges = _bpe.train_bpe(docs, num_merges)
+            best = min(best, time.perf_counter() - t0)
+        row = {"docs": n, "vocab": vocab, "train_s": round(best, 2), "merges": len(merges)}
+        out.append(row)
+        print(json.dumps({"bpe_synth_probe": row}), flush=True)
+        docs.unpersist()
+    return out
+
+
+def write_bpe_synth_section(rows: list[dict], num_merges: int = 12) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## BPE training vs vocabulary size (synthetic)"
+    text, tail_sections = _splice_section(text, marker)
+    base = rows[0]
+    lines = [
+        marker.strip(),
+        "",
+        f"`scale_probe.py bpesynth`: train_bpe ({num_merges} merges) on synthetic"
+        " docs of hash-derived pseudo-words — the documents table's"
+        " 31-word vocabulary is degenerate, so this is the probe that"
+        " actually loads the per-iteration pair-count shuffle"
+        " (vocabulary-sized, the axis that grows at 100 TB). Best-of-2,"
+        " fresh plan per run.",
+        "",
+        "| docs | word vocab | train (s) | ratio | vocab ratio |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['docs']} | {r['vocab']} | {r['train_s']} |"
+            f" {round(r['train_s'] / base['train_s'], 1)}x |"
+            f" {round(r['vocab'] / base['vocab'], 1)}x |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def write_corpusprep_section(rows: list[dict]) -> None:
     md = Path("SCALEPROBE.md")
     text = md.read_text() if md.exists() else ""
@@ -1652,6 +1720,12 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_temporal")
         rows = temporal_probe(spark)
         write_temporal_section(rows)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bpesynth":
+        spark = get_spark(app_name="scale_probe_bpe_synth")
+        rows = bpe_synth_probe(spark)
+        write_bpe_synth_section(rows)
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "bpe":
