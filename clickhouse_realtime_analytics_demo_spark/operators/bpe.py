@@ -154,6 +154,93 @@ def spark_conf_parts(df: DataFrame) -> str:
     return df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
 
 
+def train_bpe_batched(
+    docs: DataFrame,
+    num_merges: int,
+    batch_size: int = 16,
+    text_col: str = "text",
+    pattern: str = WORD_PATTERN,
+    end_marker: str = END_MARKER,
+) -> list[tuple[int, str, str, str, int]]:
+    """BPE training with BATCHED merge rounds — the 32k-merge scale
+    path. Sequential :func:`train_bpe` costs one Spark job per merge;
+    a production tokenizer fits 30k-50k merges, which is tens of
+    thousands of driver round-trips. Each round here counts pairs
+    ONCE, then applies up to ``batch_size`` merges chosen greedily in
+    rank order (count desc, pair asc) subject to PAIRWISE SYMBOL
+    DISJOINTNESS: a merge only changes the counts of pairs that share
+    one of its symbols (the consumed occurrences and their neighbor
+    pairs all contain ``l`` or ``r``), so every selected pair's count
+    is still exact at its application point, and the chained rewrite
+    folds cannot interact. Rounds needed: ~num_merges/batch_size.
+
+    ``batch_size=1`` is EXACTLY the sequential algorithm. Larger
+    batches deviate from strict sequential order in one bounded way:
+    a pair CREATED by this round's merges (e.g. ``(x, lr)``) cannot be
+    picked until the next round even if its count would rank first —
+    the standard trade of batched/distributed BPE trainers. Pinned
+    against a pure-Python reference of the same rule
+    (tests/test_bpe.py)."""
+    n_parts = max(int(spark_conf_parts(docs)), 16)
+    words = (
+        word_counts(docs, text_col, pattern)
+        .select(
+            F.concat(
+                F.expr("regexp_extract_all(word, '.', 0)"),
+                F.array(F.lit(end_marker)),
+            ).alias("syms"),
+            "cnt",
+        )
+        .repartition(n_parts)
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < num_merges:
+        want = num_merges - len(merges)
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        # candidate pool: enough ranked rows that the greedy-disjoint
+        # scan can usually fill the batch (bounded driver data)
+        cands = pairs.orderBy(F.desc("c"), "l", "r").limit(
+            max(4 * batch_size, 64)
+        ).collect()
+        if not cands:
+            break
+        used: set[str] = set()
+        picked: list[tuple[str, str, int]] = []
+        for row in cands:
+            if len(picked) >= min(batch_size, want):
+                break
+            l, r = row["l"], row["r"]
+            if l in used or r in used:
+                continue
+            used.update((l, r))
+            picked.append((l, r, int(row["c"])))
+        if not picked:  # pool exhausted by conflicts — retry smaller
+            l, r, c = cands[0]["l"], cands[0]["r"], int(cands[0]["c"])
+            picked = [(l, r, c)]
+        col = F.col("syms")
+        for l, r, c in picked:
+            merges.append((len(merges) + 1, l, r, l + r, c))
+            col = _merge_fold(col, l, r)
+        words = (
+            words.withColumn("syms", col).repartition(n_parts).localCheckpoint()
+        )
+    return merges
+
+
 def train_bpe_df(
     spark: SparkSession, docs: DataFrame, num_merges: int, **kw
 ) -> DataFrame:

@@ -1154,3 +1154,27 @@ def doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_pieces")
     )
+
+
+@register("doc_bpe_train_batched")  # rows-only: batched rounds deviate
+# from strict sequential merge order by design (a pair CREATED this
+# round can't be picked until the next), so the sequential SQL replay
+# is not its oracle; pinned instead against an independent pure-Python
+# twin of the same batched rule at batch sizes 1/2/4/8 AND sf0.001
+# (tests/test_bpe.py::test_batched_*), with batch_size=1 proven
+# EXACTLY equal to the sequential oracle-backed algorithm.
+def doc_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 32k-merge scale path for BPE training: per round, ONE pair
+    count feeds up to batch_size merges chosen greedily under pairwise
+    symbol disjointness (operators/bpe.py::train_bpe_batched) —
+    ~num_merges/batch_size driver round-trips instead of one per
+    merge."""
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe_batched(docs, _BPE_MERGES * 2, batch_size=6)
+    rows = [
+        {"merge_rank": m[0], "lhs": m[1], "rhs": m[2], "merged": m[3],
+         "pair_count": m[4]}
+        for m in merges
+    ]
+    schema = "merge_rank int, lhs string, rhs string, merged string, pair_count bigint"
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)

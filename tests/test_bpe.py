@@ -185,3 +185,95 @@ def test_iteration_plan_shape(spark):
     rewrite = words.withColumn("syms", _merge_fold(F.col("syms"), "t", "h"))
     rplan = rewrite._jdf.queryExecution().optimizedPlan().toString()
     assert "Repartition" not in rplan and "Join" not in rplan
+
+
+# ------------------------------------------- batched training (r9 scale path)
+
+
+def reference_train_bpe_batched(wc, num_merges, batch_size, end_marker=END_MARKER):
+    """Independent single-threaded twin of train_bpe_batched's rule:
+    per round, greedy rank-order selection under pairwise symbol
+    disjointness, then apply all selected merges."""
+    words = {tuple(list(w) + [end_marker]): c for w, c in wc.items()}
+    merges = []
+    while len(merges) < num_merges:
+        stats: dict[tuple[str, str], int] = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + c
+        if not stats:
+            break
+        ranked = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        used: set[str] = set()
+        picked = []
+        for (l, r), c in ranked[: max(4 * batch_size, 64)]:
+            if len(picked) >= min(batch_size, num_merges - len(merges)):
+                break
+            if l in used or r in used:
+                continue
+            used.update((l, r))
+            picked.append((l, r, c))
+        if not picked:
+            (l, r), c = ranked[0]
+            picked = [(l, r, c)]
+        for l, r, c in picked:
+            merges.append((len(merges) + 1, l, r, l + r, c))
+            new_words: dict[tuple[str, ...], int] = {}
+            for syms, cnt in words.items():
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                key = tuple(out)
+                new_words[key] = new_words.get(key, 0) + cnt
+            words = new_words
+    return merges
+
+
+def test_batched_batch1_is_sequential(spark):
+    from clickhouse_realtime_analytics_demo_spark.operators.bpe import (
+        train_bpe_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FIXTURE)], "doc_id bigint, text string"
+    )
+    assert train_bpe_batched(docs, 16, batch_size=1) == train_bpe(docs, 16)
+
+
+def test_batched_matches_reference(spark):
+    from clickhouse_realtime_analytics_demo_spark.operators.bpe import (
+        train_bpe_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FIXTURE)], "doc_id bigint, text string"
+    )
+    wc = reference_word_counts(FIXTURE)
+    for bs in (2, 4, 8):
+        got = train_bpe_batched(docs, 16, batch_size=bs)
+        want = reference_train_bpe_batched(wc, 16, bs)
+        assert got == want, bs
+
+
+def test_batched_matches_reference_sf0001(spark):
+    import pyarrow.parquet as pq
+
+    from clickhouse_realtime_analytics_demo_spark.operators.bpe import (
+        train_bpe_batched,
+    )
+
+    texts = [
+        t for t in pq.read_table("/root/testdata/sf0.001/documents.parquet")
+        .column("text").to_pylist() if t is not None
+    ]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = train_bpe_batched(docs, 24, batch_size=6)
+    want = reference_train_bpe_batched(reference_word_counts(texts), 24, 6)
+    assert got == want
