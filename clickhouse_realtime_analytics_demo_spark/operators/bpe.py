@@ -268,6 +268,17 @@ def segment_words(
 
     Map-side only (num_merges chained folds, no shuffle); chains a
     ``localCheckpoint`` every 16 merges to bound expression depth.
+
+    Scale honesty: fold-per-merge replay is right for the tens-of-
+    merges regime this repo trains (cost = merges × corpus, all
+    map-side). A production 32k-merge encoder does NOT replay folds —
+    it encodes each word independently with a rank-priority loop
+    (repeatedly merge the lowest-rank adjacent pair present), which
+    belongs in an Arrow ``mapInPandas`` batch with the merge table as
+    a plain dict: per-word work becomes O(len × log len) regardless of
+    vocabulary size, and the table (≤ a few MB) ships once per
+    executor. The fold form is kept because it is pure JVM and exactly
+    pins the training-replay semantics the tests verify.
     """
     out = words.withColumn(
         "bpe",
