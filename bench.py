@@ -7,6 +7,30 @@ ONE JSON line:
 full materialization via collect). A warmup query runs first so JVM/
 codegen startup isn't billed to the first headline entry.
 
+Load-awareness (round 10, VERDICT r9 #1): the r9 bench artifact drifted
++14% uniformly across unchanged, snapshot-locked plans on a box whose
+host-level load spikes were measured but not recorded, making
+contamination indistinguishable from regression after the fact. The
+harness now records /proc/loadavg + uptime before and after the run in
+the JSON. Before starting Spark it polls the 1-min load-avg; if it
+exceeds $SPARK_GRAFT_BENCH_LOAD_MAX (default 2.0) it waits up to
+$SPARK_GRAFT_BENCH_LOAD_WAIT seconds (default 120) for the box to
+quiesce, then proceeds anyway but stamps "contaminated": true so the
+artifact self-reports that its numbers are not comparable. Post-run
+load is recorded for forensics only (Spark itself drives it up).
+
+The decisive instrument is CPU STEAL, not load-avg: this Firecracker
+VM shows load-avg 5-8 with ZERO local compute processes and busy
+`migration/N` kernel threads — the host reassigning vCPUs. Load-avg
+can't separate "my Spark job" from "the host took my cores", but
+/proc/stat's steal counter can: it counts exactly the time the
+hypervisor ran someone else on a vCPU this guest wanted. The harness
+records steal%% PER QUERY (over each query's full best-of-N timing
+window) in "queries_steal_pct" plus a whole-run figure, and flags the
+run contaminated when whole-run steal exceeds
+$SPARK_GRAFT_BENCH_STEAL_MAX (default 5%%). A slow query with ~0 steal
+is a real regression; the same number at 30%% steal is the host.
+
 Each query is timed best-of-N (default 3, $SPARK_GRAFT_BENCH_RUNS to
 override): single-shot timing on this rig showed ±20% run-to-run jitter
 with identical code (r01<->r02, re-confirmed r6/r7), which swamps real
@@ -70,12 +94,70 @@ HEADLINE = (
     "sequence_match_levels",
     # round 9: distributed BPE tokenizer training (12 merges)
     "doc_bpe_train",
+    # round 10 (VERDICT r9 #7): the batched scale path — 24 merges in
+    # ~4 rounds; tracks the 32k-merge-relevant formulation, not only
+    # the sequential demo
+    "doc_bpe_train_batched",
 )
+
+
+def _read_load() -> dict:
+    """Snapshot host load: /proc/loadavg 1/5/15-min averages + uptime seconds.
+
+    Pure /proc reads — no subprocess, works in any Linux container. Returns
+    zeros on non-Linux so the harness degrades gracefully.
+    """
+    out = {"load1": 0.0, "load5": 0.0, "load15": 0.0, "uptime_sec": 0.0}
+    try:
+        parts = Path("/proc/loadavg").read_text().split()
+        out["load1"], out["load5"], out["load15"] = (float(p) for p in parts[:3])
+        out["uptime_sec"] = round(float(Path("/proc/uptime").read_text().split()[0]), 1)
+    except OSError:
+        pass
+    return out
+
+
+def _read_cpu() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line.
+    Steal = hypervisor ran another guest while this one had runnable
+    work — the one counter that separates host contention from our own
+    load. (0, 0) on non-Linux."""
+    try:
+        parts = Path("/proc/stat").read_text().splitlines()[0].split()
+        vals = [int(v) for v in parts[1:9]]  # user..steal
+        return vals[7], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else 0.0
+
+
+def _wait_for_quiesce(threshold: float, max_wait_sec: float) -> tuple[dict, bool]:
+    """Poll 1-min load-avg until it drops below `threshold` or `max_wait_sec`
+    elapses. Returns (final load snapshot, contaminated flag). The flag is
+    True when the box never quiesced — the bench still runs (the driver needs
+    an artifact either way) but the JSON self-reports the contamination so
+    cross-round comparisons can discard it instead of re-litigating noise.
+    """
+    deadline = time.monotonic() + max_wait_sec
+    snap = _read_load()
+    while snap["load1"] > threshold and time.monotonic() < deadline:
+        time.sleep(min(10.0, max(1.0, deadline - time.monotonic())))
+        snap = _read_load()
+    return snap, snap["load1"] > threshold
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf")) if Path(sf_dir).name.startswith("sf") else 0.1
+
+    load_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "120"))
+    load_pre, contaminated = _wait_for_quiesce(load_threshold, load_wait)
+
     spark = get_spark(app_name="bench")
     registry = all_queries()
 
@@ -87,10 +169,14 @@ def main() -> None:
     registry["minute_timeline"].fn(spark, sf_dir).collect()  # events family (nanos-ts path)
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "5.0"))
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    steal: dict[str, float] = {}
+    cpu_run_start = _read_cpu()
     for name in HEADLINE:
         best = float("inf")
+        cpu0 = _read_cpu()
         for i in range(runs):
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).collect()
@@ -99,8 +185,12 @@ def main() -> None:
                 first_run[name] = round(dt, 3)
             best = min(best, dt)
         timings[name] = round(best, 3)
+        steal[name] = _steal_pct(cpu0, _read_cpu())
 
     total = round(sum(timings.values()), 3)
+    run_steal = _steal_pct(cpu_run_start, _read_cpu())
+    load_post = _read_load()
+    contaminated = contaminated or run_steal > steal_max
     print(
         json.dumps(
             {
@@ -111,6 +201,13 @@ def main() -> None:
                 "queries_single_run": first_run,
                 "runs_per_query": runs,
                 "sf": sf,
+                "load_pre": load_pre,
+                "load_post": load_post,
+                "load_threshold": load_threshold,
+                "queries_steal_pct": steal,
+                "steal_pct": run_steal,
+                "steal_threshold": steal_max,
+                "contaminated": contaminated,
             }
         )
     )

@@ -56,6 +56,7 @@ def create_app(
     sf_dir: str,
     query_log: QueryLog | None = None,
     lake_dir: str | None = None,
+    refresh_dir: str | None = None,
 ) -> Flask:
     app = Flask(__name__)
     log = query_log if query_log is not None else QueryLog()
@@ -312,9 +313,32 @@ def create_app(
         on the live surface): users reaching each ordered stage
         view→click→purchase within the funnel window, plus each
         level's share of level 1 — the poll-mix sibling of
-        /api/live/conversion-rate, which counts UNordered totals."""
+        /api/live/conversion-rate, which counts UNordered totals.
+
+        r10 (VERDICT r9 #2): MV-served by default. When ``refresh_dir``
+        is configured and the funnel refreshable MV has a snapshot, the
+        route reads it (0.20 s vs 1.27 s direct, measured in the r9
+        probe) and reports ``source: "mv"`` with ``refreshed_at`` +
+        ``staleness_s`` so a dashboard can render data age — the
+        reference's whole identity is MV-served dashboards. Direct
+        compute remains the fallback when no scheduler is running."""
         try:
-            rows = run_named("window_funnel")
+            rows, source, refreshed_at = None, "direct", None
+            if refresh_dir is not None:
+                from clickhouse_realtime_analytics_demo_spark.streaming.refresh import (
+                    collect_snapshot,
+                )
+
+                with log.record("window_funnel", kind="rest-mv") as ctx:
+                    got = collect_snapshot(spark, f"{refresh_dir}/funnel_depth")
+                    if got is not None:
+                        snap_rows, info = got
+                        rows = [r.asDict() for r in snap_rows]
+                        ctx["rows"] = len(rows)
+                        source = "mv"
+                        refreshed_at = info["refreshed_at"]
+            if rows is None:
+                rows = run_named("window_funnel")
             # levels a dashboard always renders: unreached ones are 0
             # (the aggregate drops empty groups)
             by_level = {r["level"]: r["users"] for r in rows}
@@ -332,7 +356,14 @@ def create_app(
                             ),
                         }
                         for lv in (1, 2, 3)
-                    ]
+                    ],
+                    "source": source,
+                    "refreshed_at": refreshed_at,
+                    "staleness_s": (
+                        round(max(0.0, time.time() - refreshed_at), 3)
+                        if refreshed_at is not None
+                        else 0.0
+                    ),
                 }
             )
         except Exception as exc:

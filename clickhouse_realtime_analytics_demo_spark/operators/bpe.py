@@ -161,6 +161,8 @@ def train_bpe_batched(
     text_col: str = "text",
     pattern: str = WORD_PATTERN,
     end_marker: str = END_MARKER,
+    fold_checkpoint_every: int = 32,
+    stats: dict | None = None,
 ) -> list[tuple[int, str, str, str, int]]:
     """BPE training with BATCHED merge rounds — the 32k-merge scale
     path. Sequential :func:`train_bpe` costs one Spark job per merge;
@@ -180,7 +182,21 @@ def train_bpe_batched(
     picked until the next round even if its count would rank first —
     the standard trade of batched/distributed BPE trainers. Pinned
     against a pure-Python reference of the same rule
-    (tests/test_bpe.py)."""
+    (tests/test_bpe.py).
+
+    ``fold_checkpoint_every`` (r10): each picked merge chains one
+    ``aggregate``-fold onto the rewrite expression; at production batch
+    sizes (128-256) a single round's chain would grow the Catalyst
+    expression tree — and the generated code — linearly with the batch,
+    which is the binding cost the 1k-merge SCALEPROBE hunts. The chain
+    is therefore materialized (repartition + localCheckpoint, the same
+    barrier the round boundary uses) every N folds, bounding analysis/
+    codegen depth at N regardless of batch size. Semantics are
+    unchanged: the picked merges apply in rank order either way.
+
+    ``stats``, when passed, is filled with ``rounds`` (pair-count
+    shuffles executed), ``picks_per_round`` and ``fold_checkpoints`` —
+    the probe's instrumentation, not part of the result."""
     n_parts = max(int(spark_conf_parts(docs)), 16)
     words = (
         word_counts(docs, text_col, pattern)
@@ -195,6 +211,8 @@ def train_bpe_batched(
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, str, int]] = []
+    if stats is not None:
+        stats.update({"rounds": 0, "picks_per_round": [], "fold_checkpoints": 0})
     while len(merges) < num_merges:
         want = num_merges - len(merges)
         pairs = (
@@ -224,20 +242,41 @@ def train_bpe_batched(
             if len(picked) >= min(batch_size, want):
                 break
             l, r = row["l"], row["r"]
-            if l in used or r in used:
+            # disjointness covers the MERGED symbol too (ADVICE r9):
+            # without l+r in the set a round could pick ('a','b') then
+            # ('ab','c') — the first fold creates new 'ab' symbols the
+            # second fold would consume, making its recorded count
+            # stale at application time
+            if l in used or r in used or (l + r) in used:
                 continue
-            used.update((l, r))
+            used.update((l, r, l + r))
             picked.append((l, r, int(row["c"])))
         if not picked:  # pool exhausted by conflicts — retry smaller
             l, r, c = cands[0]["l"], cands[0]["r"], int(cands[0]["c"])
             picked = [(l, r, c)]
         col = F.col("syms")
+        depth = 0
         for l, r, c in picked:
             merges.append((len(merges) + 1, l, r, l + r, c))
             col = _merge_fold(col, l, r)
-        words = (
-            words.withColumn("syms", col).repartition(n_parts).localCheckpoint()
-        )
+            depth += 1
+            if depth >= max(1, fold_checkpoint_every):
+                words = (
+                    words.withColumn("syms", col)
+                    .repartition(n_parts)
+                    .localCheckpoint()
+                )
+                col = F.col("syms")
+                depth = 0
+                if stats is not None:
+                    stats["fold_checkpoints"] += 1
+        if depth:
+            words = (
+                words.withColumn("syms", col).repartition(n_parts).localCheckpoint()
+            )
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["picks_per_round"].append(len(picked))
     return merges
 
 

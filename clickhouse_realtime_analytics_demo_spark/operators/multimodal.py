@@ -669,10 +669,12 @@ def _parse_avi(payload: bytes) -> dict:
         raise ValueError("not a RIFF/AVI payload")
     avih = None
     handler = None
+    n_streams = 0
+    vid_stream = None  # zero-based index of the first 'vids' stream
     frames: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal avih, handler
+        nonlocal avih, handler, n_streams, vid_stream
         while pos + 8 <= end:
             cid = buf[pos : pos + 4]
             size = struct.unpack_from("<I", buf, pos + 4)[0]
@@ -681,11 +683,20 @@ def _parse_avi(payload: bytes) -> dict:
                 walk(buf, body + 4, body + size)  # skip the list type
             elif cid == b"avih":
                 avih = struct.unpack_from("<14I", buf, body)
-            elif cid == b"strh" and handler is None:
-                if buf[body : body + 4] == b"vids":
+            elif cid == b"strh":
+                # streams are declared in hdrl order; the declaration
+                # index IS the two-digit prefix of movi chunk ids
+                if buf[body : body + 4] == b"vids" and vid_stream is None:
                     handler = buf[body + 4 : body + 8]
+                    vid_stream = n_streams
+                n_streams += 1
             elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
-                frames.append(buf[body : body + size])
+                # only chunks belonging to the first vids stream: a
+                # multi-stream AVI (audio, a second video, a DIB-coded
+                # text stream) must not interleave foreign chunks into
+                # the frame list (ADVICE r9)
+                if vid_stream is not None and int(cid[:2]) == vid_stream:
+                    frames.append(buf[body : body + size])
             pos = body + size + (size & 1)
 
     walk(payload, 12, len(payload))

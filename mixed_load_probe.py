@@ -240,8 +240,9 @@ def _dashboard_queries(spark: SparkSession, lake: str, specs: dict[str, mv.MVSpe
 
     def live_funnel_mv():
         # r9: the funnel served the way a 1 s poller would actually
-        # deploy it — from the refreshable snapshot (RefreshScheduler,
-        # 5 s cadence), turning the heaviest poll into a tiny read
+        # deploy it — from the refreshable snapshot (RefreshScheduler;
+        # cadence = the interval registered at setup, 10 s in the
+        # probe), turning the heaviest poll into a tiny read
         from clickhouse_realtime_analytics_demo_spark.streaming.refresh import (
             read_snapshot,
         )

@@ -415,6 +415,138 @@ def corpusprep_probe(
     return out
 
 
+def corpusprep40_probe(spark, k: int = 40) -> dict:
+    """Round-10 (VERDICT r9 #4): one 40× point for the LSH pipeline
+    linearity claim, plus the bucket-occupancy histogram and a MEASURED
+    recall statement for the ``max_bucket_size=64`` valve at that
+    scale.
+
+    The valve drops a (band, hash, block) bucket when more than 64 docs
+    collide in it; a TRUE pair is lost only if EVERY band it collides
+    in is over-cap. Rather than inferring that from the histogram, this
+    probe computes it exactly: candidate pairs with the valve vs
+    without, then exact-Jaccard-verifies ONLY the dropped pairs (a
+    dropped-set-sized job) to count real ≥0.6 pairs the valve cost."""
+    from clickhouse_realtime_analytics_demo_spark.operators import dedup as _dedup
+    from clickhouse_realtime_analytics_demo_spark.queries.graphops import (
+        _prep_filtered,
+    )
+
+    registry = all_queries()
+    d = tempfile.mkdtemp(prefix=f"cpp40_k{k}_")
+    replicate(spark, d, k, only=("documents",))
+    out: dict = {"k": k}
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        registry["corpus_prep_pipeline_lsh"].fn(spark, d).collect()
+        best = min(best, time.perf_counter() - t0)
+    out["lsh_s"] = round(best, 2)
+
+    # ---- bucket occupancy at 40×: the pipeline's exact LSH stage
+    # (16 bands over char-3-gram MinHash(32), block-confined buckets)
+    _, blocked = _prep_filtered(spark, d)
+    out["docs"] = blocked.count()
+    sh = _dedup.char_ngram_sets(
+        blocked.repartition(64, "doc_id"), "text", "doc_id", 3, keep=("blk",)
+    ).localCheckpoint()
+    sigs = _dedup.minhash_signatures_from_sets(
+        sh, 32, keep=("blk",), materialized=True
+    ).localCheckpoint()
+    rows_per_band = 32 // 16
+    from clickhouse_realtime_analytics_demo_spark.operators.dedup import band_hash_expr
+
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), band_hash_expr(b, rows_per_band).alias("band_hash"))
+        for b in range(16)
+    ]
+    bucketed = sigs.select(
+        "id", "blk", F.explode_outer(F.array(*band_structs)).alias("bucket")
+    ).select("id", "blk", "bucket.band", "bucket.band_hash")
+    sizes = bucketed.groupBy("band", "band_hash", "blk").agg(F.count("*").alias("n"))
+    hist = (
+        sizes.select(
+            F.when(F.col("n") == 1, "1")
+            .when(F.col("n") <= 4, "2-4")
+            .when(F.col("n") <= 16, "5-16")
+            .when(F.col("n") <= 64, "17-64")
+            .otherwise(">64")
+            .alias("bin"),
+            "n",
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("buckets"), F.sum("n").alias("entries"))
+        .collect()
+    )
+    out["bucket_hist"] = {
+        r["bin"]: {"buckets": int(r["buckets"]), "entries": int(r["entries"])} for r in hist
+    }
+    total_entries = sum(v["entries"] for v in out["bucket_hist"].values())
+    over = out["bucket_hist"].get(">64", {"entries": 0})["entries"]
+    out["entries_over_cap_pct"] = round(100.0 * over / total_entries, 3) if total_entries else 0.0
+
+    # ---- measured valve recall: verify exactly the DROPPED pairs
+    capped = _dedup.lsh_candidates_from_sigs(sigs, 32, 16, 64, "blk").localCheckpoint()
+    uncapped = _dedup.lsh_candidates_from_sigs(sigs, 32, 16, None, "blk").localCheckpoint()
+    out["cand_pairs_capped"] = capped.count()
+    out["cand_pairs_uncapped"] = uncapped.count()
+    dropped = uncapped.join(capped, ["id_a", "id_b"], "left_anti").localCheckpoint()
+    out["cand_pairs_dropped"] = dropped.count()
+    sh_sets = sh.select(F.col("id"), F.col("sh"))
+    attached = (
+        dropped.join(sh_sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sa"), "id_a")
+        .join(sh_sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sb"), "id_b")
+        .repartition(64)
+    )
+    out["true_pairs_dropped"] = attached.filter(
+        _dedup.jaccard(F.col("sa"), F.col("sb")) >= 0.6
+    ).count()
+    # denominator for the recall statement: true pairs the capped run finds
+    cap_attached = (
+        capped.join(sh_sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sa"), "id_a")
+        .join(sh_sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sb"), "id_b")
+        .repartition(64)
+    )
+    out["true_pairs_capped"] = cap_attached.filter(
+        _dedup.jaccard(F.col("sa"), F.col("sb")) >= 0.6
+    ).count()
+    tot_true = out["true_pairs_capped"] + out["true_pairs_dropped"]
+    out["valve_recall_pct"] = (
+        round(100.0 * out["true_pairs_capped"] / tot_true, 3) if tot_true else 100.0
+    )
+    print(json.dumps({"corpusprep40_probe": out}), flush=True)
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def write_corpusprep40_section(row: dict) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## LSH pipeline at 40× + bucket-valve recall"
+    text, tail_sections = _splice_section(text, marker)
+    hist = " · ".join(
+        f"{b}: {v['buckets']} buckets / {v['entries']} entries"
+        for b, v in sorted(row["bucket_hist"].items())
+    )
+    lines = [
+        marker.strip(),
+        "",
+        f"`scale_probe.py corpusprep40` (r10, VERDICT r9 #4): "
+        f"`corpus_prep_pipeline_lsh` at K={row['k']} "
+        f"({row['docs']} filtered docs): **{row['lsh_s']} s** best-of-2.",
+        "",
+        f"- Bucket occupancy (16 bands × block-confined): {hist}",
+        f"- Entries in over-cap (>64) buckets: {row['entries_over_cap_pct']}%",
+        f"- Candidate pairs: {row['cand_pairs_capped']} capped vs "
+        f"{row['cand_pairs_uncapped']} uncapped → {row['cand_pairs_dropped']} dropped",
+        f"- TRUE (J≥0.6) pairs among dropped candidates: {row['true_pairs_dropped']} "
+        f"vs {row['true_pairs_capped']} found with the valve → "
+        f"**valve recall {row['valve_recall_pct']}% at 40×**",
+    ]
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def textops_probe(spark, ks=(1, 4, 10)) -> list[dict]:
     """Round-8 text ops vs corpus size: the vocabulary-rarity join
     (broadcast of the Zipf-bounded COMMON set — cost should be ~linear
@@ -536,33 +668,40 @@ def write_bpe_section(rows: list[dict], num_merges: int = 12) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
+def _synth_bpe_docs(spark, n: int):
+    """Synthetic corpus of 15 hash-derived pseudo-words per doc
+    (digits translated to [a-j], ≤7 chars) — grows the WORD VOCABULARY
+    to the 10⁵ scale where the per-iteration pair-count shuffle
+    carries real weight (the axis that grows at 100 TB)."""
+    return spark.range(0, n, numPartitions=32).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(15)),
+                lambda j: F.translate(
+                    (F.abs(F.xxhash64(F.col("id"), j)) % 1_000_000).cast("string"),
+                    "0123456789",
+                    "abcdefghij",
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    ).localCheckpoint()
+
+
 def bpe_synth_probe(spark, n_docs=(10_000, 40_000, 120_000), num_merges=12) -> list[dict]:
     """Round-9 BPE at a NON-degenerate vocabulary (the testdata corpus
     holds only 31 distinct words, so the documents-table probe mostly
-    measures fixed iteration overhead): synthesize documents of 15
-    hash-derived pseudo-words (digits translated to [a-j], ≤7 chars)
-    so the WORD VOCABULARY reaches the 10⁵ scale where the
-    per-iteration pair-count shuffle carries real weight — the thing
-    that grows on a 100 TB corpus. Everything stays JVM expressions;
-    fresh plan per timed run."""
+    measures fixed iteration overhead): synthesize documents so the
+    WORD VOCABULARY reaches the 10⁵ scale where the per-iteration
+    pair-count shuffle carries real weight — the thing that grows on a
+    100 TB corpus. Everything stays JVM expressions; fresh plan per
+    timed run."""
     from clickhouse_realtime_analytics_demo_spark.operators import bpe as _bpe
 
     out = []
     for n in n_docs:
-        docs = spark.range(0, n, numPartitions=32).select(
-            F.col("id").alias("doc_id"),
-            F.array_join(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(15)),
-                    lambda j: F.translate(
-                        (F.abs(F.xxhash64(F.col("id"), j)) % 1_000_000).cast("string"),
-                        "0123456789",
-                        "abcdefghij",
-                    ),
-                ),
-                " ",
-            ).alias("text"),
-        ).localCheckpoint()
+        docs = _synth_bpe_docs(spark, n)
         vocab = _bpe.word_counts(docs).count()
         best = float("inf")
         for _ in range(2):
@@ -600,6 +739,94 @@ def write_bpe_synth_section(rows: list[dict], num_merges: int = 12) -> None:
             f"| {r['docs']} | {r['vocab']} | {r['train_s']} |"
             f" {round(r['train_s'] / base['train_s'], 1)}x |"
             f" {round(r['vocab'] / base['vocab'], 1)}x |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
+def bpe_batched_probe(spark) -> list[dict]:
+    """Round-10 (VERDICT r9 #3): the batched BPE path at PRODUCTION
+    merge counts. r9 pinned `train_bpe_batched` but probed it only to
+    64 merges; a real tokenizer fits 30k-50k merges, so this probe
+    runs ≥1k merges at batch 64-256 over the synthetic 2.5×10⁵-word
+    vocabulary and records where the round structure (pair-count
+    shuffles), the intra-round fold-chain depth (Catalyst expression/
+    codegen growth — the `fold_checkpoint_every` valve), or the
+    driver-held merge table becomes the binding cost.
+
+    Configs, one timed run each (minutes-long runs; run-to-run noise
+    is small relative to the 4-40× effects measured):
+      A/B: 1024 merges, batch 128 vs 256      — batch scaling at depth
+      C:   256 merges, batch 128, ckpt 32     — baseline for D and E
+      D:   256 merges, batch 128, NO intra-round checkpoint
+           — the raw expression-depth cost the valve removes
+      E:   C's config at 1/3 the docs         — per-round time vs vocab
+    """
+    import json as _json
+
+    from clickhouse_realtime_analytics_demo_spark.operators import bpe as _bpe
+
+    configs = [
+        ("A", 120_000, 1024, 128, 32),
+        ("B", 120_000, 1024, 256, 32),
+        ("C", 120_000, 256, 128, 32),
+        ("D", 120_000, 256, 128, 10**9),  # valve off: one 128-deep chain/round
+        ("E", 40_000, 256, 128, 32),
+    ]
+    out = []
+    for tag, n, merges_n, batch, ckpt in configs:
+        docs = _synth_bpe_docs(spark, n)
+        vocab = _bpe.word_counts(docs).count()
+        st: dict = {}
+        t0 = time.perf_counter()
+        merges = _bpe.train_bpe_batched(
+            docs, merges_n, batch_size=batch, fold_checkpoint_every=ckpt, stats=st
+        )
+        wall = time.perf_counter() - t0
+        table_bytes = sum(
+            len(m[1]) + len(m[2]) + len(m[3]) + 16 for m in merges
+        )
+        row = {
+            "cfg": tag,
+            "docs": n,
+            "vocab": vocab,
+            "merges": len(merges),
+            "batch": batch,
+            "ckpt": ckpt if ckpt < 10**9 else 0,
+            "wall_s": round(wall, 1),
+            "rounds": st.get("rounds", 0),
+            "s_per_round": round(wall / max(st.get("rounds", 1), 1), 2),
+            "merges_per_s": round(len(merges) / wall, 1),
+            "fold_checkpoints": st.get("fold_checkpoints", 0),
+            "merge_table_bytes": table_bytes,
+        }
+        out.append(row)
+        print(_json.dumps({"bpe_batched_probe": row}), flush=True)
+        docs.unpersist()
+    return out
+
+
+def write_bpe_batched_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## Batched BPE at production merge counts"
+    text, tail_sections = _splice_section(text, marker)
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py bpebatched` (r10, VERDICT r9 #3): "
+        "`train_bpe_batched` at ≥1k merges over the synthetic "
+        "hash-word vocabulary. ckpt = `fold_checkpoint_every` "
+        "(0 = intra-round checkpointing off). One timed run per "
+        "config (minutes-long runs).",
+        "",
+        "| cfg | docs | vocab | merges | batch | ckpt | wall (s) | rounds | s/round | merges/s | merge table (bytes) |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['cfg']} | {r['docs']} | {r['vocab']} | {r['merges']} |"
+            f" {r['batch']} | {r['ckpt']} | {r['wall_s']} | {r['rounds']} |"
+            f" {r['s_per_round']} | {r['merges_per_s']} | {r['merge_table_bytes']} |"
         )
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
@@ -1722,6 +1949,12 @@ def main() -> None:
         write_temporal_section(rows)
         spark.stop()
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "bpebatched":
+        spark = get_spark(app_name="scale_probe_bpe_batched")
+        rows = bpe_batched_probe(spark)
+        write_bpe_batched_section(rows)
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "bpesynth":
         spark = get_spark(app_name="scale_probe_bpe_synth")
         rows = bpe_synth_probe(spark)
@@ -1738,6 +1971,13 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_textops")
         rows = textops_probe(spark)
         write_textops_section(rows)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "corpusprep40":
+        spark = get_spark(app_name="scale_probe_corpusprep40")
+        k = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+        row = corpusprep40_probe(spark, k)
+        write_corpusprep40_section(row)
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "corpusprep":

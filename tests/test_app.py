@@ -254,14 +254,65 @@ def test_explain_unknown_404(client):
     assert client.get("/api/system/explain/nope").status_code == 404
 
 
-def test_live_funnel_depth_contract(client):
-    """r9: the live windowFunnel route — levels are cumulative
-    (monotone non-increasing users), level 1 anchors pct at 100."""
-    d = client.get("/api/live/funnel-depth").get_json()
-    assert set(d) == {"levels"}
+FUNNEL_KEYS = {"levels", "source", "refreshed_at", "staleness_s"}
+
+
+def _assert_funnel_levels(d):
     levels = d["levels"]
     assert [r["level"] for r in levels] == [1, 2, 3]
     users = [r["users"] for r in levels]
     assert users == sorted(users, reverse=True)
     assert levels[0]["pct_of_entry"] == 100.0
     assert all(0 <= r["pct_of_entry"] <= 100.0 for r in levels)
+
+
+def test_live_funnel_depth_contract(client):
+    """r9: the live windowFunnel route — levels are cumulative
+    (monotone non-increasing users), level 1 anchors pct at 100.
+    r10: without a refresh_dir the route computes directly and says so
+    (source=direct, no refreshed_at)."""
+    d = client.get("/api/live/funnel-depth").get_json()
+    assert set(d) == FUNNEL_KEYS
+    _assert_funnel_levels(d)
+    assert d["source"] == "direct"
+    assert d["refreshed_at"] is None and d["staleness_s"] == 0.0
+
+
+def test_live_funnel_depth_mv_served(spark, tmp_path):
+    """r10 (VERDICT r9 #2): with a refresh_dir holding a funnel MV
+    snapshot the route serves FROM the snapshot and reports its age —
+    same levels contract, source=mv, staleness_s measured from the
+    snapshot's _SUCCESS commit time. Before the first refresh the
+    route falls back to direct compute."""
+    from clickhouse_realtime_analytics_demo_spark.queries import all_queries
+    from clickhouse_realtime_analytics_demo_spark.streaming.refresh import RefreshScheduler
+
+    refresh_dir = str(tmp_path / "refresh")
+    app = create_app(spark, SF_DIR, query_log=QueryLog(), refresh_dir=refresh_dir)
+    app.testing = True
+    with app.test_client() as c:
+        # no snapshot yet -> direct fallback (scheduler not running)
+        d = c.get("/api/live/funnel-depth").get_json()
+        assert d["source"] == "direct" and d["refreshed_at"] is None
+
+        sched = RefreshScheduler(spark)
+        sched.register(
+            "funnel_depth",
+            lambda s: all_queries()["window_funnel"].fn(s, SF_DIR),
+            interval_seconds=9999,
+            path=f"{refresh_dir}/funnel_depth",
+        )
+        sched.refresh_now("funnel_depth")
+
+        d = c.get("/api/live/funnel-depth").get_json()
+        assert set(d) == FUNNEL_KEYS
+        _assert_funnel_levels(d)
+        assert d["source"] == "mv"
+        assert d["refreshed_at"] is not None
+        assert 0.0 <= d["staleness_s"] < 300.0  # fresh snapshot, sane clock
+
+        # MV-served and direct-computed funnels agree on the data
+        direct = create_app(spark, SF_DIR, query_log=QueryLog()).test_client().get(
+            "/api/live/funnel-depth"
+        ).get_json()
+        assert d["levels"] == direct["levels"]

@@ -114,3 +114,59 @@ def test_unsupported_codec_rejected():
     p = _parse_avi(bytes(avi))
     with pytest.raises(ValueError, match="unsupported AVI codec"):
         _decode_avi_frame(p, 0)
+
+
+def test_multistream_avi_collects_only_first_vids_stream():
+    """ADVICE r9: an AVI with an audio stream declared BEFORE the video
+    stream numbers the video chunks '01db'; the parser must attribute
+    only that stream's chunks to the frame list — audio '00wb' chunks
+    (and a hypothetical second video '02db') must not interleave."""
+    import struct
+
+    frames = [_gradient(k) for k in range(3)]
+    single = encode_avi(frames, fps=5, codec="DIB ")
+    base = _parse_avi(single)
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    # rebuild: stream 0 = audio (auds), stream 1 = the video stream
+    avih = struct.pack(
+        "<14I", base["us_per_frame"], 0, 0, 0x10, 3, 0, 2, 0,
+        base["w"], base["h"], 0, 0, 0, 0,
+    )
+    auds_strh = b"auds" + b"\x00" * 44
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    vids_strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 5, 0, 3, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, base["w"], base["h"])
+    )
+    vids_strf = struct.pack(
+        "<IiiHH4sIiiII", 40, base["w"], base["h"], 1, 24,
+        b"\x00\x00\x00\x00", 0, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf))
+        + lst(b"strl", chunk(b"strh", vids_strh) + chunk(b"strf", vids_strf)),
+    )
+    movi_body = b""
+    for f in base["frames"]:
+        movi_body += chunk(b"00wb", b"\x80" * 16)  # audio: must be ignored
+        movi_body += chunk(b"01db", f)  # the real video stream
+        movi_body += chunk(b"02db", b"\xff" * len(f))  # foreign video-like
+    body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    multi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    p = _parse_avi(multi)
+    assert p["n_frames"] == 3 and p["handler"] == b"DIB "
+    assert p["frames"] == base["frames"]  # exactly the vids chunks
+    for k in range(3):
+        w, h, pixel, _ = _decode_avi_frame(p, k)
+        assert pixel(0, 0) == frames[k][0][0]
+        assert pixel(w - 1, h - 1) == frames[k][h - 1][w - 1]

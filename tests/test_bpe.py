@@ -210,9 +210,11 @@ def reference_train_bpe_batched(wc, num_merges, batch_size, end_marker=END_MARKE
         for (l, r), c in ranked[: max(4 * batch_size, 64)]:
             if len(picked) >= min(batch_size, num_merges - len(merges)):
                 break
-            if l in used or r in used:
+            # mirror of the operator's rule incl. the merged symbol
+            # (ADVICE r9: blocks ('a','b') + ('ab','c') in one round)
+            if l in used or r in used or (l + r) in used:
                 continue
-            used.update((l, r))
+            used.update((l, r, l + r))
             picked.append((l, r, c))
         if not picked:
             (l, r), c = ranked[0]
@@ -277,3 +279,52 @@ def test_batched_matches_reference_sf0001(spark):
     got = train_bpe_batched(docs, 24, batch_size=6)
     want = reference_train_bpe_batched(reference_word_counts(texts), 24, 6)
     assert got == want
+
+
+def test_batched_fold_checkpoint_invariant(spark):
+    """r10: fold_checkpoint_every only bounds expression depth — it
+    must not change results (merges apply in rank order either way).
+    Also pins the stats instrumentation the 1k-merge probe reads."""
+    from clickhouse_realtime_analytics_demo_spark.operators.bpe import (
+        train_bpe_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FIXTURE)], "doc_id bigint, text string"
+    )
+    st_deep: dict = {}
+    st_ckpt: dict = {}
+    deep = train_bpe_batched(docs, 16, batch_size=8, fold_checkpoint_every=10**9, stats=st_deep)
+    ckpt = train_bpe_batched(docs, 16, batch_size=8, fold_checkpoint_every=2, stats=st_ckpt)
+    assert deep == ckpt
+    assert st_deep["fold_checkpoints"] == 0
+    assert st_ckpt["fold_checkpoints"] >= 4  # 16 merges / every-2, minus round tails
+    assert st_deep["rounds"] == st_ckpt["rounds"] == len(st_deep["picks_per_round"])
+    assert sum(st_deep["picks_per_round"]) == 16
+
+
+def test_batched_merged_symbol_disjointness(spark):
+    """ADVICE r9: no round may pick a pair whose symbol equals an
+    earlier pick's MERGED symbol (or vice versa) — the fold of the
+    earlier pick creates/consumes those symbols, making the recorded
+    count stale at application time. Verified structurally over the
+    fixture and sf-corpus runs: within every round, no pair shares a
+    literal symbol with another pick's pair OR merged output."""
+    from clickhouse_realtime_analytics_demo_spark.operators.bpe import (
+        train_bpe_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FIXTURE)], "doc_id bigint, text string"
+    )
+    st: dict = {}
+    merges = train_bpe_batched(docs, 16, batch_size=8, stats=st)
+    i = 0
+    for picks in st["picks_per_round"]:
+        batch = merges[i : i + picks]
+        i += picks
+        used: set[str] = set()
+        for _, l, r, merged, _ in batch:
+            assert l not in used and r not in used and merged not in used
+            used.update((l, r, merged))
+    assert i == len(merges)

@@ -12,7 +12,13 @@ headroom test. The full 60 s measurement lives in mixed_load_probe.py
 
 from __future__ import annotations
 
+import json
+import time
+from pathlib import Path
+
 import mixed_load_probe as mlp
+
+FLAKES = Path(__file__).resolve().parent.parent / "FLAKES.md"
 
 
 def _one_window(spark, workdir):
@@ -26,6 +32,35 @@ def _one_window(spark, workdir):
     )
 
 
+def _log_flake(first_res) -> None:
+    """Greppable retry record (VERDICT r9 #6): every time the rate-gate
+    retry window fires, the first window's numbers land in FLAKES.md so
+    flakiness is trackable across rounds instead of hidden by the
+    retry. Host load is captured because every observed miss so far
+    coincided with host-level load spikes."""
+    load = "?"
+    try:
+        load = Path("/proc/loadavg").read_text().split()[0]
+    except OSError:
+        pass
+    line = (
+        f"- {time.strftime('%Y-%m-%d %H:%M:%S')} test_mixedload retry fired: "
+        f"{json.dumps({'events_per_s': round(first_res.events_per_s, 2), 'uncovered_ticks': first_res.uncovered_ticks, 'load1': load})}\n"
+    )
+    try:
+        if not FLAKES.exists():
+            FLAKES.write_text(
+                "# FLAKES — gate-retry occurrences\n\n"
+                "One line per firing of a documented test retry valve, appended\n"
+                "by the test itself (VERDICT r9 #6): the trend is auditable here\n"
+                "instead of via archaeology through commit messages.\n\n"
+            )
+        with FLAKES.open("a") as f:
+            f.write(line)
+    except OSError:
+        pass  # a read-only checkout must not turn the valve into a failure
+
+
 def test_mixed_load_freshness_and_rates(spark, tmp_path):
     res = _one_window(spark, str(tmp_path / "w1"))
     if res.events_per_s < 90.0 or res.uncovered_ticks:
@@ -37,6 +72,11 @@ def test_mixed_load_freshness_and_rates(spark, tmp_path):
         # regression. Same sustained-not-per-tick philosophy as the
         # assertions themselves. (Observed once in 3 frozen-code full-
         # suite runs, r9; passes in isolation immediately after.)
+        # Every firing is recorded in FLAKES.md (ADVICE r9) so the
+        # valve can't silently absorb a partial regression trend; the
+        # gate below then runs on the RETRY window only — a persistent
+        # regression still has to clear a full fresh window.
+        _log_flake(res)
         res = _one_window(spark, str(tmp_path / "w2"))
     s = res.summary()
     # ingest held the reference rate (100 ev/s) under full mixed load.

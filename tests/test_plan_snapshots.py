@@ -133,6 +133,11 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # join, no corpus-sized broadcast, no Python nodes) are asserted
     # by tests/test_bpe.py::test_iteration_plan_shape
     "doc_bpe_train": ({}, False),
+    # r10: the batched scale path returns the same driver-built merge
+    # table (LocalTableScan); its per-round plan properties share
+    # test_bpe.py's iteration contract (one pair-count aggregate per
+    # ROUND instead of per merge)
+    "doc_bpe_train_batched": ({}, False),
     # mixture rebalance: bounded source-dim weights broadcast onto
     # the doc scan (BHJ) + the 1-row totals crossJoin (BNLJ) — the
     # only document-sized pass is the scan

@@ -73,3 +73,56 @@ def test_scheduler_loop_cadence(spark, tmp_path):
         sched.stop()
     assert sched._jobs["job"].runs >= 2
     assert read_snapshot(spark, path).count() == 10
+
+
+def test_keep_versions_configurable(spark, tmp_path):
+    # ADVICE r9: widen the retention window for slow readers
+    path = str(tmp_path / "mv")
+    sched = RefreshScheduler(spark, keep_versions=4)
+    sched.register("job", _build(7), interval_seconds=9999, path=path)
+    for _ in range(6):
+        sched.refresh_now("job")
+    versions = sorted(p.name for p in Path(path).glob("v=*"))
+    assert versions == ["v=3", "v=4", "v=5", "v=6"]
+
+
+def test_collect_snapshot_info_and_retry(spark, tmp_path):
+    from clickhouse_realtime_analytics_demo_spark.streaming.refresh import (
+        collect_snapshot,
+        snapshot_info,
+    )
+
+    path = str(tmp_path / "mv")
+    assert snapshot_info(path) is None and collect_snapshot(spark, path) is None
+    sched = RefreshScheduler(spark)
+    sched.register("job", _build(1), interval_seconds=9999, path=path)
+    sched.refresh_now("job")
+    rows, info = collect_snapshot(spark, path)
+    assert len(rows) == 10 and info["version"] == 1
+    assert time.time() - info["refreshed_at"] < 300
+
+    # a reader slower than the keep-window: its version is pruned
+    # between resolve and read -> collect_snapshot re-resolves and
+    # serves the newer snapshot instead of failing (ADVICE r9).
+    # Simulated by making the FIRST resolve return an already-deleted
+    # version, exactly the race the retry exists for.
+    sched._jobs["job"].build = _build(2)
+    sched.refresh_now("job")  # v=2 lands; pretend v=99 was resolved then pruned
+    from clickhouse_realtime_analytics_demo_spark.streaming import refresh as refresh_mod
+
+    real_info = refresh_mod.snapshot_info
+    calls = {"n": 0}
+
+    def stale_then_real(p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return {"version": 99, "refreshed_at": 0.0}  # pruned mid-read
+        return real_info(p)
+
+    refresh_mod.snapshot_info = stale_then_real
+    try:
+        rows, info = refresh_mod.collect_snapshot(spark, path)
+    finally:
+        refresh_mod.snapshot_info = real_info
+    assert calls["n"] == 2  # the retry fired
+    assert info["version"] == 2 and {r["snapshot_tag"] for r in rows} == {2}
