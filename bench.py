@@ -45,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -135,6 +136,44 @@ def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
     return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else 0.0
 
 
+class _SpinSampler(threading.Thread):
+    """Effective-core-speed probe: times a fixed 200k-xor loop every 2 s
+    for the whole bench. Catches what steal can't — this box has shown
+    2-5× micro-batch slowdowns with ~0%% steal AND phantom load-avg
+    (5+ reported at 99.9%% idle, zero blocked tasks, kernel
+    6.18.5-fc-v20), so neither loadavg nor steal alone separates "the
+    box was slow" from "the code was slow". A widening spin-time
+    distribution during the run is direct evidence of host-side
+    scheduling/clock pressure. Runs in the driver process: the main
+    thread is blocked on the Py4J socket during queries, so the GIL is
+    free and the sampler costs <1%% of one core."""
+
+    def __init__(self, interval: float = 2.0, n: int = 200_000) -> None:
+        super().__init__(daemon=True)
+        self._interval = interval
+        self._n = n
+        self._halt = threading.Event()
+        self.samples_ms: list[float] = []
+
+    def run(self) -> None:
+        while not self._halt.is_set():
+            t0 = time.perf_counter()
+            x = 0
+            for i in range(self._n):
+                x ^= i
+            self.samples_ms.append((time.perf_counter() - t0) * 1000.0)
+            self._halt.wait(self._interval)
+
+    def stop(self) -> dict:
+        self._halt.set()
+        self.join(timeout=5)
+        s = sorted(self.samples_ms)
+        if not s:
+            return {"n": 0}
+        pick = lambda q: round(s[min(len(s) - 1, int(q * len(s)))], 2)  # noqa: E731
+        return {"n": len(s), "p50_ms": pick(0.5), "p95_ms": pick(0.95), "max_ms": round(s[-1], 2)}
+
+
 def _wait_for_quiesce(threshold: float, max_wait_sec: float) -> tuple[dict, bool]:
     """Poll 1-min load-avg until it drops below `threshold` or `max_wait_sec`
     elapses. Returns (final load snapshot, contaminated flag). The flag is
@@ -174,6 +213,8 @@ def main() -> None:
     first_run: dict[str, float] = {}
     steal: dict[str, float] = {}
     cpu_run_start = _read_cpu()
+    sampler = _SpinSampler()
+    sampler.start()
     for name in HEADLINE:
         best = float("inf")
         cpu0 = _read_cpu()
@@ -189,6 +230,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     run_steal = _steal_pct(cpu_run_start, _read_cpu())
+    spin = sampler.stop()
     load_post = _read_load()
     contaminated = contaminated or run_steal > steal_max
     print(
@@ -207,6 +249,7 @@ def main() -> None:
                 "queries_steal_pct": steal,
                 "steal_pct": run_steal,
                 "steal_threshold": steal_max,
+                "spin_ms": spin,
                 "contaminated": contaminated,
             }
         )

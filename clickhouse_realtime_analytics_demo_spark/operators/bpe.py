@@ -163,6 +163,7 @@ def train_bpe_batched(
     end_marker: str = END_MARKER,
     fold_checkpoint_every: int = 32,
     stats: dict | None = None,
+    exact_counts: bool = True,
 ) -> list[tuple[int, str, str, str, int]]:
     """BPE training with BATCHED merge rounds — the 32k-merge scale
     path. Sequential :func:`train_bpe` costs one Spark job per merge;
@@ -196,7 +197,22 @@ def train_bpe_batched(
 
     ``stats``, when passed, is filled with ``rounds`` (pair-count
     shuffles executed), ``picks_per_round`` and ``fold_checkpoints`` —
-    the probe's instrumentation, not part of the result."""
+    the probe's instrumentation, not part of the result.
+
+    ``exact_counts=False`` (r10): the SCALEPROBE found the disjointness
+    rule is the binding cost at production merge counts — over a small
+    symbol alphabet only ~O(|alphabet|) pairs can be pairwise-disjoint,
+    so 1024 merges at batch 128 ran 68 rounds (~15 picks/round), not 8.
+    The relaxed mode fills every batch with the top ``batch_size``
+    ranked pairs regardless of symbol overlap and applies them
+    sequentially in rank order (fold semantics unchanged, still fully
+    deterministic and partition-count invariant). The trade, stated
+    honestly: recorded ``pair_count`` values are as-of SELECTION time
+    (a same-round earlier merge may have changed them), and merge order
+    deviates further from strict sequential — the standard trade of
+    large-scale BPE trainers, where rounds ≈ num_merges/batch_size is
+    what makes 32k merges feasible. Pinned against a pure-Python twin
+    of the same relaxed rule (tests/test_bpe.py)."""
     n_parts = max(int(spark_conf_parts(docs)), 16)
     words = (
         word_counts(docs, text_col, pattern)
@@ -242,14 +258,15 @@ def train_bpe_batched(
             if len(picked) >= min(batch_size, want):
                 break
             l, r = row["l"], row["r"]
-            # disjointness covers the MERGED symbol too (ADVICE r9):
-            # without l+r in the set a round could pick ('a','b') then
-            # ('ab','c') — the first fold creates new 'ab' symbols the
-            # second fold would consume, making its recorded count
-            # stale at application time
-            if l in used or r in used or (l + r) in used:
-                continue
-            used.update((l, r, l + r))
+            if exact_counts:
+                # disjointness covers the MERGED symbol too (ADVICE
+                # r9): without l+r in the set a round could pick
+                # ('a','b') then ('ab','c') — the first fold creates
+                # new 'ab' symbols the second fold would consume,
+                # making its recorded count stale at application time
+                if l in used or r in used or (l + r) in used:
+                    continue
+                used.update((l, r, l + r))
             picked.append((l, r, int(row["c"])))
         if not picked:  # pool exhausted by conflicts — retry smaller
             l, r, c = cands[0]["l"], cands[0]["r"], int(cands[0]["c"])

@@ -77,6 +77,7 @@ class MixedLoadResult:
     freshness_lag_s: list[float] = field(default_factory=list)
     uncovered_ticks: int = 0
     funnel_refreshes: int = 0
+    spin_ms: dict = field(default_factory=dict)
 
     def summary(self) -> dict:
         def q(d: dict[str, list[float]]) -> dict:
@@ -102,6 +103,7 @@ class MixedLoadResult:
             "freshness_n": len(self.freshness_lag_s),
             "uncovered_ticks": self.uncovered_ticks,
             "funnel_refreshes": self.funnel_refreshes,
+            "spin_ms": self.spin_ms,
         }
 
 
@@ -458,7 +460,23 @@ def run_mixed_load(
     )
     qt2.start()
 
+    # r10: effective-core-speed sampler for the whole window — this box
+    # shows minute-scale performance oscillation (micro-batches 0.7 →
+    # 2.6 s on identical code) with ~0% steal and phantom load-avg, so
+    # a rate-gate miss needs direct evidence of whether the BOX was
+    # slow. Same instrument as bench.py's.
+    try:
+        from bench import _SpinSampler
+
+        spin = _SpinSampler()
+        spin.start()
+    except ImportError:  # bench.py not importable (unusual cwd)
+        spin = None
+
     stats = loop.run(seconds=seconds)  # blocking
+
+    if spin is not None:
+        res.spin_ms = spin.stop()
 
     # drain: let MVs cover the final ticks (bounded wait)
     final_cursor = seed_events + stats.events_rows

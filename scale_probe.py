@@ -760,26 +760,32 @@ def bpe_batched_probe(spark) -> list[dict]:
       D:   256 merges, batch 128, NO intra-round checkpoint
            — the raw expression-depth cost the valve removes
       E:   C's config at 1/3 the docs         — per-round time vs vocab
+      F/G: A/B with exact_counts=False        — the relaxed mode the
+           A-run motivated (disjoint picks cap at ~O(|alphabet|)/round,
+           so A ran 68 rounds, not 8; relaxed fills every batch)
     """
     import json as _json
 
     from clickhouse_realtime_analytics_demo_spark.operators import bpe as _bpe
 
     configs = [
-        ("A", 120_000, 1024, 128, 32),
-        ("B", 120_000, 1024, 256, 32),
-        ("C", 120_000, 256, 128, 32),
-        ("D", 120_000, 256, 128, 10**9),  # valve off: one 128-deep chain/round
-        ("E", 40_000, 256, 128, 32),
+        ("A", 120_000, 1024, 128, 32, True),
+        ("B", 120_000, 1024, 256, 32, True),
+        ("C", 120_000, 256, 128, 32, True),
+        ("D", 120_000, 256, 128, 10**9, True),  # valve off: 128-deep chain/round
+        ("E", 40_000, 256, 128, 32, True),
+        ("F", 120_000, 1024, 128, 32, False),
+        ("G", 120_000, 1024, 256, 32, False),
     ]
     out = []
-    for tag, n, merges_n, batch, ckpt in configs:
+    for tag, n, merges_n, batch, ckpt, exact in configs:
         docs = _synth_bpe_docs(spark, n)
         vocab = _bpe.word_counts(docs).count()
         st: dict = {}
         t0 = time.perf_counter()
         merges = _bpe.train_bpe_batched(
-            docs, merges_n, batch_size=batch, fold_checkpoint_every=ckpt, stats=st
+            docs, merges_n, batch_size=batch, fold_checkpoint_every=ckpt,
+            stats=st, exact_counts=exact,
         )
         wall = time.perf_counter() - t0
         table_bytes = sum(
@@ -791,6 +797,7 @@ def bpe_batched_probe(spark) -> list[dict]:
             "vocab": vocab,
             "merges": len(merges),
             "batch": batch,
+            "exact": exact,
             "ckpt": ckpt if ckpt < 10**9 else 0,
             "wall_s": round(wall, 1),
             "rounds": st.get("rounds", 0),
@@ -819,13 +826,14 @@ def write_bpe_batched_section(rows: list[dict]) -> None:
         "(0 = intra-round checkpointing off). One timed run per "
         "config (minutes-long runs).",
         "",
-        "| cfg | docs | vocab | merges | batch | ckpt | wall (s) | rounds | s/round | merges/s | merge table (bytes) |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "| cfg | docs | vocab | merges | batch | exact | ckpt | wall (s) | rounds | s/round | merges/s | merge table (bytes) |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['cfg']} | {r['docs']} | {r['vocab']} | {r['merges']} |"
-            f" {r['batch']} | {r['ckpt']} | {r['wall_s']} | {r['rounds']} |"
+            f" {r['batch']} | {'y' if r.get('exact', True) else 'n'} |"
+            f" {r['ckpt']} | {r['wall_s']} | {r['rounds']} |"
             f" {r['s_per_round']} | {r['merges_per_s']} | {r['merge_table_bytes']} |"
         )
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)

@@ -190,10 +190,13 @@ def test_iteration_plan_shape(spark):
 # ------------------------------------------- batched training (r9 scale path)
 
 
-def reference_train_bpe_batched(wc, num_merges, batch_size, end_marker=END_MARKER):
+def reference_train_bpe_batched(
+    wc, num_merges, batch_size, end_marker=END_MARKER, exact_counts=True
+):
     """Independent single-threaded twin of train_bpe_batched's rule:
     per round, greedy rank-order selection under pairwise symbol
-    disjointness, then apply all selected merges."""
+    disjointness (or the whole ranked batch when exact_counts=False),
+    then apply all selected merges sequentially in rank order."""
     words = {tuple(list(w) + [end_marker]): c for w, c in wc.items()}
     merges = []
     while len(merges) < num_merges:
@@ -210,11 +213,12 @@ def reference_train_bpe_batched(wc, num_merges, batch_size, end_marker=END_MARKE
         for (l, r), c in ranked[: max(4 * batch_size, 64)]:
             if len(picked) >= min(batch_size, num_merges - len(merges)):
                 break
-            # mirror of the operator's rule incl. the merged symbol
-            # (ADVICE r9: blocks ('a','b') + ('ab','c') in one round)
-            if l in used or r in used or (l + r) in used:
-                continue
-            used.update((l, r, l + r))
+            if exact_counts:
+                # mirror of the operator's rule incl. the merged symbol
+                # (ADVICE r9: blocks ('a','b') + ('ab','c') in one round)
+                if l in used or r in used or (l + r) in used:
+                    continue
+                used.update((l, r, l + r))
             picked.append((l, r, c))
         if not picked:
             (l, r), c = ranked[0]
@@ -328,3 +332,48 @@ def test_batched_merged_symbol_disjointness(spark):
             assert l not in used and r not in used and merged not in used
             used.update((l, r, merged))
     assert i == len(merges)
+
+
+def test_batched_relaxed_matches_reference(spark):
+    """r10: exact_counts=False fills every round with the full ranked
+    batch (no disjointness filter) and applies in rank order — the
+    production-merge-count mode the 1k-merge SCALEPROBE motivated
+    (disjoint picks cap out at ~O(|alphabet|)/round early in training).
+    Pinned against the same-rule pure-Python twin, and the round count
+    must actually collapse to ~num_merges/batch_size."""
+    from clickhouse_realtime_analytics_demo_spark.operators.bpe import (
+        train_bpe_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FIXTURE)], "doc_id bigint, text string"
+    )
+    wc = reference_word_counts(FIXTURE)
+    for bs in (4, 8):
+        st: dict = {}
+        got = train_bpe_batched(docs, 16, batch_size=bs, exact_counts=False, stats=st)
+        want = reference_train_bpe_batched(wc, 16, bs, exact_counts=False)
+        assert got == want, bs
+        # every round fills its batch (until merges run out / pool dries)
+        assert st["rounds"] <= -(-16 // bs) + 1, st
+
+
+def test_batched_relaxed_matches_reference_sf0001(spark):
+    import pyarrow.parquet as pq
+
+    from clickhouse_realtime_analytics_demo_spark.operators.bpe import (
+        train_bpe_batched,
+    )
+
+    texts = [
+        t for t in pq.read_table("/root/testdata/sf0.001/documents.parquet")
+        .column("text").to_pylist() if t is not None
+    ]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    st: dict = {}
+    got = train_bpe_batched(docs, 32, batch_size=8, exact_counts=False, stats=st)
+    want = reference_train_bpe_batched(
+        reference_word_counts(texts), 32, 8, exact_counts=False
+    )
+    assert got == want
+    assert st["rounds"] == 4  # 32/8 exactly — the relaxed mode's point

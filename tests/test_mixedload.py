@@ -45,7 +45,7 @@ def _log_flake(first_res) -> None:
         pass
     line = (
         f"- {time.strftime('%Y-%m-%d %H:%M:%S')} test_mixedload retry fired: "
-        f"{json.dumps({'events_per_s': round(first_res.events_per_s, 2), 'uncovered_ticks': first_res.uncovered_ticks, 'load1': load})}\n"
+        f"{json.dumps({'events_per_s': round(first_res.events_per_s, 2), 'uncovered_ticks': first_res.uncovered_ticks, 'load1': load, 'spin_ms': first_res.spin_ms})}\n"
     )
     try:
         if not FLAKES.exists():
