@@ -1178,3 +1178,32 @@ def doc_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     schema = "merge_rank int, lhs string, rhs string, merged string, pair_count bigint"
     return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+
+@register("doc_bpe_train_relaxed")  # rows-only: the relaxed rule fills
+# every round with the full ranked batch (no disjointness filter), so
+# recorded pair_counts are as-of selection time — no sequential SQL
+# replay exists by construction; pinned against an independent pure-
+# Python twin of the same relaxed rule at two batch sizes + sf0.001
+# (tests/test_bpe.py::test_batched_relaxed_*; the sf0.001 pin is
+# partition-count independent by construction — the twin computes from
+# plain Python dicts, so any partitioning sensitivity would diverge).
+def doc_bpe_train_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-merge-count BPE path (r10): exact_counts=False
+    makes rounds ~= num_merges/batch_size regardless of symbol overlap
+    — the 1k-merge SCALEPROBE showed the disjointness rule caps picks
+    at ~O(|alphabet|)/round (68 rounds for 1024 merges at batch 128),
+    so the exact mode's round count grows with the alphabet, not the
+    batch. Same fold semantics, same single pair-count shuffle per
+    round (operators/bpe.py::train_bpe_batched)."""
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe_batched(
+        docs, _BPE_MERGES * 2, batch_size=8, exact_counts=False
+    )
+    rows = [
+        {"merge_rank": m[0], "lhs": m[1], "rhs": m[2], "merged": m[3],
+         "pair_count": m[4]}
+        for m in merges
+    ]
+    schema = "merge_rank int, lhs string, rhs string, merged string, pair_count bigint"
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)

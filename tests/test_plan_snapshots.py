@@ -138,6 +138,11 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # test_bpe.py's iteration contract (one pair-count aggregate per
     # ROUND instead of per merge)
     "doc_bpe_train_batched": ({}, False),
+    # r10: the relaxed (production-merge-count) path — same driver-
+    # built merge table (LocalTableScan); per-round plan contract is
+    # identical to the batched path (the relaxation only changes the
+    # driver-side pick rule, not any Spark plan)
+    "doc_bpe_train_relaxed": ({}, False),
     # mixture rebalance: bounded source-dim weights broadcast onto
     # the doc scan (BHJ) + the 1-row totals crossJoin (BNLJ) — the
     # only document-sized pass is the scan
