@@ -99,6 +99,11 @@ HEADLINE = (
     # ~4 rounds; tracks the 32k-merge-relevant formulation, not only
     # the sequential demo
     "doc_bpe_train_batched",
+    # round 10: the relaxed (exact_counts=False) production path — the
+    # 1k-merge probe showed the disjointness rule caps picks at
+    # ~O(|alphabet|)/round, so THIS is the formulation a 32k-merge
+    # tokenizer actually runs (rounds == merges/batch exactly)
+    "doc_bpe_train_relaxed",
 )
 
 
