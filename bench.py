@@ -31,6 +31,18 @@ run contaminated when whole-run steal exceeds
 $SPARK_GRAFT_BENCH_STEAL_MAX (default 5%%). A slow query with ~0 steal
 is a real regression; the same number at 30%% steal is the host.
 
+Even steal misses one failure mode this box exhibits: the host goes
+2-5× slow for a few seconds with ~0 steal (first r10 quiesced run:
+dedup_exact best-of-3 landed 4.3× the r8 number at 0.02%% steal, then
+re-pinned at the r8 value standalone minutes later). The spin sampler
+therefore timestamps every sample; the harness records each query's
+in-window spin max ("queries_spin_max_ms") and, when a window's max
+exceeds $SPARK_GRAFT_BENCH_SPIN_RETRY_MS (default 25 ms — quiet
+baseline is ~9 ms), grants that query ONE extra best-of-N pass from a
+fixed whole-run budget ($SPARK_GRAFT_BENCH_SPIN_RETRIES, default 6).
+Retried queries are listed in "spin_retried" so the artifact shows
+which numbers needed shelter from the host.
+
 Each query is timed best-of-N (default 3, $SPARK_GRAFT_BENCH_RUNS to
 override): single-shot timing on this rig showed ±20% run-to-run jitter
 with identical code (r01<->r02, re-confirmed r6/r7), which swamps real
@@ -159,6 +171,11 @@ class _SpinSampler(threading.Thread):
         self._n = n
         self._halt = threading.Event()
         self.samples_ms: list[float] = []
+        # (perf_counter timestamp, ms) pairs so per-query windows can be
+        # audited after the fact: the r10 quiesced run showed a query
+        # landing 4× slow at 0% steal because the host went slow for
+        # exactly its 3-run window — whole-run spin stats can't see that
+        self.samples_ts: list[tuple[float, float]] = []
 
     def run(self) -> None:
         while not self._halt.is_set():
@@ -166,8 +183,18 @@ class _SpinSampler(threading.Thread):
             x = 0
             for i in range(self._n):
                 x ^= i
-            self.samples_ms.append((time.perf_counter() - t0) * 1000.0)
+            ms = (time.perf_counter() - t0) * 1000.0
+            self.samples_ms.append(ms)
+            self.samples_ts.append((t0, ms))
             self._halt.wait(self._interval)
+
+    def window_max(self, t0: float, t1: float) -> float | None:
+        """Max spin time (ms) among samples that started inside
+        [t0, t1], or None when the window held no sample (short
+        queries between 2 s ticks). Reads a snapshot of the list the
+        sampler thread appends to — safe under the GIL."""
+        inside = [ms for (ts, ms) in list(self.samples_ts) if t0 <= ts <= t1]
+        return round(max(inside), 2) if inside else None
 
     def stop(self) -> dict:
         self._halt.set()
@@ -214,23 +241,50 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "5.0"))
+    # Per-query contamination valve: if the spin sampler saw a sample
+    # >N× slower than this box's quiet baseline (~9 ms) DURING a
+    # query's best-of-N window, the host was slow for exactly that
+    # window and min-of-N didn't shed it (observed in the first r10
+    # quiesced run: dedup_exact best-of-3 at 1.57 s vs 0.34-0.40 s on
+    # immediate standalone re-pin, 0.02% steal, one 44 ms spin sample
+    # in-window). One extra best-of-N pass for such queries, bounded
+    # to a fixed budget so a persistently slow box can't loop forever.
+    spin_retry_ms = float(os.environ.get("SPARK_GRAFT_BENCH_SPIN_RETRY_MS", "25"))
+    spin_retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_SPIN_RETRIES", "6"))
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     steal: dict[str, float] = {}
+    spin_window: dict[str, float | None] = {}
+    spin_retried: list[str] = []
     cpu_run_start = _read_cpu()
     sampler = _SpinSampler()
     sampler.start()
-    for name in HEADLINE:
+
+    def _best_of(name: str, n: int, record_first: bool) -> float:
         best = float("inf")
-        cpu0 = _read_cpu()
-        for i in range(runs):
+        for i in range(n):
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
-            if i == 0:
+            if record_first and i == 0:
                 first_run[name] = round(dt, 3)
             best = min(best, dt)
+        return best
+
+    for name in HEADLINE:
+        cpu0 = _read_cpu()
+        w0 = time.perf_counter()
+        best = _best_of(name, runs, record_first=True)
+        wmax = sampler.window_max(w0, time.perf_counter())
+        if wmax is not None and wmax > spin_retry_ms and spin_retry_budget > 0:
+            spin_retry_budget -= 1
+            spin_retried.append(name)
+            w0 = time.perf_counter()
+            best = min(best, _best_of(name, runs, record_first=False))
+            retry_max = sampler.window_max(w0, time.perf_counter())
+            wmax = max(wmax, retry_max) if retry_max is not None else wmax
         timings[name] = round(best, 3)
+        spin_window[name] = wmax
         steal[name] = _steal_pct(cpu0, _read_cpu())
 
     total = round(sum(timings.values()), 3)
@@ -255,6 +309,9 @@ def main() -> None:
                 "steal_pct": run_steal,
                 "steal_threshold": steal_max,
                 "spin_ms": spin,
+                "queries_spin_max_ms": spin_window,
+                "spin_retried": spin_retried,
+                "spin_retry_ms": spin_retry_ms,
                 "contaminated": contaminated,
             }
         )

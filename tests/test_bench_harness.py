@@ -63,6 +63,22 @@ def test_spin_sampler_start_stop_stats():
     assert 0 < stats["p50_ms"] <= stats["p95_ms"] <= stats["max_ms"]
 
 
+def test_spin_sampler_window_max():
+    s = _SpinSampler(interval=0.05, n=20_000)
+    t0 = time.perf_counter()
+    s.start()
+    time.sleep(0.4)
+    t1 = time.perf_counter()
+    s.stop()
+    # samples landed inside the window, none outside it
+    wmax = s.window_max(t0, t1)
+    assert wmax is not None and wmax > 0
+    assert wmax == round(max(ms for (ts, ms) in s.samples_ts if t0 <= ts <= t1), 2)
+    # an empty window (before the sampler started) reports None, the
+    # "no evidence either way" value the retry valve must not fire on
+    assert s.window_max(t0 - 10.0, t0 - 5.0) is None
+
+
 def test_spin_sampler_stop_mid_first_sample():
     # stop() while the first sample is still spinning: the halt flag is
     # honored at the loop boundary, join() succeeds once the in-flight
