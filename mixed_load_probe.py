@@ -334,7 +334,8 @@ def run_mixed_load(
     # r9: the funnel refreshable MV (VERDICT r8 #2 follow-through: the
     # MIXEDLOAD r9 run showed the on-demand funnel is the heaviest
     # poll at 1.27 s loaded p50; this is the documented answer — serve
-    # the 1 s pollers from a snapshot refreshed every 5 s)
+    # the 1 s pollers from a snapshot on the refresh cadence
+    # registered below, 10 s in this probe)
     from clickhouse_realtime_analytics_demo_spark.operators import funnel as funnel_ops
     from clickhouse_realtime_analytics_demo_spark.streaming.refresh import (
         RefreshScheduler,

@@ -520,6 +520,96 @@ def corpusprep40_probe(spark, k: int = 40) -> dict:
     return out
 
 
+def lshsplit_probe(spark, k: int = 40) -> dict:
+    """Round-10 follow-through on the 40× valve-recall finding: the
+    drop valve cost 7.73% of TRUE pairs (92.27% recall). This measures
+    the ``split_depth`` refinement (over-cap buckets re-partitioned by
+    another band's hash instead of dropped) at the same 40× point:
+    candidate counts, TRUE-pair recall vs the uncapped union, and the
+    candidate-generation wall per variant."""
+    from clickhouse_realtime_analytics_demo_spark.operators import dedup as _dedup
+    from clickhouse_realtime_analytics_demo_spark.queries.graphops import (
+        _prep_filtered,
+    )
+
+    d = tempfile.mkdtemp(prefix=f"lshsplit_k{k}_")
+    replicate(spark, d, k, only=("documents",))
+    out: dict = {"k": k}
+    _, blocked = _prep_filtered(spark, d)
+    out["docs"] = blocked.count()
+    sh = _dedup.char_ngram_sets(
+        blocked.repartition(160, "doc_id"), "text", "doc_id", 3, keep=("blk",)
+    ).localCheckpoint()
+    sigs = _dedup.minhash_signatures_from_sets(
+        sh, 32, keep=("blk",), materialized=True
+    ).localCheckpoint()
+    sh_sets = sh.select("id", "sh")
+
+    def _true(cands):
+        attached = (
+            cands.join(
+                sh_sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sa"),
+                "id_a",
+            )
+            .join(
+                sh_sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sb"),
+                "id_b",
+            )
+            .repartition(160)
+        )
+        return attached.filter(_dedup.jaccard(F.col("sa"), F.col("sb")) >= 0.6).count()
+
+    variants = {
+        "capped": dict(max_bucket_size=64, split_depth=0),
+        "split1": dict(max_bucket_size=64, split_depth=1),
+        "split2": dict(max_bucket_size=64, split_depth=2),
+        "uncapped": dict(max_bucket_size=None, split_depth=0),
+    }
+    for name, kw in variants.items():
+        t0 = time.perf_counter()
+        cands = _dedup.lsh_candidates_from_sigs(sigs, 32, 16, block_col="blk", **kw)
+        cands = cands.localCheckpoint()
+        n = cands.count()
+        gen_s = round(time.perf_counter() - t0, 2)
+        out[name] = {"cand_pairs": n, "gen_s": gen_s, "true_pairs": _true(cands)}
+        print(json.dumps({"lshsplit_variant": {name: out[name]}}), flush=True)
+    total_true = out["uncapped"]["true_pairs"]
+    for name in variants:
+        out[name]["recall_pct"] = (
+            round(100.0 * out[name]["true_pairs"] / total_true, 3) if total_true else 100.0
+        )
+    print(json.dumps({"lshsplit_probe": out}), flush=True)
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def write_lshsplit_section(row: dict) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## Bucket-split refinement vs the drop valve (40×)"
+    text, tail_sections = _splice_section(text, marker)
+    lines = [
+        marker.strip(),
+        "",
+        f"`scale_probe.py lshsplit` (r10): the `split_depth` refinement at "
+        f"K={row['k']} ({row['docs']} filtered docs). Over-cap buckets are "
+        "re-partitioned by another band's hash (bounded depth) instead of "
+        "dropped; refined sub-buckets are pairwise band-intersections, so "
+        "recovery targets exactly the pairs whose every band bucket is "
+        "over cap (`tests/test_dedup_cap.py` pins the geometry).",
+        "",
+        "| variant | candidate pairs | true (J≥0.6) pairs | recall | gen wall (s) |",
+        "|---|---|---|---|---|",
+    ]
+    for name in ("capped", "split1", "split2", "uncapped"):
+        v = row[name]
+        lines.append(
+            f"| {name} | {v['cand_pairs']} | {v['true_pairs']} | "
+            f"{v['recall_pct']}% | {v['gen_s']} |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def write_corpusprep40_section(row: dict) -> None:
     md = Path("SCALEPROBE.md")
     text = md.read_text() if md.exists() else ""
@@ -1981,9 +2071,31 @@ def main() -> None:
         write_textops_section(rows)
         spark.stop()
         return
-    if len(sys.argv) > 1 and sys.argv[1] == "corpusprep40":
-        spark = get_spark(app_name="scale_probe_corpusprep40")
+    if len(sys.argv) > 1 and sys.argv[1] == "lshsplit":
         k = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+        # same data-proportional partition sizing as corpusprep40
+        spark = get_spark(
+            app_name="scale_probe_lshsplit", shuffle_partitions=max(64, 4 * k)
+        )
+        row = lshsplit_probe(spark, k)
+        write_lshsplit_section(row)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "corpusprep40":
+        k = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+        # Partition count must FOLLOW the data — the first 40× attempt
+        # on the default 32-partition session died with
+        # AGGREGATE_OUT_OF_MEMORY: the operator derives its checkpoint
+        # partitioning from spark.sql.shuffle.partitions, so each
+        # localCheckpointed shingle block reached ~900 MB and cached
+        # storage starved the hash aggregates' page allocations. ~4
+        # partitions per 1× of corpus keeps blocks in the same
+        # ~25 MB band the 1× run enjoys — the identical sizing rule a
+        # cluster job applies via shuffle.partitions / maxPartitionBytes.
+        spark = get_spark(
+            app_name="scale_probe_corpusprep40",
+            shuffle_partitions=max(64, 4 * k),
+        )
         row = corpusprep40_probe(spark, k)
         write_corpusprep40_section(row)
         spark.stop()
