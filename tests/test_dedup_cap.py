@@ -96,3 +96,100 @@ def test_lazy_checkpoint_knob(spark):
     assert after == before, "constructing the lazy plan ran Spark jobs"
     eager = dedup.minhash_char_dedup_pairs(docs, threshold=0.5)
     assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, eager.collect()))
+
+
+# ---- split_depth (r10): refine over-cap buckets instead of dropping
+
+
+def _sigs(spark, rows, num_hashes=8):
+    cols = ", ".join([f"mh{i} long" for i in range(num_hashes)])
+    return spark.createDataFrame(rows, f"id long, {cols}")
+
+
+def _split_fixture(spark):
+    """The geometry the 40× probe measured: pairs whose EVERY band
+    bucket is over cap, but whose pairwise band-intersections are
+    small. 80 insiders share band 0 (one mega bucket) and band 1 in
+    groups of 4; 6 outsiders per group inflate each band-1 bucket to
+    10. With cap 8 every colliding band is over cap → level-0 drops
+    ALL insider pairs; refining band 0 by band 1's hash yields the
+    groups of 4 → recovered. Bands 2/3 are unique per doc.
+    """
+    rows = []
+    uid = 10_000
+    for i in range(80):
+        g = i // 4
+        rows.append((i, 7777, 7777, 100 + g, 100 + g, uid, uid + 1, uid + 2, uid + 3))
+        uid += 10
+    for g in range(20):
+        for j in range(6):
+            o = 1000 + g * 10 + j
+            rows.append((o, uid, uid + 1, 100 + g, 100 + g, uid + 2, uid + 3, uid + 4, uid + 5))
+            uid += 10
+    return _sigs(spark, rows)
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_split_recovers_intersection_pairs(spark):
+    sigs = _split_fixture(spark)
+    kw = dict(num_hashes=8, bands=4, block_col=None)
+    capped = _pairs(dedup.lsh_candidates_from_sigs(sigs, max_bucket_size=8, **kw))
+    split1 = _pairs(
+        dedup.lsh_candidates_from_sigs(sigs, max_bucket_size=8, split_depth=1, **kw)
+    )
+    uncapped = _pairs(dedup.lsh_candidates_from_sigs(sigs, max_bucket_size=None, **kw))
+    # level 0 drops everything (every colliding band is over cap)
+    assert capped == set()
+    # refinement recovers exactly the within-group insider pairs:
+    # 20 groups × C(4,2) = 120
+    expect = {
+        (a, b)
+        for g in range(20)
+        for a in range(4 * g, 4 * g + 4)
+        for b in range(a + 1, 4 * g + 4)
+    }
+    assert split1 == expect
+    # the containment contract: capped ⊆ split ⊆ uncapped
+    assert capped <= split1 <= uncapped
+
+
+def test_split_zero_is_original_valve(spark):
+    sigs = _split_fixture(spark)
+    kw = dict(num_hashes=8, bands=4)
+    a = _pairs(dedup.lsh_candidates_from_sigs(sigs, max_bucket_size=8, **kw))
+    b = _pairs(
+        dedup.lsh_candidates_from_sigs(sigs, max_bucket_size=8, split_depth=0, **kw)
+    )
+    assert a == b
+
+
+def test_split_keeps_true_megacluster_dropped(spark):
+    # 20 IDENTICAL signatures: refinement cannot separate them (the
+    # refiner hash is identical too) — the quadratic-work valve still
+    # holds at any depth
+    rows = [(i, 1, 1, 2, 2, 3, 3, 4, 4) for i in range(20)]
+    sigs = _sigs(spark, rows)
+    got = _pairs(
+        dedup.lsh_candidates_from_sigs(
+            sigs, num_hashes=8, bands=4, max_bucket_size=8, split_depth=3
+        )
+    )
+    assert got == set()
+
+
+def test_split_deterministic_across_partitions(spark):
+    sigs = _split_fixture(spark)
+    one = _pairs(
+        dedup.lsh_candidates_from_sigs(
+            sigs.repartition(1), num_hashes=8, bands=4, max_bucket_size=8, split_depth=2
+        )
+    )
+    many = _pairs(
+        dedup.lsh_candidates_from_sigs(
+            sigs.repartition(13), num_hashes=8, bands=4, max_bucket_size=8, split_depth=2
+        )
+    )
+    assert one == many
