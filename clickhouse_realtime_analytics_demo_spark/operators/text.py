@@ -557,3 +557,62 @@ def bigram_novelty(
             F.round(F.col("n_rare").cast("double") / F.col("n_bigrams").cast("double"), 6),
         )
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Corpus-wide TF-IDF feature extraction: the k highest tf·ln(N/df)
+    tokens per document, with deterministic tie-breaking (score desc,
+    token asc) and the score rounded to 6 decimals BEFORE ranking so
+    Spark and a SQL oracle rank identically.
+
+    Complements bm25_scores (query-time scoring of a handful of terms)
+    with the corpus-wide variant a training pipeline runs to build
+    keyword features / topic hints per document.
+
+    Scale shape: one explode + one map-side-combined (doc, token)
+    count (tf); df derived FROM tf (vocabulary-sized, never a second
+    corpus pass); a 1-row doc-count broadcast; tf⋈df equi-join on
+    token (AQE broadcasts the vocabulary side when it fits, falls back
+    to a shuffle join keyed on token otherwise — stopword skew is
+    bounded because the df side has ONE row per token); and a per-doc
+    top-k window that WindowGroupLimit prunes map-side before the
+    final shuffle. All JVM expressions, no corpus-sized collect.
+    """
+    from pyspark.sql import Window
+
+    base = docs.filter(
+        F.col(text_col).isNotNull() & (token_count(F.col(text_col)) > 0)
+    )
+    # explode_outer: arrays are non-empty by the filter above; plain
+    # explode would trigger InferFiltersFromGenerate's pushed-down
+    # size(...)>0, re-inlining the tokenization per row
+    toks = base.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = base.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))  # 1-row bound, by construction
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("tok_rank", F.row_number().over(w))
+        .filter(F.col("tok_rank") <= k)
+        .select(F.col("id").alias(id_col), "token", "tf", "df", "score", "tok_rank")
+    )

@@ -1207,3 +1207,60 @@ def doc_bpe_train_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     schema = "merge_rank int, lhs string, rhs string, merged string, pair_count bigint"
     return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+
+@register(
+    "doc_tfidf_topk",
+    # Score is ROUND(tf * ln(N/df), 6) computed BEFORE ranking in both
+    # engines, with the (score desc, token asc) tie-break, so ranks —
+    # not just values — are oracle-identical (the ann_cosine_topk
+    # ROUND(...,6) precedent). tf/df/N are exact integers; ln over a
+    # ratio of small ints agrees bit-for-bit between the JVM and
+    # DuckDB at 6-decimal rounding.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token != '' GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    nd AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+        WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, d.df,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)), 6)
+                 AS score
+        FROM tf JOIN dfreq d ON tf.token = d.token CROSS JOIN nd n
+    ),
+    ranked AS (
+        SELECT doc_id, token, tf, df, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, token ASC
+               ) AS tok_rank
+        FROM scored
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score, CAST(tok_rank AS INT) AS tok_rank
+    FROM ranked WHERE tok_rank <= 3 ORDER BY doc_id, tok_rank
+    """,
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF tokens per document — corpus-wide keyword/feature
+    extraction (the batch sibling of doc_search_bm25's query-time
+    scoring). Reference parity: the reference's text analytics stop at
+    SQL aggregates; this is part of the beyond-reference LLM-pipeline
+    surface (SURVEY §2 training-data ops).
+
+    Scale: operators/text.py::tfidf_topk — df is derived from the tf
+    aggregate (vocabulary-sized, no second corpus pass), the doc count
+    is a 1-row broadcast, and the per-doc top-k window is
+    WindowGroupLimit-pruned map-side."""
+    docs = table(spark, sf_dir, "documents")
+    return text.tfidf_topk(docs, k=3).orderBy("doc_id", "tok_rank")

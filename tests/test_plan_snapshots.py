@@ -150,6 +150,14 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
         {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 1},
         False,
     ),
+    # r10: TF-IDF top-k — tf⋈df on token (the df side is vocabulary-
+    # sized, AQE-broadcast at this SF) + the 1-row doc-count crossJoin;
+    # the per-doc top-k window is partitioned (checked below) and
+    # WindowGroupLimit-pruned
+    "doc_tfidf_topk": (
+        {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 1},
+        False,
+    ),
 }
 
 _JOIN_NODES = (
@@ -168,6 +176,7 @@ _BNLJ_ALLOWED = {
     "doc_pack_shards",
     "doc_pack_concat",
     "doc_mixture_rebalance",
+    "doc_tfidf_topk",
 }
 
 
