@@ -1264,3 +1264,30 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit-pruned map-side."""
     docs = table(spark, sf_dir, "documents")
     return text.tfidf_topk(docs, k=3).orderBy("doc_id", "tok_rank")
+
+
+@register("doc_bpe_segment_rank")  # rows-only: same reasoning as
+# doc_bpe_segment (the encoder consumes the driver-held merge table;
+# a full-stream SQL replay would re-unroll training per word). Pinned
+# bit-for-bit against the fold-replay encoder on trained tables by
+# tests/test_bpe.py::test_rank_encoder_* — including this query's
+# output equalling doc_bpe_segment's exactly.
+def doc_bpe_segment_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE via the production rank-priority loop
+    (operators/bpe.py::segment_words_rank, Arrow mapInPandas with the
+    merge table as a shipped dict) — the 32k-merge-capable encode
+    path; the fold-replay twin doc_bpe_segment stays as the pure-JVM
+    training-order pin. Same segmentation-stats output shape."""
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, _BPE_MERGES)
+    words = bpe.word_counts(docs)
+    seg = bpe.segment_words_rank(words, merges)
+    return (
+        seg.select(F.size("bpe").alias("n_pieces"), "cnt")
+        .groupBy("n_pieces")
+        .agg(
+            F.count("*").alias("words"),
+            F.sum("cnt").alias("total_occurrences"),
+        )
+        .orderBy("n_pieces")
+    )

@@ -377,3 +377,88 @@ def test_batched_relaxed_matches_reference_sf0001(spark):
     )
     assert got == want
     assert st["rounds"] == 4  # 32/8 exactly — the relaxed mode's point
+
+
+# ------------------------------------------- rank-priority encoder (r10)
+
+
+def test_rank_encoder_matches_fold_replay_fixture(spark):
+    from clickhouse_realtime_analytics_demo_spark.operators.bpe import (
+        segment_words_rank,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FIXTURE)], "doc_id bigint, text string"
+    )
+    merges = train_bpe(docs, 12)
+    vocab = ["lowest", "newest", "widest", "low", "new", "unseen", "aaaa", "aa"]
+    words = spark.createDataFrame([(w,) for w in vocab], "word string")
+    fold = {r["word"]: r["bpe"] for r in segment_words(words, merges).collect()}
+    rank = {r["word"]: r["bpe"] for r in segment_words_rank(words, merges).collect()}
+    assert fold == rank
+    for w in vocab:
+        assert rank[w] == reference_segment(w, merges), w
+
+
+def test_rank_encoder_matches_fold_replay_corpus(spark):
+    # trained table over the sf0.001 corpus, encoded over its own word
+    # vocabulary: the two encoders must agree bit-for-bit on every word
+    from clickhouse_realtime_analytics_demo_spark.operators.bpe import (
+        segment_words_rank,
+        word_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = train_bpe(docs, 24)
+    words = word_counts(docs).select("word")
+    fold = {r["word"]: r["bpe"] for r in segment_words(words, merges).collect()}
+    rank = {r["word"]: r["bpe"] for r in segment_words_rank(words, merges).collect()}
+    assert fold == rank and len(fold) > 0
+
+
+def test_rank_encoder_greedy_overlap_corner(spark):
+    # (a,a) on "aaaa": left-to-right non-overlap -> [aa, aa], and with
+    # (aa,aa) ranked next the rank loop continues to [aaaa]
+    from clickhouse_realtime_analytics_demo_spark.operators.bpe import (
+        segment_words_rank,
+    )
+
+    words = spark.createDataFrame([("aaaa",), ("aaa",)], "word string")
+    one = [(0, "a", "a", "aa", 0)]
+    got = {r["word"]: r["bpe"] for r in segment_words_rank(words, one).collect()}
+    assert got["aaaa"] == ["aa", "aa", END_MARKER]
+    assert got["aaa"] == ["aa", "a", END_MARKER]
+    two = one + [(1, "aa", "aa", "aaaa", 0)]
+    got = {r["word"]: r["bpe"] for r in segment_words_rank(words, two).collect()}
+    assert got["aaaa"] == ["aaaa", END_MARKER]
+
+
+def test_rank_encoder_partition_invariant(spark):
+    from clickhouse_realtime_analytics_demo_spark.operators.bpe import (
+        segment_words_rank,
+        word_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = train_bpe(docs, 12)
+    words = word_counts(docs).select("word")
+    a = {
+        r["word"]: r["bpe"]
+        for r in segment_words_rank(words.repartition(1), merges).collect()
+    }
+    b = {
+        r["word"]: r["bpe"]
+        for r in segment_words_rank(words.repartition(13), merges).collect()
+    }
+    assert a == b
+
+
+def test_segment_rank_query_equals_fold_query(spark):
+    # the registered rows-only query pair must agree exactly
+    from clickhouse_realtime_analytics_demo_spark.queries import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    fold = [tuple(r) for r in qs["doc_bpe_segment"].fn(spark, sf).collect()]
+    rank = [tuple(r) for r in qs["doc_bpe_segment_rank"].fn(spark, sf).collect()]
+    assert fold == rank and len(fold) > 0
