@@ -833,6 +833,70 @@ def write_bpe_synth_section(rows: list[dict], num_merges: int = 12) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
+def bpe_encode_probe(spark, n_docs: int = 10_000) -> list[dict]:
+    """Round-10: the two BPE ENCODE paths vs merge-table size over the
+    synthetic 10⁵-word vocabulary. Fold replay chains one JVM
+    projection per merge — cost ∝ merges × corpus REGARDLESS of
+    whether a merge fires — while the rank-priority mapInPandas
+    encoder pays one dict-driven rewrite loop per word. The table is a
+    REAL trained 64-merge prefix (so genuine merging happens) extended
+    to larger sizes with well-formed rare-char chain merges (operands
+    always exist; they rarely fire in hash-words, which is exactly the
+    point — replay pays for them anyway, the rank loop does not)."""
+    from clickhouse_realtime_analytics_demo_spark.operators import bpe as _bpe
+
+    docs = _synth_bpe_docs(spark, n_docs)
+    words = _bpe.word_counts(docs).select("word").repartition(32).localCheckpoint()
+    vocab = words.count()
+    trained = _bpe.train_bpe_batched(docs, 64, batch_size=32, exact_counts=False)
+
+    def extend(upto: int) -> list[tuple[int, str, str, str, int]]:
+        merges = list(trained)
+        rank = max(m[0] for m in merges) + 1
+        cur = "q"
+        while len(merges) < upto:
+            merges.append((rank, cur, "q", cur + "q", 0))
+            cur += "q"
+            rank += 1
+        return merges
+
+    out = []
+    for n_merges in (64, 256, 1024, 4096):
+        table = extend(n_merges)
+        row: dict = {"merges": n_merges, "vocab": vocab}
+        t0 = time.perf_counter()
+        _bpe.segment_words_rank(words, table).select(F.sum(F.size("bpe"))).collect()
+        row["rank_s"] = round(time.perf_counter() - t0, 2)
+        if n_merges <= 1024:  # 4096 chained projections: plan depth alone
+            t0 = time.perf_counter()  # disqualifies replay — not run
+            _bpe.segment_words(words, table).select(F.sum(F.size("bpe"))).collect()
+            row["fold_s"] = round(time.perf_counter() - t0, 2)
+        out.append(row)
+        print(json.dumps({"bpe_encode_probe": row}), flush=True)
+    return out
+
+
+def write_bpe_encode_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## BPE encode: fold replay vs rank-priority (merge-table size)"
+    text, tail_sections = _splice_section(text, marker)
+    lines = [
+        marker.strip(),
+        "",
+        f"`scale_probe.py bpeencode` (r10): both encoders over the synthetic "
+        f"{rows[0]['vocab']}-word vocabulary; trained 64-merge prefix extended "
+        "with well-formed chain merges (replay pays merges × corpus whether or "
+        "not a merge fires; the rank loop pays per pair PRESENT). Single runs.",
+        "",
+        "| merges | fold replay (s) | rank-priority (s) |",
+        "|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(f"| {r['merges']} | {r.get('fold_s', '— (not run: plan depth)')} | {r['rank_s']} |")
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def bpe_batched_probe(spark) -> list[dict]:
     """Round-10 (VERDICT r9 #3): the batched BPE path at PRODUCTION
     merge counts. r9 pinned `train_bpe_batched` but probed it only to
@@ -2051,6 +2115,12 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_bpe_batched")
         rows = bpe_batched_probe(spark)
         write_bpe_batched_section(rows)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bpeencode":
+        spark = get_spark(app_name="scale_probe_bpeencode")
+        rows = bpe_encode_probe(spark)
+        write_bpe_encode_section(rows)
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "bpesynth":
