@@ -116,6 +116,10 @@ HEADLINE = (
     # ~O(|alphabet|)/round, so THIS is the formulation a 32k-merge
     # tokenizer actually runs (rounds == merges/batch exactly)
     "doc_bpe_train_relaxed",
+    # round 10: corpus-wide TF-IDF top-k — tracks the token-keyed
+    # tf⋈df join + WindowGroupLimit per-doc top-k shape (1.45 s
+    # best-of-4 at sf0.1 on introduction)
+    "doc_tfidf_topk",
 )
 
 
