@@ -342,3 +342,66 @@ def label_centroids(
             "avg_micro", F.col("sum_micro").cast("double") / F.col("n_vecs").cast("double")
         )
     )
+
+
+def with_quantized(
+    df: DataFrame, vec_col: str = "embedding", q_col: str = "qvec"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i = round(x_i / s)``
+    with ``s = max|x| / 127`` — the standard 4× (vs float32) memory cut
+    a 100 TB embedding store takes before ANN. The scale column
+    ``_qscale`` is PRE-PROJECTED before the transform lambda references
+    it (Catalyst re-evaluates expressions referenced inside HOF lambdas
+    once per element — the documented dedup.py hazard; a real column
+    keeps the barrier)."""
+    dvec = _to_double(F.col(vec_col))
+    df = df.withColumn(
+        "_qscale",
+        F.greatest(F.array_max(F.transform(dvec, F.abs)), F.lit(1e-30)) / F.lit(127.0),
+    )
+    return df.withColumn(
+        q_col, F.transform(dvec, lambda x: F.round(x / F.col("_qscale")).cast("int"))
+    )
+
+
+def int_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine over int8-quantized vectors. All-integer dot/norms
+    (exact, bit-portable to any SQL engine — no float-sum ordering),
+    one double division at the end. Per-vector scales cancel in
+    cosine, so they are not needed here. Zero vectors yield 0.0."""
+    big = lambda c: c.cast("bigint")  # noqa: E731
+    zero = F.lit(0).cast("bigint")
+    dp = F.aggregate(F.zip_with(qa, qb, lambda x, y: big(x * y)), zero, lambda a, x: a + x)
+    na = F.aggregate(F.transform(qa, lambda x: big(x * x)), zero, lambda a, x: a + x)
+    nb = F.aggregate(F.transform(qb, lambda x: big(x * x)), zero, lambda a, x: a + x)
+    return F.when(
+        (na > 0) & (nb > 0),
+        dp.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+    ).otherwise(F.lit(0.0))
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-over-quantized cosine top-k: the brute-force plan shape of
+    :func:`brute_force_topk` (1-row broadcast → map-side score →
+    TakeOrderedAndProject) run on int8 vectors — the memory-bound
+    regime's baseline, and the re-rank scorer an IVF/LSH index uses
+    over its probed cells. Recall vs the float baseline is measured in
+    tests/test_similarity_ivf.py."""
+    qz = with_quantized(embeddings, vec_col)
+    q = qz.filter(F.col(id_col) == query_id).select(F.col("qvec").alias("query_q"))
+    return (
+        qz.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.round(int_cosine(F.col("qvec"), F.col("query_q")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "neighbor_id")
+        .limit(k)
+    )

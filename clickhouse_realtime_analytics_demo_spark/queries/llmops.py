@@ -1291,3 +1291,53 @@ def doc_bpe_segment_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_pieces")
     )
+
+
+@register(
+    "ann_cosine_topk_int8",
+    # Quantization and scoring are bit-portable: x/s is one IEEE
+    # division (identical doubles in both engines), round() is
+    # half-away-from-zero in both (Spark BigDecimal HALF_UP, DuckDB
+    # std::round), and the dot/norms are exact INTEGER sums — no
+    # float-sum ordering anywhere before the final division, so the
+    # oracle comparison is exact, not approximate.
+    oracle="""
+    WITH sc AS (
+        SELECT vec_id,
+               embedding,
+               GREATEST(list_max(list_transform(embedding,
+                          y -> ABS(CAST(y AS DOUBLE)))), 1e-30) / 127.0 AS s
+        FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) / s) AS BIGINT)) AS qv
+        FROM sc
+    ),
+    q AS (SELECT qv AS qq FROM qz WHERE vec_id = 0)
+    SELECT e.vec_id AS neighbor_id,
+           ROUND(
+             CASE WHEN list_sum(list_transform(e.qv, x -> x * x)) > 0
+                   AND list_sum(list_transform(q.qq, x -> x * x)) > 0
+             THEN CAST(list_sum(list_transform(list_zip(e.qv, q.qq),
+                        p -> p[1] * p[2])) AS DOUBLE)
+                  / (SQRT(CAST(list_sum(list_transform(e.qv, x -> x * x)) AS DOUBLE))
+                     * SQRT(CAST(list_sum(list_transform(q.qq, x -> x * x)) AS DOUBLE)))
+             ELSE 0.0 END, 6) AS cosine_sim
+    FROM qz e CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY cosine_sim DESC, neighbor_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 of vec_id=0 over int8-QUANTIZED
+    vectors (symmetric per-vector max-abs scaling) — the memory-bound
+    baseline a 100 TB embedding store actually scans (4× smaller than
+    float32), and the re-rank scorer for IVF/LSH probes. Same plan
+    shape as ann_cosine_topk; integer dot/norms keep the oracle
+    comparison exact. Recall vs the float baseline is measured in
+    tests/test_similarity_ivf.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(emb, query_id=0, k=10)

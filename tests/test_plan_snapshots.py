@@ -158,6 +158,10 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
         {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 1},
         False,
     ),
+    # r10: int8 ANN — the float baseline's exact plan shape (1-row
+    # query-vector broadcast + map-side integer scoring + distributed
+    # top-k)
+    "ann_cosine_topk_int8": ({"BroadcastNestedLoopJoinExec": 1}, True),
 }
 
 _JOIN_NODES = (
@@ -177,6 +181,7 @@ _BNLJ_ALLOWED = {
     "doc_pack_concat",
     "doc_mixture_rebalance",
     "doc_tfidf_topk",
+    "ann_cosine_topk_int8",
 }
 
 
