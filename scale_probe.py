@@ -833,6 +833,65 @@ def write_bpe_synth_section(rows: list[dict], num_merges: int = 12) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
+def ann_int8_probe(spark, ks=(1, 10, 40)) -> list[dict]:
+    """Round-10: float vs int8 brute-force cosine top-k as the
+    embedding corpus grows. The int8 scan's claim is memory (4× vs
+    float32 at rest), not single-box wall on 64-dim toy vectors — this
+    records both walls honestly plus recall@10 of int8 vs float at
+    each K (fresh plan per run; best-of-2)."""
+    from clickhouse_realtime_analytics_demo_spark.operators import similarity as _sim
+
+    out = []
+    for k in ks:
+        d = tempfile.mkdtemp(prefix=f"annint8_k{k}_")
+        replicate(spark, d, k, only=("embeddings",))
+        emb = table(spark, d, "embeddings").localCheckpoint()
+        n = emb.count()
+        row: dict = {"k": k, "vectors": n}
+        for name, fn in (
+            ("float_s", lambda: _sim.brute_force_topk(emb, query_id=0, k=10)),
+            ("int8_s", lambda: _sim.quantized_topk(emb, query_id=0, k=10)),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn().collect()
+                best = min(best, time.perf_counter() - t0)
+            row[name] = round(best, 2)
+        exact = [r.neighbor_id for r in _sim.brute_force_topk(emb, query_id=0, k=10).collect()]
+        quant = [r.neighbor_id for r in _sim.quantized_topk(emb, query_id=0, k=10).collect()]
+        row["recall_at_10"] = round(len(set(exact) & set(quant)) / 10, 2)
+        out.append(row)
+        print(json.dumps({"ann_int8_probe": row}), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def write_ann_int8_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## int8 vs float brute-force ANN (corpus growth)"
+    text, tail_sections = _splice_section(text, marker)
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py annint8` (r10): float vs int8-quantized cosine "
+        "top-10 of vec_id=0 on replicated embeddings, best-of-2 fresh "
+        "plans, with measured recall@10 of int8 vs the float ranking. "
+        "The int8 path's production claim is the 4× at-rest/scan memory "
+        "cut (and IVF re-rank cheapness), not single-box wall on 64-dim "
+        "toy vectors — both walls recorded honestly.",
+        "",
+        "| K | vectors | float (s) | int8 (s) | int8 recall@10 |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['k']} | {r['vectors']} | {r['float_s']} | {r['int8_s']} | {r['recall_at_10']} |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def bpe_encode_probe(spark, n_docs: int = 10_000) -> list[dict]:
     """Round-10: the two BPE ENCODE paths vs merge-table size over the
     synthetic 10⁵-word vocabulary. Fold replay chains one JVM
@@ -2115,6 +2174,12 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_bpe_batched")
         rows = bpe_batched_probe(spark)
         write_bpe_batched_section(rows)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "annint8":
+        spark = get_spark(app_name="scale_probe_annint8")
+        rows = ann_int8_probe(spark)
+        write_ann_int8_section(rows)
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "bpeencode":
