@@ -833,6 +833,56 @@ def write_bpe_synth_section(rows: list[dict], num_merges: int = 12) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
+def tfidf_probe(spark, ks=(1, 4, 10, 40)) -> list[dict]:
+    """Round-10: doc_tfidf_topk vs corpus size. Cipher replication
+    grows the vocabulary ~linearly with K (disjoint content per copy),
+    so this loads both shuffles that grow at 100 TB — the (doc, token)
+    tf aggregate and the token-keyed tf⋈df join — plus the per-doc
+    top-k window. Best-of-2, fresh plan per run; df (vocabulary) size
+    recorded since it is the join's build side."""
+    registry = all_queries()
+    out = []
+    for k in ks:
+        d = tempfile.mkdtemp(prefix=f"tfidf_k{k}_")
+        replicate(spark, d, k, only=("documents",))
+        best = float("inf")
+        rows = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = len(registry["doc_tfidf_topk"].fn(spark, d).collect())
+            best = min(best, time.perf_counter() - t0)
+        row = {"k": k, "out_rows": rows, "tfidf_s": round(best, 2)}
+        out.append(row)
+        print(json.dumps({"tfidf_probe": row}), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def write_tfidf_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## TF-IDF top-k vs corpus size"
+    text, tail_sections = _splice_section(text, marker)
+    base = rows[0]
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py tfidf` (r10): `doc_tfidf_topk` on cipher-replicated "
+        "documents (vocabulary grows ~linearly with K — both the (doc, token) "
+        "tf aggregate and the token-keyed tf⋈df join grow). Best-of-2, fresh "
+        "plan per run.",
+        "",
+        "| K | output rows | wall (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['k']} | {r['out_rows']} | {r['tfidf_s']} |"
+            f" {round(r['tfidf_s'] / base['tfidf_s'], 1)}x |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def ann_int8_probe(spark, ks=(1, 10, 40)) -> list[dict]:
     """Round-10: float vs int8 brute-force cosine top-k as the
     embedding corpus grows. The int8 scan's claim is memory (4× vs
@@ -2174,6 +2224,12 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_bpe_batched")
         rows = bpe_batched_probe(spark)
         write_bpe_batched_section(rows)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "tfidf":
+        spark = get_spark(app_name="scale_probe_tfidf")
+        rows = tfidf_probe(spark)
+        write_tfidf_section(rows)
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "annint8":
