@@ -1341,3 +1341,90 @@ def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_ivf.py."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.quantized_topk(emb, query_id=0, k=10)
+
+
+@register(
+    "corpus_select_budget",
+    # The oracle states the SEQUENTIAL definition (one unpartitioned
+    # SUM OVER the quality-desc order) — agreement proves the
+    # distributed rank + prefix-sum composition, the doc_pack_shards
+    # precedent. quality doubles are bit-identical in both engines
+    # (doc_quality's oracle-green expression), so the order — and the
+    # cut — are exact, with doc_id breaking quality ties.
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(0.5 * LEAST(CAST(length(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 50.0,
+                                1.0)
+                    + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                             / GREATEST(CAST(n_chars AS DOUBLE), 1.0)) AS DOUBLE) AS quality,
+               CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    cum AS (
+        SELECT *, COALESCE(SUM(tokens) OVER (
+            ORDER BY quality DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_tokens
+        FROM scored
+    )
+    SELECT lang,
+           COUNT(*) AS selected_docs,
+           CAST(SUM(tokens) AS BIGINT) AS selected_tokens,
+           MIN(quality) AS min_quality
+    FROM cum WHERE before_tokens < 50000
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus selection (data selection under a compute
+    budget): take documents in quality-desc order until 50k tokens are
+    taken — a doc is selected iff the tokens BEFORE it (exclusive
+    prefix) are still under budget, so exactly one doc straddles the
+    cut. Reports per-lang selected docs/tokens + the selection's
+    quality floor.
+
+    Scale: a pure composition of existing distributed-exact machinery
+    — quality scoring (JVM expressions), `operators/ranking.py::
+    exact_global_ranks` for the unique (quality desc, doc_id) rank (no
+    unpartitioned window), `operators/packing.py::exact_prefix_sum`
+    for the token cumsum under that rank (order-aligned buckets +
+    bounded triangular offsets join). The oracle is the sequential
+    single-window definition; the hash match proves the distributed
+    form."""
+    from clickhouse_realtime_analytics_demo_spark.operators import packing, ranking
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (text.token_count(F.col("text")) > 0)
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        text.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+        text.token_count(F.col("text")).alias("tokens"),
+    )
+    # kind must NOT be a literal: Catalyst folds constant window
+    # partition keys away, leaving exact_global_ranks' bounded
+    # bucket-offset window physically UNPARTITIONED (the documented
+    # partitionBy(lit) hazard). An empty substring of a data column is
+    # constant-valued ("" for every row) but not constant-foldable, so
+    # the partition spec survives to the executed plan.
+    melted = scored.withColumn("kind", F.substring(F.col("lang"), 1, 0)).withColumn(
+        "k", -F.col("quality")
+    )
+    ranked = ranking.exact_global_ranks(
+        melted, kind_col="kind", key_col="k", uid_col="doc_id"
+    )
+    cum = packing.exact_prefix_sum(
+        ranked, order_col="rank", val_col="tokens", out_col="before_tokens"
+    )
+    return (
+        cum.filter(F.col("before_tokens") < 50_000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("selected_docs"),
+            F.sum("tokens").alias("selected_tokens"),
+            F.min("quality").alias("min_quality"),
+        )
+        .orderBy("lang")
+    )

@@ -162,6 +162,16 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # query-vector broadcast + map-side integer scoring + distributed
     # top-k)
     "ann_cosine_topk_int8": ({"BroadcastNestedLoopJoinExec": 1}, True),
+    # r10: budgeted selection — the ranking/prefix-sum composition's
+    # bounded side aggregates broadcast back (8 BHJ) + packing's
+    # ≤num_buckets² triangular offsets join (the one BNLJ, bounded
+    # build). The load-bearing negative: ZERO unpartitioned windows —
+    # the constant-kind fold hazard was hit and fixed at introduction
+    # (queries/llmops.py::corpus_select_budget)
+    "corpus_select_budget": (
+        {"BroadcastHashJoinExec": 8, "BroadcastNestedLoopJoinExec": 1},
+        False,
+    ),
 }
 
 _JOIN_NODES = (
@@ -182,6 +192,7 @@ _BNLJ_ALLOWED = {
     "doc_mixture_rebalance",
     "doc_tfidf_topk",
     "ann_cosine_topk_int8",
+    "corpus_select_budget",
 }
 
 
