@@ -50,6 +50,25 @@ regressions and burned a judge/builder cycle per round re-litigating
 noise (VERDICT r7 #2); the min of repeated runs is the standard
 low-noise estimator for a warm, otherwise-idle system. The FIRST run's
 wall-clock is kept honestly in `queries_single_run`.
+
+Output format (round 11, VERDICT r10 #1): BENCH_r10.json recorded
+`parsed: null` with ZERO timings because the r10 instruments grew the
+single JSON line past the driver's ~2 KB tail-capture window — the
+driver kept only the trailing instruments fragment and couldn't parse
+it. The harness now prints TWO JSON lines: first the bulky per-query
+instrument maps (kind: "bench_instruments", forensics only), then a
+COMPACT final line carrying metric/value/queries/sf/contaminated plus
+scalar instrument summaries, sized to always fit the tail window.
+
+Cross-round band anchor (round 11, VERDICT r10 #2): the judge's r10
+clean run caught doc_bigram_novelty at 4.2× its r9 value with ALL
+instruments green (0.33% steal, in-window spin max 16.4 ms < the 25 ms
+threshold) — the box's "2-5× slow at ~0 steal" mode can slip under any
+absolute spin threshold. BENCH_BANDS.json (committed per round from
+clean runs) carries each query's best committed min; a query landing
+above $SPARK_GRAFT_BENCH_BAND_FACTOR× (default 2.0) its committed min
+earns the same bounded retry even when spin/steal look clean. Retries
+from this valve are listed in "band_retried".
 """
 
 from __future__ import annotations
@@ -193,11 +212,17 @@ class _SpinSampler(threading.Thread):
             self._halt.wait(self._interval)
 
     def window_max(self, t0: float, t1: float) -> float | None:
-        """Max spin time (ms) among samples that started inside
-        [t0, t1], or None when the window held no sample (short
-        queries between 2 s ticks). Reads a snapshot of the list the
-        sampler thread appends to — safe under the GIL."""
-        inside = [ms for (ts, ms) in list(self.samples_ts) if t0 <= ts <= t1]
+        """Max spin time (ms) among samples OVERLAPPING [t0, t1], or
+        None when the window held no sample (short queries between 2 s
+        ticks). Overlap, not containment (ADVICE r10): a slow sample
+        that began just before the window but spun through it is host
+        contamination AT the query's start — attributing it to the
+        previous window would let that contamination evade the retry
+        valve. Reads a snapshot of the list the sampler thread appends
+        to — safe under the GIL."""
+        inside = [
+            ms for (ts, ms) in list(self.samples_ts) if ts <= t1 and ts + ms / 1000.0 >= t0
+        ]
         return round(max(inside), 2) if inside else None
 
     def stop(self) -> dict:
@@ -223,6 +248,64 @@ def _wait_for_quiesce(threshold: float, max_wait_sec: float) -> tuple[dict, bool
         time.sleep(min(10.0, max(1.0, deadline - time.monotonic())))
         snap = _read_load()
     return snap, snap["load1"] > threshold
+
+
+BANDS_PATH = Path(REPO) / "BENCH_BANDS.json"
+
+
+def _load_bands(path: Path = BANDS_PATH) -> dict[str, float]:
+    """Per-query best committed mins from clean prior rounds (VERDICT
+    r10 #2). Missing/corrupt file -> empty dict: the band valve simply
+    never fires, the absolute spin valve still does."""
+    try:
+        data = json.loads(path.read_text())
+        return {k: float(v) for k, v in data.get("queries", {}).items()}
+    except (OSError, ValueError, AttributeError):
+        return {}
+
+
+def _retry_reason(
+    name: str,
+    best: float,
+    wmax: float | None,
+    bands: dict[str, float],
+    spin_retry_ms: float,
+    band_factor: float,
+) -> str | None:
+    """Why a query's best-of-N deserves one sheltered retry, or None.
+
+    Two independent triggers, checked in order:
+    - "spin": a spin sample overlapping the query's window exceeded the
+      absolute threshold — direct evidence the host was slow RIGHT THEN.
+    - "band": the result is >band_factor× this query's best committed
+      min from a prior clean round, even with clean instruments — the
+      box's documented "2-5× slow at ~0 steal" mode that an absolute
+      spin threshold can miss (judge's r10 run: doc_bigram_novelty at
+      4.2× with spin max 16.4 ms < 25 ms).
+    """
+    if wmax is not None and wmax > spin_retry_ms:
+        return "spin"
+    anchor = bands.get(name)
+    if anchor is not None and anchor > 0 and best > band_factor * anchor:
+        return "band"
+    return None
+
+
+def update_bands(artifact: dict, path: Path = BANDS_PATH) -> dict[str, float]:
+    """Merge a bench artifact's per-query timings into BENCH_BANDS.json,
+    keeping the min of (committed, observed) per query. Refuses
+    contaminated artifacts — a noisy run must never tighten an anchor.
+    Called manually after a clean run (python -c ...), never by the
+    bench itself, so a pathological box can't corrupt the anchor file
+    mid-round."""
+    if artifact.get("contaminated"):
+        raise ValueError("refusing to update bands from a contaminated run")
+    bands = _load_bands(path)
+    for name, sec in artifact.get("queries", {}).items():
+        prev = bands.get(name)
+        bands[name] = round(min(prev, float(sec)) if prev is not None else float(sec), 3)
+    path.write_text(json.dumps({"queries": dict(sorted(bands.items()))}, indent=1) + "\n")
+    return bands
 
 
 def main() -> None:
@@ -254,12 +337,15 @@ def main() -> None:
     # in-window). One extra best-of-N pass for such queries, bounded
     # to a fixed budget so a persistently slow box can't loop forever.
     spin_retry_ms = float(os.environ.get("SPARK_GRAFT_BENCH_SPIN_RETRY_MS", "25"))
-    spin_retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_SPIN_RETRIES", "6"))
+    retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_SPIN_RETRIES", "6"))
+    band_factor = float(os.environ.get("SPARK_GRAFT_BENCH_BAND_FACTOR", "2.0"))
+    bands = _load_bands()
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     steal: dict[str, float] = {}
     spin_window: dict[str, float | None] = {}
     spin_retried: list[str] = []
+    band_retried: list[str] = []
     cpu_run_start = _read_cpu()
     sampler = _SpinSampler()
     sampler.start()
@@ -280,9 +366,10 @@ def main() -> None:
         w0 = time.perf_counter()
         best = _best_of(name, runs, record_first=True)
         wmax = sampler.window_max(w0, time.perf_counter())
-        if wmax is not None and wmax > spin_retry_ms and spin_retry_budget > 0:
-            spin_retry_budget -= 1
-            spin_retried.append(name)
+        reason = _retry_reason(name, best, wmax, bands, spin_retry_ms, band_factor)
+        if reason is not None and retry_budget > 0:
+            retry_budget -= 1
+            (spin_retried if reason == "spin" else band_retried).append(name)
             w0 = time.perf_counter()
             best = min(best, _best_of(name, runs, record_first=False))
             retry_max = sampler.window_max(w0, time.perf_counter())
@@ -296,31 +383,61 @@ def main() -> None:
     spin = sampler.stop()
     load_post = _read_load()
     contaminated = contaminated or run_steal > steal_max
+    # Line 1: bulky per-query instrument maps — forensics, intentionally
+    # NOT the line the driver parses (VERDICT r10 #1: one combined line
+    # outgrew the driver's tail window and produced parsed:null).
     print(
         json.dumps(
             {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
+                "kind": "bench_instruments",
                 "queries_single_run": first_run,
-                "runs_per_query": runs,
-                "sf": sf,
                 "load_pre": load_pre,
                 "load_post": load_post,
                 "load_threshold": load_threshold,
                 "queries_steal_pct": steal,
-                "steal_pct": run_steal,
                 "steal_threshold": steal_max,
                 "spin_ms": spin,
                 "queries_spin_max_ms": spin_window,
-                "spin_retried": spin_retried,
                 "spin_retry_ms": spin_retry_ms,
-                "contaminated": contaminated,
+                "band_factor": band_factor,
             }
         )
     )
+    # Line 2 (LAST, compact): the headline the driver records. Scalar
+    # instrument summaries only, so the line always fits the tail window.
+    print(json.dumps(compact_result(timings, total, runs, sf, run_steal, spin, spin_retried, band_retried, contaminated)))
     spark.stop()
+
+
+def compact_result(
+    timings: dict[str, float],
+    total: float,
+    runs: int,
+    sf: float,
+    run_steal: float,
+    spin: dict,
+    spin_retried: list[str],
+    band_retried: list[str],
+    contaminated: bool,
+) -> dict:
+    """The driver-parsed headline record. Keep this SCALAR-summaries-only:
+    BENCH_r10.json was parsed:null because per-query instrument maps grew
+    the line past the driver's ~2 KB tail window; tests pin the encoded
+    size of this dict at full headline width."""
+    return {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": runs,
+        "sf": sf,
+        "steal_pct": run_steal,
+        "spin_p95_ms": spin.get("p95_ms"),
+        "spin_max_ms": spin.get("max_ms"),
+        "spin_retried": spin_retried,
+        "band_retried": band_retried,
+        "contaminated": contaminated,
+    }
 
 
 if __name__ == "__main__":

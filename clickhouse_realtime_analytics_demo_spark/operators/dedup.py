@@ -295,16 +295,24 @@ def lsh_candidates_from_sigs(
             over = sized.filter(F.col("bucket_n") > max_bucket_size).drop("bucket_n")
             levels = [kept]
             for level in range(1, split_depth + 1):
-                # refiner = the band hash of another band's rows for
+                # refiner = the band hash of ANOTHER band's rows for
                 # this doc — an independent draw from the same
-                # signature; a bounded when-chain (bands is a literal)
+                # signature; a bounded when-chain (bands is a literal).
+                # Offset 1 + (level-1) % (bands-1), never a multiple of
+                # `bands` (ADVICE r10): a raw `level % bands` offset is
+                # 0 when level % bands == 0, making the refiner the
+                # bucket's OWN band hash — a no-op level that silently
+                # consumed one of the L depth levels at split_depth >=
+                # bands. The adjusted offset cycles 1..bands-1, so the
+                # refiner band always differs from the bucket's band.
+                offset = 1 + (level - 1) % (bands - 1) if bands > 1 else 0
                 refiner = F.when(
-                    F.col("band") == 0, band_hash_expr(level % bands, rows_per_band)
+                    F.col("band") == 0, band_hash_expr(offset % bands, rows_per_band)
                 )
                 for b2 in range(1, bands):
                     refiner = refiner.when(
                         F.col("band") == b2,
-                        band_hash_expr((b2 + level) % bands, rows_per_band),
+                        band_hash_expr((b2 + offset) % bands, rows_per_band),
                     )
                 refined = (
                     over.join(mh, "id")  # over-cap-subset-sized, AQE builds on it

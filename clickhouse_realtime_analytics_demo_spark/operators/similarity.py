@@ -345,35 +345,45 @@ def label_centroids(
 
 
 def with_quantized(
-    df: DataFrame, vec_col: str = "embedding", q_col: str = "qvec"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "qvec",
+    scale_col: str | None = None,
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: ``q_i = round(x_i / s)``
     with ``s = max|x| / 127`` — the standard 4× (vs float32) memory cut
-    a 100 TB embedding store takes before ANN. The scale column
-    ``_qscale`` is PRE-PROJECTED before the transform lambda references
-    it (Catalyst re-evaluates expressions referenced inside HOF lambdas
-    once per element — the documented dedup.py hazard; a real column
-    keeps the barrier)."""
+    a 100 TB embedding store takes before ANN. The scale is
+    PRE-PROJECTED as a real column before the transform lambda
+    references it (Catalyst re-evaluates expressions referenced inside
+    HOF lambdas once per element — the documented dedup.py hazard; a
+    real column keeps the barrier). With ``scale_col=None`` (default)
+    the helper column is dropped so callers get exactly the input
+    schema + ``q_col`` (ADVICE r10); pass a name to keep the per-vector
+    scale — the write-time storage path needs it for dequantization."""
     dvec = _to_double(F.col(vec_col))
+    s_col = scale_col or "_qscale"
     df = df.withColumn(
-        "_qscale",
+        s_col,
         F.greatest(F.array_max(F.transform(dvec, F.abs)), F.lit(1e-30)) / F.lit(127.0),
-    )
-    return df.withColumn(
-        q_col, F.transform(dvec, lambda x: F.round(x / F.col("_qscale")).cast("int"))
-    )
+    ).withColumn(q_col, F.transform(dvec, lambda x: F.round(x / F.col(s_col)).cast("int")))
+    return df if scale_col else df.drop(s_col)
 
 
 def int_cosine(qa: Column, qb: Column) -> Column:
-    """Cosine over int8-quantized vectors. All-integer dot/norms
+    """Cosine over integer-quantized vectors. All-integer dot/norms
     (exact, bit-portable to any SQL engine — no float-sum ordering),
     one double division at the end. Per-vector scales cancel in
-    cosine, so they are not needed here. Zero vectors yield 0.0."""
+    cosine, so they are not needed here. Zero vectors yield 0.0.
+    Each element is widened to bigint BEFORE the product (ADVICE r10):
+    products in the input integer type silently wrap (non-ANSI) for
+    int32 components above ~46341, diverging from the all-bigint
+    oracle arithmetic; int8 inputs never hit it, but this is a public
+    helper with no int8 guard."""
     big = lambda c: c.cast("bigint")  # noqa: E731
     zero = F.lit(0).cast("bigint")
-    dp = F.aggregate(F.zip_with(qa, qb, lambda x, y: big(x * y)), zero, lambda a, x: a + x)
-    na = F.aggregate(F.transform(qa, lambda x: big(x * x)), zero, lambda a, x: a + x)
-    nb = F.aggregate(F.transform(qb, lambda x: big(x * x)), zero, lambda a, x: a + x)
+    dp = F.aggregate(F.zip_with(qa, qb, lambda x, y: big(x) * big(y)), zero, lambda a, x: a + x)
+    na = F.aggregate(F.transform(qa, lambda x: big(x) * big(x)), zero, lambda a, x: a + x)
+    nb = F.aggregate(F.transform(qb, lambda x: big(x) * big(x)), zero, lambda a, x: a + x)
     return F.when(
         (na > 0) & (nb > 0),
         dp.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),

@@ -1408,10 +1408,14 @@ def corpus_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket-offset window physically UNPARTITIONED (the documented
     # partitionBy(lit) hazard). An empty substring of a data column is
     # constant-valued ("" for every row) but not constant-foldable, so
-    # the partition spec survives to the executed plan.
-    melted = scored.withColumn("kind", F.substring(F.col("lang"), 1, 0)).withColumn(
-        "k", -F.col("quality")
-    )
+    # the partition spec survives to the executed plan. Derived from
+    # doc_id, NOT lang (ADVICE r10): substring of a NULL lang is NULL,
+    # and exact_global_ranks' inner equi-join on the kind never matches
+    # NULL keys — null-lang docs would silently vanish from ranking
+    # while the oracle keeps them. doc_id is the table's non-null key.
+    melted = scored.withColumn(
+        "kind", F.substring(F.col("doc_id").cast("string"), 1, 0)
+    ).withColumn("k", -F.col("quality"))
     ranked = ranking.exact_global_ranks(
         melted, kind_col="kind", key_col="k", uid_col="doc_id"
     )

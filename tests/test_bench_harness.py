@@ -14,9 +14,23 @@ tried to stop it.
 
 from __future__ import annotations
 
+import json
 import time
 
-from bench import _SpinSampler, _read_cpu, _read_load, _steal_pct, _wait_for_quiesce
+import pytest
+
+from bench import (
+    HEADLINE,
+    _SpinSampler,
+    _load_bands,
+    _read_cpu,
+    _read_load,
+    _retry_reason,
+    _steal_pct,
+    _wait_for_quiesce,
+    compact_result,
+    update_bands,
+)
 
 
 def test_read_load_shape():
@@ -77,6 +91,92 @@ def test_spin_sampler_window_max():
     # an empty window (before the sampler started) reports None, the
     # "no evidence either way" value the retry valve must not fire on
     assert s.window_max(t0 - 10.0, t0 - 5.0) is None
+
+
+def test_window_max_counts_overlapping_sample():
+    # ADVICE r10: a sample that STARTED before the window but spun
+    # through its opening must count — that's host contamination at the
+    # query's start. Containment-only matching attributed it to the
+    # previous window and let it evade the retry valve.
+    s = _SpinSampler(interval=60.0, n=1)
+    # hand-build the record: one 80 ms sample starting at t=9.95
+    s.samples_ts = [(9.95, 80.0)]
+    assert s.window_max(10.0, 12.0) == 80.0  # overlaps [10, 10.03]
+    assert s.window_max(10.04, 12.0) is None  # fully before this window
+    # a sample starting inside the window still counts, unchanged
+    s.samples_ts = [(10.5, 5.0)]
+    assert s.window_max(10.0, 12.0) == 5.0
+    # and one starting after the window does not
+    assert s.window_max(8.0, 10.4) is None
+
+
+def test_retry_reason_spin_and_band():
+    bands = {"q1": 1.0}
+    # spin trigger: in-window max above the absolute threshold
+    assert _retry_reason("q1", 1.1, 30.0, bands, 25.0, 2.0) == "spin"
+    # band trigger: clean instruments but >2x the committed min — the
+    # "2-5x slow at ~0 steal" mode the absolute threshold missed in r10
+    assert _retry_reason("q1", 2.5, 10.0, bands, 25.0, 2.0) == "band"
+    assert _retry_reason("q1", 2.5, None, bands, 25.0, 2.0) == "band"
+    # inside band, clean spin -> no retry
+    assert _retry_reason("q1", 1.9, 10.0, bands, 25.0, 2.0) is None
+    # unknown query (no anchor yet) -> band valve can't fire
+    assert _retry_reason("new_q", 99.0, 10.0, bands, 25.0, 2.0) is None
+    # spin wins when both would fire (so the artifact names the direct evidence)
+    assert _retry_reason("q1", 2.5, 30.0, bands, 25.0, 2.0) == "spin"
+    # degenerate committed min of 0 must not make every run a retry
+    assert _retry_reason("z", 0.5, None, {"z": 0.0}, 25.0, 2.0) is None
+
+
+def test_load_bands_missing_and_roundtrip(tmp_path):
+    p = tmp_path / "BENCH_BANDS.json"
+    assert _load_bands(p) == {}  # missing file -> valve disarmed, no crash
+    p.write_text("not json")
+    assert _load_bands(p) == {}  # corrupt file -> same
+    update_bands({"queries": {"a": 1.5, "b": 0.4}, "contaminated": False}, p)
+    assert _load_bands(p) == {"a": 1.5, "b": 0.4}
+    # merge keeps the min per query and admits new queries
+    update_bands({"queries": {"a": 1.2, "c": 9.0}, "contaminated": False}, p)
+    assert _load_bands(p) == {"a": 1.2, "b": 0.4, "c": 9.0}
+    # a later slower clean run must NOT loosen an anchor
+    update_bands({"queries": {"a": 3.0}, "contaminated": False}, p)
+    assert _load_bands(p)["a"] == 1.2
+
+
+def test_update_bands_refuses_contaminated(tmp_path):
+    p = tmp_path / "BENCH_BANDS.json"
+    with pytest.raises(ValueError):
+        update_bands({"queries": {"a": 1.0}, "contaminated": True}, p)
+    assert not p.exists()
+
+
+def test_compact_result_fits_driver_tail_window():
+    # VERDICT r10 #1: the driver tail-captures ~2 KB; BENCH_r10.json was
+    # parsed:null because the combined line outgrew it. Pin the encoded
+    # size of the driver-parsed line at FULL headline width with
+    # worst-case retry lists so the regression can't silently return.
+    timings = {name: 123.456 for name in HEADLINE}
+    line = json.dumps(
+        compact_result(
+            timings,
+            total=9999.999,
+            runs=3,
+            sf=0.1,
+            run_steal=99.99,
+            spin={"n": 400, "p50_ms": 99.99, "p95_ms": 999.99, "max_ms": 9999.99},
+            spin_retried=list(HEADLINE[:3]),
+            band_retried=list(HEADLINE[3:6]),
+            contaminated=True,
+        )
+    )
+    assert len(line.encode()) < 1900, f"driver line too big: {len(line)}B"
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_query_wall_clock_total"
+    assert set(parsed["queries"]) == set(HEADLINE)
+    assert parsed["contaminated"] is True
+    # the keys cross-round tooling reads must stay present
+    for key in ("value", "unit", "sf", "steal_pct", "spin_p95_ms", "band_retried"):
+        assert key in parsed
 
 
 def test_spin_sampler_stop_mid_first_sample():
