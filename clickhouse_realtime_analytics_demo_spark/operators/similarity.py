@@ -404,13 +404,30 @@ def quantized_topk(
     over its probed cells. Recall vs the float baseline is measured in
     tests/test_similarity_ivf.py."""
     qz = with_quantized(embeddings, vec_col)
-    q = qz.filter(F.col(id_col) == query_id).select(F.col("qvec").alias("query_q"))
+    return quantized_topk_scan(qz, query_id, k, id_col=id_col)
+
+
+def quantized_topk_scan(
+    qz: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_col: str = "qvec",
+) -> DataFrame:
+    """Top-k scorer over an ALREADY-quantized frame — the scan the
+    write-time store (sources/quantized.py) serves: no per-query
+    quantization, just the 1-row broadcast → integer map-side score →
+    TakeOrderedAndProject over the ~3.56× smaller int8 column. This is
+    where the storage quantization pays: the r10 probe showed inline
+    quantization costs more than integer scoring saves, so the
+    production path quantizes at write and scans here."""
+    q = qz.filter(F.col(id_col) == query_id).select(F.col(q_col).alias("query_q"))
     return (
         qz.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col).alias("neighbor_id"),
-            F.round(int_cosine(F.col("qvec"), F.col("query_q")), 6).alias("cosine_sim"),
+            F.round(int_cosine(F.col(q_col), F.col("query_q")), 6).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), "neighbor_id")
         .limit(k)

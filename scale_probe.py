@@ -942,6 +942,83 @@ def write_ann_int8_section(rows: list[dict]) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
+def ann_stored_probe(spark, ks=(1, 10, 40)) -> list[dict]:
+    """Round-11 (VERDICT r10 #3): the write-time-quantized store vs
+    the inline-quantize path vs the float baseline as the corpus
+    grows. The r10 probe showed inline quantization costs more than
+    integer scoring saves; the fix is paying it ONCE at write. Records
+    per K: the one-off store build, best-of-2 scan walls for all three
+    paths, and at-rest bytes (float parquet vs int8 store)."""
+    from clickhouse_realtime_analytics_demo_spark.operators import similarity as _sim
+    from clickhouse_realtime_analytics_demo_spark.sources import quantized as _q
+
+    out = []
+    for k in ks:
+        d = tempfile.mkdtemp(prefix=f"annstored_k{k}_")
+        replicate(spark, d, k, only=("embeddings",))
+        emb = table(spark, d, "embeddings")
+        n = emb.count()
+        t0 = time.perf_counter()
+        store = _q.ensure_store(spark, d, root=d)
+        build_s = round(time.perf_counter() - t0, 2)
+        qz = _q.read_store(spark, d, root=d)
+        row: dict = {"k": k, "vectors": n, "build_s": build_s}
+        for name, fn in (
+            ("float_s", lambda: _sim.brute_force_topk(emb, query_id=0, k=10)),
+            ("inline_int8_s", lambda: _sim.quantized_topk(emb, query_id=0, k=10)),
+            ("stored_int8_s", lambda: _sim.quantized_topk_scan(qz, query_id=0, k=10)),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t1 = time.perf_counter()
+                fn().collect()
+                best = min(best, time.perf_counter() - t1)
+            row[name] = round(best, 2)
+        src = Path(d) / "embeddings.parquet"
+        src_bytes = (
+            sum(f.stat().st_size for f in src.rglob("*") if f.is_file())
+            if src.is_dir()
+            else src.stat().st_size
+        )
+        store_bytes = sum(f.stat().st_size for f in (store / "data").rglob("*.parquet"))
+        row["float_kb"] = src_bytes // 1024
+        row["store_kb"] = store_bytes // 1024
+        row["bytes_ratio"] = round(src_bytes / max(store_bytes, 1), 2)
+        out.append(row)
+        print(json.dumps({"ann_stored_probe": row}), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def write_ann_stored_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## Write-time int8 store vs inline quantization (scan wall)"
+    text, tail_sections = _splice_section(text, marker)
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py annstored` (r11, VERDICT r10 #3): cosine "
+        "top-10 scan over (a) float embeddings, (b) inline-quantized "
+        "int8 (quantize per query — the r10 registered form), (c) the "
+        "write-time int8 store (`sources/quantized.py`; quantize once "
+        "at build, scan tinyint). Best-of-2 fresh plans; build is the "
+        "one-off cost the store amortizes; bytes ratio is float parquet "
+        "/ store parquet — the number that survives to the "
+        "memory-bound 100 TB regime.",
+        "",
+        "| K | vectors | build (s) | float scan (s) | inline int8 (s) | stored int8 (s) | float KB | store KB | bytes ratio |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['k']} | {r['vectors']} | {r['build_s']} | {r['float_s']} |"
+            f" {r['inline_int8_s']} | {r['stored_int8_s']} | {r['float_kb']} |"
+            f" {r['store_kb']} | {r['bytes_ratio']} |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def bpe_encode_probe(spark, n_docs: int = 10_000) -> list[dict]:
     """Round-10: the two BPE ENCODE paths vs merge-table size over the
     synthetic 10⁵-word vocabulary. Fold replay chains one JVM
@@ -2230,6 +2307,11 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_tfidf")
         rows = tfidf_probe(spark)
         write_tfidf_section(rows)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "annstored":
+        spark = get_spark(app_name="scale_probe_annstored")
+        write_ann_stored_section(ann_stored_probe(spark))
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "annint8":

@@ -162,6 +162,10 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # query-vector broadcast + map-side integer scoring + distributed
     # top-k)
     "ann_cosine_topk_int8": ({"BroadcastNestedLoopJoinExec": 1}, True),
+    # r11: the write-time-quantized store scan — identical plan shape
+    # to the inline form, but the scan side reads the pre-quantized
+    # tinyint column (no per-query quantization expressions)
+    "ann_cosine_topk_int8_stored": ({"BroadcastNestedLoopJoinExec": 1}, True),
     # r10: budgeted selection — the ranking/prefix-sum composition's
     # bounded side aggregates broadcast back (8 BHJ) + packing's
     # ≤num_buckets² triangular offsets join (the one BNLJ, bounded
@@ -192,6 +196,7 @@ _BNLJ_ALLOWED = {
     "doc_mixture_rebalance",
     "doc_tfidf_topk",
     "ann_cosine_topk_int8",
+    "ann_cosine_topk_int8_stored",
     "corpus_select_budget",
 }
 
