@@ -196,8 +196,12 @@ def train_bpe_batched(
     unchanged: the picked merges apply in rank order either way.
 
     ``stats``, when passed, is filled with ``rounds`` (pair-count
-    shuffles executed), ``picks_per_round`` and ``fold_checkpoints`` —
-    the probe's instrumentation, not part of the result.
+    shuffles executed), ``picks_per_round``, ``fold_checkpoints``, and
+    the r11 per-phase walls ``recount_s`` (pair explode + groupBy +
+    ranked-pool collect) / ``fold_s`` (merge-fold apply + checkpoint
+    barriers) — the numbers the recount-vs-incremental decision
+    (VERDICT r10 #4) is made from. Instrumentation only, not part of
+    the result.
 
     ``exact_counts=False`` (r10): the SCALEPROBE found the disjointness
     rule is the binding cost at production merge counts — over a small
@@ -228,9 +232,20 @@ def train_bpe_batched(
     )
     merges: list[tuple[int, str, str, str, int]] = []
     if stats is not None:
-        stats.update({"rounds": 0, "picks_per_round": [], "fold_checkpoints": 0})
+        stats.update(
+            {
+                "rounds": 0,
+                "picks_per_round": [],
+                "fold_checkpoints": 0,
+                "recount_s": 0.0,
+                "fold_s": 0.0,
+            }
+        )
+    import time as _time
+
     while len(merges) < num_merges:
         want = num_merges - len(merges)
+        _t0 = _time.perf_counter()
         pairs = (
             words.filter(F.size("syms") >= 2)
             .select(
@@ -250,6 +265,8 @@ def train_bpe_batched(
         cands = pairs.orderBy(F.desc("c"), "l", "r").limit(
             max(4 * batch_size, 64)
         ).collect()
+        if stats is not None:
+            stats["recount_s"] += _time.perf_counter() - _t0
         if not cands:
             break
         used: set[str] = set()
@@ -271,6 +288,7 @@ def train_bpe_batched(
         if not picked:  # pool exhausted by conflicts — retry smaller
             l, r, c = cands[0]["l"], cands[0]["r"], int(cands[0]["c"])
             picked = [(l, r, c)]
+        _t1 = _time.perf_counter()
         col = F.col("syms")
         depth = 0
         for l, r, c in picked:
@@ -292,6 +310,7 @@ def train_bpe_batched(
                 words.withColumn("syms", col).repartition(n_parts).localCheckpoint()
             )
         if stats is not None:
+            stats["fold_s"] += _time.perf_counter() - _t1
             stats["rounds"] += 1
             stats["picks_per_round"].append(len(picked))
     return merges

@@ -233,13 +233,26 @@ def minhash_lsh_candidates(
     return lsh_candidates_from_sigs(sigs, num_hashes, bands, max_bucket_size)
 
 
+# Adaptive split_depth trigger (r11, VERDICT r10 #5): refine instead
+# of drop when at least this share of bucket ENTRIES sits in over-cap
+# buckets. The 40× probe put the interesting regimes far apart —
+# 9.4% over-cap share at 40× (refinement recovered recall 92.3→95.5%
+# at flat wall) vs 0.03% at sf0.1 (refinement pure overhead) — so any
+# threshold in the percent range separates them.
+SPLIT_SHARE_THRESHOLD = 0.02
+
+# Observability for tests/probes: the last adaptive decision made by
+# lsh_candidates_from_sigs ({"share": float, "depth": int}).
+last_adaptive: dict = {}
+
+
 def lsh_candidates_from_sigs(
     sigs: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket_size: int | None = None,
     block_col: str | None = None,
-    split_depth: int = 0,
+    split_depth: int | None = None,
 ) -> DataFrame:
     """Band → bucket self-join over an EXISTING signature frame
     (id, mh0..mhk-1[, block_col]). Split out so callers that need the
@@ -265,7 +278,21 @@ def lsh_candidates_from_sigs(
     exact-Jaccard verify downstream keeps false positives at zero.
     Cost: per level, one groupBy + one id-join sized by the OVER-CAP
     subset (at 40×: 288k of 6.1M entries), not the corpus. Level 0
-    behavior (default) is bit-identical to the original valve.
+    behavior is bit-identical to the original valve.
+
+    ``split_depth=None`` (r11 default, VERDICT r10 #5) is ADAPTIVE:
+    the bucket-size histogram the valve already computes decides —
+    depth 1 when over-cap buckets hold more than
+    ``SPLIT_SHARE_THRESHOLD`` (2%) of all bucket entries, else the
+    bit-identical depth-0 path. The decision is one 1-row aggregate
+    over the histogram at construction time (a Spark job — pass an
+    explicit int from plan-only/zero-job contexts); the chosen depth
+    and measured share land in ``last_adaptive``. Rationale: the knob
+    only pays where over-cap mass is material (9.4% of entries at the
+    40× probe point, recall 92.3→95.5% at flat wall) and is pure
+    overhead where it isn't (0.03% at sf0.1) — and "how much mass is
+    over cap" is exactly what the histogram says, so no human needs
+    to re-derive the setting per corpus.
     """
     rows_per_band = num_hashes // bands
     band_structs = [
@@ -287,6 +314,20 @@ def lsh_candidates_from_sigs(
         # shuffles on the same bucket key the join uses, so the
         # exchange is reused; only the count aggregate is extra.
         sizes = bucketed.groupBy(*keys).agg(F.count("*").alias("bucket_n"))
+        if split_depth is None:
+            row = sizes.agg(
+                F.sum(
+                    F.when(F.col("bucket_n") > max_bucket_size, F.col("bucket_n")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("over"),
+                F.sum("bucket_n").alias("total"),
+            ).first()
+            total = row["total"] or 0
+            share = (row["over"] or 0) / total if total else 0.0
+            split_depth = 1 if share > SPLIT_SHARE_THRESHOLD else 0
+            last_adaptive.clear()
+            last_adaptive.update({"share": round(share, 4), "depth": split_depth})
         sized = bucketed.join(sizes, keys)
         kept = sized.filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
         if split_depth > 0:
@@ -420,7 +461,7 @@ def minhash_char_dedup_pairs(
     block_col: str | None = None,
     num_partitions: int | None = None,
     eager: bool = True,
-    split_depth: int = 0,
+    split_depth: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH over CHAR-n-gram sets, verified with the exact
     char-n-gram Jaccard — the scale-shaped candidate generator for the
@@ -512,6 +553,11 @@ def minhash_char_dedup_pairs(
     sigs = minhash_signatures_from_sets(
         sh, num_hashes, keep=keep, materialized=eager
     )
+    # adaptive split_depth (None) runs a histogram job at construction;
+    # eager=False promises ZERO construction jobs, so it resolves to
+    # the bit-identical depth-0 valve there
+    if split_depth is None and not eager:
+        split_depth = 0
     cands = _barrier(lsh_candidates_from_sigs(
         sigs, num_hashes, bands, max_bucket_size, block_col, split_depth
     ))

@@ -563,6 +563,8 @@ def lshsplit_probe(spark, k: int = 40) -> dict:
         "capped": dict(max_bucket_size=64, split_depth=0),
         "split1": dict(max_bucket_size=64, split_depth=1),
         "split2": dict(max_bucket_size=64, split_depth=2),
+        # r11: the adaptive default — the histogram decides the depth
+        "adaptive": dict(max_bucket_size=64, split_depth=None),
         "uncapped": dict(max_bucket_size=None, split_depth=0),
     }
     for name, kw in variants.items():
@@ -572,7 +574,23 @@ def lshsplit_probe(spark, k: int = 40) -> dict:
         n = cands.count()
         gen_s = round(time.perf_counter() - t0, 2)
         out[name] = {"cand_pairs": n, "gen_s": gen_s, "true_pairs": _true(cands)}
+        if name == "adaptive":
+            out[name]["decision"] = dict(_dedup.last_adaptive)
         print(json.dumps({"lshsplit_variant": {name: out[name]}}), flush=True)
+    # the other half of the adaptive claim: at 1× (sf0.1 itself) the
+    # over-cap share is tiny and the default must stay at depth 0
+    _, blocked1 = _prep_filtered(spark, BASE_SF)
+    sh1 = _dedup.char_ngram_sets(
+        blocked1.repartition(32, "doc_id"), "text", "doc_id", 3, keep=("blk",)
+    ).localCheckpoint()
+    sigs1 = _dedup.minhash_signatures_from_sets(
+        sh1, 32, keep=("blk",), materialized=True
+    ).localCheckpoint()
+    _dedup.lsh_candidates_from_sigs(
+        sigs1, 32, 16, max_bucket_size=64, block_col="blk", split_depth=None
+    ).count()
+    out["adaptive_1x"] = dict(_dedup.last_adaptive)
+    print(json.dumps({"lshsplit_adaptive_1x": out["adaptive_1x"]}), flush=True)
     total_true = out["uncapped"]["true_pairs"]
     for name in variants:
         out[name]["recall_pct"] = (
@@ -601,12 +619,30 @@ def write_lshsplit_section(row: dict) -> None:
         "| variant | candidate pairs | true (J≥0.6) pairs | recall | gen wall (s) |",
         "|---|---|---|---|---|",
     ]
-    for name in ("capped", "split1", "split2", "uncapped"):
-        v = row[name]
+    for name in ("capped", "split1", "split2", "adaptive", "uncapped"):
+        v = row.get(name)
+        if v is None:
+            continue
+        label = name
+        if name == "adaptive" and "decision" in v:
+            label = (
+                f"adaptive (picked depth {v['decision'].get('depth')}, "
+                f"share {round(100 * v['decision'].get('share', 0), 2)}%)"
+            )
         lines.append(
-            f"| {name} | {v['cand_pairs']} | {v['true_pairs']} | "
+            f"| {label} | {v['cand_pairs']} | {v['true_pairs']} | "
             f"{v['recall_pct']}% | {v['gen_s']} |"
         )
+    if "adaptive_1x" in row:
+        a1 = row["adaptive_1x"]
+        lines += [
+            "",
+            f"Adaptive default at 1× (sf0.1 itself): over-cap entry share "
+            f"{round(100 * a1.get('share', 0), 3)}% → picked depth "
+            f"{a1.get('depth')} (threshold 2%) — the knob engages exactly "
+            "where the r10 measurements said it pays, with no manual "
+            "setting per corpus.",
+        ]
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
@@ -1150,6 +1186,97 @@ def bpe_batched_probe(spark) -> list[dict]:
         print(_json.dumps({"bpe_batched_probe": row}), flush=True)
         docs.unpersist()
     return out
+
+
+def bpe_4096_probe(spark) -> dict:
+    """Round-11 (VERDICT r10 #4): relaxed BPE at 4096 merges — 4× past
+    the r10 1024-merge point, en route to the 32k production count —
+    with the per-phase wall split (recount vs fold) that decides
+    whether incremental pair-count maintenance (update only pairs
+    touching this round's merged symbols) would pay. rounds ==
+    merges/batch exactly in relaxed mode, so 4096 @ batch 256 = 16
+    recounts; the question is whether the recount (corpus-sized
+    explode+groupBy per round) or the fold chain (one rewrite per
+    merge, checkpointed every 32) binds."""
+    import json as _json
+
+    from clickhouse_realtime_analytics_demo_spark.operators import bpe as _bpe
+
+    docs = _synth_bpe_docs(spark, 120_000)
+    vocab = _bpe.word_counts(docs).count()
+    st: dict = {}
+    t0 = time.perf_counter()
+    merges = _bpe.train_bpe_batched(
+        docs, 4096, batch_size=256, fold_checkpoint_every=32, stats=st,
+        exact_counts=False,
+    )
+    wall = time.perf_counter() - t0
+    row = {
+        "docs": 120_000,
+        "vocab": vocab,
+        "merges": len(merges),
+        "batch": 256,
+        "wall_s": round(wall, 1),
+        "rounds": st.get("rounds", 0),
+        "s_per_round": round(wall / max(st.get("rounds", 1), 1), 2),
+        "recount_s": round(st.get("recount_s", 0.0), 1),
+        "fold_s": round(st.get("fold_s", 0.0), 1),
+        "recount_share_pct": round(
+            100.0 * st.get("recount_s", 0.0) / max(wall, 1e-9), 1
+        ),
+        "fold_checkpoints": st.get("fold_checkpoints", 0),
+    }
+    print(_json.dumps({"bpe_4096_probe": row}), flush=True)
+    return row
+
+
+def write_bpe_4096_section(row: dict) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## Relaxed BPE at 4096 merges (recount vs incremental)"
+    text, tail_sections = _splice_section(text, marker)
+    recount_pct = row["recount_share_pct"]
+    fold_pct = round(100.0 * row["fold_s"] / max(row["wall_s"], 1e-9), 1)
+    if recount_pct >= 60:
+        decision = (
+            "Decision: the RECOUNT dominates — incremental pair-count "
+            "maintenance (recompute only over words containing this "
+            f"round's merged symbols) would attack the {recount_pct}% "
+            "and is the next lever for 32k merges."
+        )
+    else:
+        decision = (
+            f"Decision: the recount is NOT the binding cost ({recount_pct}% "
+            f"of wall vs {fold_pct}% in the fold/checkpoint chain), so "
+            "incremental pair-count maintenance — which only removes "
+            "recount work and adds a distributed delta-merge per round — "
+            "cannot pay at this shape. The fold chain already carries the "
+            "depth valve (`fold_checkpoint_every`); the remaining fold "
+            "cost is the corpus rewrite itself, which every BPE trainer "
+            "pays once per merge. Extrapolation to 32k @ batch 256 = 128 "
+            "rounds: wall scales ~linearly in merges (fold-bound), i.e. "
+            "~8× this run — feasible, no algorithm change required."
+        )
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py bpe4096` (r11, VERDICT r10 #4): "
+        "`train_bpe_batched(exact_counts=False)` at 4096 merges, batch "
+        "256, over the synthetic hash-word corpus, with the per-phase "
+        "wall split that the recount-vs-incremental decision needs "
+        "(recount = per-round corpus pair explode + groupBy + ranked "
+        "pool collect; fold = per-merge corpus rewrite + checkpoint "
+        "barriers every 32).",
+        "",
+        "| docs | vocab | merges | batch | rounds | wall (s) | s/round | recount (s) | fold (s) | recount share |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+        f"| {row['docs']} | {row['vocab']} | {row['merges']} | {row['batch']} |"
+        f" {row['rounds']} | {row['wall_s']} | {row['s_per_round']} |"
+        f" {row['recount_s']} | {row['fold_s']} | {recount_pct}% |",
+        "",
+        decision,
+    ]
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
 def write_bpe_batched_section(rows: list[dict]) -> None:
@@ -2295,6 +2422,11 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_temporal")
         rows = temporal_probe(spark)
         write_temporal_section(rows)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bpe4096":
+        spark = get_spark(app_name="scale_probe_bpe4096")
+        write_bpe_4096_section(bpe_4096_probe(spark))
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "bpebatched":

@@ -136,7 +136,9 @@ def _pairs(df):
 def test_split_recovers_intersection_pairs(spark):
     sigs = _split_fixture(spark)
     kw = dict(num_hashes=8, bands=4, block_col=None)
-    capped = _pairs(dedup.lsh_candidates_from_sigs(sigs, max_bucket_size=8, **kw))
+    capped = _pairs(
+        dedup.lsh_candidates_from_sigs(sigs, max_bucket_size=8, split_depth=0, **kw)
+    )
     split1 = _pairs(
         dedup.lsh_candidates_from_sigs(sigs, max_bucket_size=8, split_depth=1, **kw)
     )
@@ -156,14 +158,35 @@ def test_split_recovers_intersection_pairs(spark):
     assert capped <= split1 <= uncapped
 
 
-def test_split_zero_is_original_valve(spark):
+def test_adaptive_picks_split_on_heavy_overcap(spark):
+    # r11 (VERDICT r10 #5): split_depth=None derives the depth from the
+    # bucket histogram the valve already computes. The split fixture's
+    # over-cap entry share is ~100% >> the 2% threshold -> depth 1,
+    # bit-identical to explicit split_depth=1.
     sigs = _split_fixture(spark)
     kw = dict(num_hashes=8, bands=4)
-    a = _pairs(dedup.lsh_candidates_from_sigs(sigs, max_bucket_size=8, **kw))
-    b = _pairs(
+    auto = _pairs(dedup.lsh_candidates_from_sigs(sigs, max_bucket_size=8, **kw))
+    assert dedup.last_adaptive["depth"] == 1
+    assert dedup.last_adaptive["share"] > dedup.SPLIT_SHARE_THRESHOLD
+    explicit = _pairs(
+        dedup.lsh_candidates_from_sigs(sigs, max_bucket_size=8, split_depth=1, **kw)
+    )
+    assert auto == explicit
+
+
+def test_adaptive_stays_zero_on_light_overcap(spark):
+    # a corpus with NO over-cap buckets: the adaptive default must take
+    # the bit-identical depth-0 path (refinement is pure overhead here)
+    rows = [(i, i * 8, i * 8 + 1, i * 8 + 2, i * 8 + 3, i * 8 + 4, i * 8 + 5, i * 8 + 6, i * 8 + 7) for i in range(200)]
+    rows[1] = (1,) + rows[0][1:]  # one small (2-doc) bucket survives
+    sigs = _sigs(spark, rows)
+    kw = dict(num_hashes=8, bands=4)
+    auto = _pairs(dedup.lsh_candidates_from_sigs(sigs, max_bucket_size=8, **kw))
+    assert dedup.last_adaptive == {"share": 0.0, "depth": 0}
+    explicit = _pairs(
         dedup.lsh_candidates_from_sigs(sigs, max_bucket_size=8, split_depth=0, **kw)
     )
-    assert a == b
+    assert auto == explicit == {(0, 1)}
 
 
 def test_split_keeps_true_megacluster_dropped(spark):
