@@ -1398,6 +1398,21 @@ def ann_cosine_topk_int8_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk_scan(qz, query_id=0, k=10)
 
 
+@register("ann_ivf_topk_stored")  # rows-only: k-means centroids have no SQL twin
+def ann_ivf_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for vec_id=0 over the IVF-PARTITIONED int8 store
+    (r11): cell assignment + quantization paid once at write
+    (`sources/quantized.py::ensure_ivf_store` — hive ``cell=``
+    partitions + centroid sidecar), the probe reads only nprobe/16 of
+    the directories (partition pruning asserted from inputFiles in
+    tests) with all-integer re-rank — the full 100 TB ANN story:
+    byte-cut storage × partition-pruned probe. Recall vs the exact
+    baseline gated in tests/test_quantized_store.py."""
+    from clickhouse_realtime_analytics_demo_spark.sources import quantized
+
+    return quantized.ivf_stored_topk(spark, sf_dir, query_id=0, k=10, nprobe=4)
+
+
 @register(
     "corpus_select_budget",
     # The oracle states the SEQUENTIAL definition (one unpartitioned

@@ -37,7 +37,14 @@ from pyspark.sql import functions as F
 from clickhouse_realtime_analytics_demo_spark import catalog
 from clickhouse_realtime_analytics_demo_spark.operators import similarity
 
-__all__ = ["ensure_store", "read_store", "store_path"]
+__all__ = [
+    "ensure_ivf_store",
+    "ensure_store",
+    "ivf_store_path",
+    "ivf_stored_topk",
+    "read_store",
+    "store_path",
+]
 
 _MARKER = "_SOURCE.json"
 
@@ -88,3 +95,106 @@ def read_store(spark: SparkSession, sf_dir: str, root: str | None = None) -> Dat
     """The quantized table, building it first if missing/stale."""
     path = ensure_store(spark, sf_dir, root)
     return spark.read.parquet(str(path / "data"))
+
+
+def ivf_store_path(sf_dir: str, root: str | None = None) -> Path:
+    base = Path(root) if root else Path(__file__).resolve().parents[2] / "spark-warehouse"
+    key = hashlib.sha256(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    return base / "ivf_quantized_embeddings" / key
+
+
+def ensure_ivf_store(
+    spark: SparkSession,
+    sf_dir: str,
+    num_cells: int = 16,
+    lloyd_iters: int = 1,
+    root: str | None = None,
+) -> Path:
+    """The IVF-PARTITIONED quantized store — the exact scale move
+    `operators/similarity.ivf_topk`'s docstring names: "at scale the
+    assignment is precomputed at write time and the table is
+    partitioned by cell, turning the probe into partition pruning".
+    Layout: ``data/cell=N/…`` hive partitions of (vec_id, qvec
+    array<tinyint>, qscale) + a ``centroids.json`` sidecar (|C|×dim
+    floats — bounded, never data-sized). A probe then reads ONLY the
+    nprobe matching directories: at 100 TB that is nprobe/num_cells of
+    the bytes, decided before any task launches, on top of the int8
+    byte cut. Same source-fingerprint freshening as :func:`ensure_store`
+    (the fingerprint also pins num_cells/lloyd_iters)."""
+    from clickhouse_realtime_analytics_demo_spark.operators import similarity
+
+    path = ivf_store_path(sf_dir, root)
+    marker = path / _MARKER
+    fp = {**_fingerprint(sf_dir), "num_cells": num_cells, "lloyd_iters": lloyd_iters}
+    try:
+        if json.loads(marker.read_text()) == fp:
+            return path
+    except (OSError, ValueError):
+        pass
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    assigned, centroids = similarity.ivf_index(emb, num_cells, lloyd_iters)
+    qz = similarity.with_quantized(
+        assigned.withColumnRenamed("id", "vec_id"), vec_col="vec", scale_col="qscale"
+    ).select(
+        "vec_id",
+        F.col("qvec").cast("array<tinyint>").alias("qvec"),
+        "qscale",
+        "cell",
+    )
+    # one file per cell (repartition by the partition column), rows
+    # sorted by vec_id inside it for point-lookup row-group pruning
+    (
+        qz.repartition(num_cells, "cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(str(path / "data"))
+    )
+    (path / "centroids.json").write_text(json.dumps(centroids))
+    marker.write_text(json.dumps(fp))
+    return path
+
+
+def ivf_stored_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+    num_cells: int = 16,
+    root: str | None = None,
+) -> DataFrame:
+    """IVF ANN top-k over the partitioned store: pick the nprobe cells
+    whose centroids are nearest the (dequantized) query — a driver-side
+    loop over the bounded centroid sidecar — then scan ONLY those
+    ``cell=`` directories with all-integer cosine re-rank. The cell
+    predicate is a partition filter, so the non-probed ~(1 -
+    nprobe/num_cells) of the store is never opened
+    (tests/test_quantized_store.py asserts it from inputFiles)."""
+    from clickhouse_realtime_analytics_demo_spark.operators import similarity
+
+    path = ensure_ivf_store(spark, sf_dir, num_cells, root=root)
+    centroids = json.loads((path / "centroids.json").read_text())
+    store = spark.read.parquet(str(path / "data"))
+    qrow = store.filter(F.col("vec_id") == query_id).select("qvec", "qscale").collect()[0]
+    qvec = [float(x) * qrow["qscale"] for x in qrow["qvec"]]
+    qn = sum(x * x for x in qvec) ** 0.5 or 1.0
+
+    def cos_to_q(c: list[float]) -> float:
+        cn = sum(x * x for x in c) ** 0.5 or 1.0
+        return sum(a * b for a, b in zip(qvec, c)) / (qn * cn)
+
+    probe = sorted(range(len(centroids)), key=lambda i: (-cos_to_q(centroids[i]), i))[:nprobe]
+    q = store.filter(F.col("vec_id") == query_id).select(F.col("qvec").alias("query_q"))
+    return (
+        store.filter(F.col("cell").isin(probe) & (F.col("vec_id") != query_id))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                similarity.int_cosine(F.col("qvec"), F.col("query_q")), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "neighbor_id")
+        .limit(k)
+    )

@@ -166,6 +166,10 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # to the inline form, but the scan side reads the pre-quantized
     # tinyint column (no per-query quantization expressions)
     "ann_cosine_topk_int8_stored": ({"BroadcastNestedLoopJoinExec": 1}, True),
+    # r11: the IVF-partitioned store probe — same 1-row broadcast +
+    # TakeOrdered shape; the cell predicate is a PARTITION filter
+    # (pruning asserted from scan metrics in test_quantized_store.py)
+    "ann_ivf_topk_stored": ({"BroadcastNestedLoopJoinExec": 1}, True),
     # r10: budgeted selection — the ranking/prefix-sum composition's
     # bounded side aggregates broadcast back (8 BHJ) + packing's
     # ≤num_buckets² triangular offsets join (the one BNLJ, bounded
@@ -197,6 +201,7 @@ _BNLJ_ALLOWED = {
     "doc_tfidf_topk",
     "ann_cosine_topk_int8",
     "ann_cosine_topk_int8_stored",
+    "ann_ivf_topk_stored",
     "corpus_select_budget",
 }
 

@@ -66,6 +66,89 @@ def test_store_is_smaller_than_float(spark, tmp_path):
     assert store_bytes < src_bytes / 2, (store_bytes, src_bytes)
 
 
+def test_ivf_store_partition_pruning_and_recall(spark, tmp_path):
+    # the IVF store's whole point: the probe must OPEN only the nprobe
+    # cell directories (partition pruning decided before task launch)
+    p = quantized.ensure_ivf_store(spark, SF_DIR, num_cells=16, root=str(tmp_path))
+    assert (p / "centroids.json").exists()
+    store = spark.read.parquet(str(p / "data"))
+    cells = {r["cell"] for r in store.select("cell").distinct().collect()}
+    assert cells <= set(range(16)) and len(cells) >= 4
+
+    # partition pruning proof from the EXECUTED scan, not inputFiles()
+    # (inputFiles reports the unpruned relation listing): the scan's
+    # numFiles metric must equal the probed directories' file count
+    def files_read(df):
+        df.collect()
+        node = df._jdf.queryExecution().executedPlan()
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            cls = n.getClass().getSimpleName()
+            if cls == "AdaptiveSparkPlanExec":
+                stack.append(n.executedPlan())
+                continue
+            if cls.endswith("QueryStageExec"):
+                stack.append(n.plan())
+                continue
+            if cls == "FileSourceScanExec":
+                return int(n.metrics().apply("numFiles").value())
+            for i in range(n.children().size()):
+                stack.append(n.children().apply(i))
+        raise AssertionError("no FileSourceScanExec in plan")
+
+    probed_files = files_read(store.filter(store.cell.isin([0, 1])))
+    all_files = files_read(store)
+    on_disk_probed = sum(
+        1
+        for c in (0, 1)
+        for f in (p / "data" / f"cell={c}").rglob("*.parquet")
+    )
+    assert probed_files == on_disk_probed
+    assert probed_files < all_files
+
+    # end-to-end: k results, deterministic, recall >= the inline IVF
+    # gate (same nprobe/num_cells, same data) vs the exact baseline
+    got = quantized.ivf_stored_topk(
+        spark, SF_DIR, query_id=0, k=10, nprobe=4, root=str(tmp_path)
+    ).collect()
+    again = quantized.ivf_stored_topk(
+        spark, SF_DIR, query_id=0, k=10, nprobe=4, root=str(tmp_path)
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    assert len(got) == 10
+    exact = {
+        r.neighbor_id
+        for r in similarity.brute_force_topk(
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), query_id=0, k=10
+        ).collect()
+    }
+    recall = len(exact & {r.neighbor_id for r in got}) / 10
+    assert recall >= 0.5, f"IVF-store recall {recall} too low"
+
+
+def test_ivf_store_scores_match_inline_quantized(spark, tmp_path):
+    # the store's qvec column must be EXACTLY the inline quantization
+    # of the source vectors: score the probed cells via the store and
+    # via with_quantized on the raw table restricted to the same ids —
+    # identical to the last bit (int dot/norms, one IEEE division)
+    p = quantized.ensure_ivf_store(spark, SF_DIR, num_cells=16, root=str(tmp_path))
+    store = spark.read.parquet(str(p / "data"))
+    stored = quantized.ivf_stored_topk(
+        spark, SF_DIR, query_id=0, k=10, nprobe=4, root=str(tmp_path)
+    ).collect()
+    ids = [r.neighbor_id for r in stored] + [0]
+    from clickhouse_realtime_analytics_demo_spark import catalog
+
+    emb = catalog.table(spark, SF_DIR, "embeddings").filter(F.col("vec_id").isin(ids))
+    inline = {
+        r.neighbor_id: r.cosine_sim
+        for r in similarity.quantized_topk(emb, query_id=0, k=len(ids)).collect()
+    }
+    for r in stored:
+        assert inline[r.neighbor_id] == r.cosine_sim
+
+
 def test_int_cosine_wide_int32_no_wrap(spark):
     # ADVICE r10: elements are widened to bigint BEFORE multiplying;
     # 100000^2 overflows int32 — the old form wrapped silently.
