@@ -999,10 +999,16 @@ def ann_stored_probe(spark, ks=(1, 10, 40)) -> list[dict]:
         build_s = round(time.perf_counter() - t0, 2)
         qz = _q.read_store(spark, d, root=d)
         row: dict = {"k": k, "vectors": n, "build_s": build_s}
+        t0 = time.perf_counter()
+        _q.ensure_ivf_store(spark, d, root=d)
+        row["ivf_build_s"] = round(time.perf_counter() - t0, 2)
         for name, fn in (
             ("float_s", lambda: _sim.brute_force_topk(emb, query_id=0, k=10)),
             ("inline_int8_s", lambda: _sim.quantized_topk(emb, query_id=0, k=10)),
             ("stored_int8_s", lambda: _sim.quantized_topk_scan(qz, query_id=0, k=10)),
+            # r11: the partition-pruned IVF probe (4/16 of the store's
+            # directories opened) — the full storage-as-index stack
+            ("ivf_stored_s", lambda: _q.ivf_stored_topk(spark, d, query_id=0, k=10, nprobe=4, root=d)),
         ):
             best = float("inf")
             for _ in range(2):
@@ -1043,13 +1049,14 @@ def write_ann_stored_section(rows: list[dict]) -> None:
         "/ store parquet — the number that survives to the "
         "memory-bound 100 TB regime.",
         "",
-        "| K | vectors | build (s) | float scan (s) | inline int8 (s) | stored int8 (s) | float KB | store KB | bytes ratio |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| K | vectors | build (s) | float scan (s) | inline int8 (s) | stored int8 (s) | IVF probe (s) | float KB | store KB | bytes ratio |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['k']} | {r['vectors']} | {r['build_s']} | {r['float_s']} |"
-            f" {r['inline_int8_s']} | {r['stored_int8_s']} | {r['float_kb']} |"
+            f" {r['inline_int8_s']} | {r['stored_int8_s']} |"
+            f" {r.get('ivf_stored_s', '—')} | {r['float_kb']} |"
             f" {r['store_kb']} | {r['bytes_ratio']} |"
         )
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
