@@ -145,6 +145,10 @@ HEADLINE = (
     # the store build; best-of-N sheds it, so the number tracks the
     # steady-state scan.
     "ann_cosine_topk_int8_stored",
+    # round 11: the IVF-partitioned store probe — partition pruning
+    # (nprobe/16 of the directories) stacked on the int8 byte cut;
+    # same first-run-builds, best-of-N-sheds-it shape as above.
+    "ann_ivf_topk_stored",
 )
 
 
