@@ -344,6 +344,55 @@ def label_centroids(
     )
 
 
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_cells: int = 16,
+    lloyd_iters: int = 1,
+    max_cluster_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means cluster
+    the embeddings (the :func:`ivf_index` coarse quantizer), then find
+    exact-cosine ≥ threshold pairs WITHIN each cluster only — the
+    published recipe (Abbas et al. 2023, "SemDeDup") that makes
+    embedding dedup tractable at corpus scale: pairwise work drops
+    from O(N²) to Σ cluster², and num_cells grows with the corpus so
+    clusters stay bounded (SemDeDup uses ~100k clusters at web scale;
+    a cluster is the semantic analog of dedup.py's LSH bucket).
+
+    Differences vs :func:`cosine_near_dup_pairs` (random-hyperplane
+    LSH blocking): clustering groups by SEMANTIC proximity rather than
+    hash collision, so a near-dup pair is only missed when k-means
+    splits it across cells (boundary pairs) — the same bounded-recall
+    trade the paper documents — while LSH misses are signature-
+    probabilistic. Both feed the same CC keep-one resolution.
+
+    ``max_cluster_size`` is the quadratic valve (same contract as
+    dedup.py's ``max_bucket_size``): clusters above the cap are
+    dropped from pair generation rather than allowed to emit B² pairs.
+    Returns (id_a, id_b, cosine_sim) with id_a < id_b.
+    """
+    assigned, _ = ivf_index(embeddings, num_cells, lloyd_iters, id_col, vec_col)
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("cell").agg(F.count("*").alias("cluster_n"))
+        assigned = (
+            assigned.join(sizes, "cell")
+            .filter(F.col("cluster_n") <= max_cluster_size)
+            .drop("cluster_n")
+        )
+    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def with_quantized(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -315,6 +315,18 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs brute force is asserted in
     tests/test_similarity_near_dups.py.
     """
+    corpus = _planted_corpus(spark, sf_dir)
+    return similarity.cosine_near_dup_pairs(
+        corpus, threshold=0.95, max_bucket_size=10_000
+    ).orderBy("id_a", "id_b")
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table plus the deterministic planted near-dup
+    set (copies of vec_id 0..4 at id+1_000_000, ≤5e-4 relative
+    per-component noise, cosine ≥ 0.9999) — shared by the LSH and the
+    semantic (SemDeDup) dedup queries so both prove their recall on
+    the same ground truth."""
     emb = table(spark, sf_dir, "embeddings")
     planted = emb.filter(F.col("vec_id") < 5).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -331,10 +343,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("embedding"),
         F.col("label"),
     )
-    corpus = emb.unionByName(planted)
-    return similarity.cosine_near_dup_pairs(
-        corpus, threshold=0.95, max_bucket_size=10_000
-    ).orderBy("id_a", "id_b")
+    return emb.unionByName(planted)
 
 
 @register(
@@ -1396,6 +1405,42 @@ def ann_cosine_topk_int8_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qz = quantized.read_store(spark, sf_dir)
     return similarity.quantized_topk_scan(qz, query_id=0, k=10)
+
+
+@register("semantic_dedup")  # rows-only: k-means clustering has no SQL twin
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end to end (Abbas et al. 2023):
+    k-means cluster the embeddings, exact-cosine ≥ 0.95 pairs WITHIN
+    clusters only (Σ cluster² work, never N² — the published recipe
+    for embedding dedup at corpus scale), Large-Star/Small-Star
+    keep-one resolution, and a one-row summary.
+
+    The driver's embeddings are random vectors with no true near-dups,
+    so the corpus carries the same deterministic planted set as
+    `embedding_near_dups` (copies of vec_id 0..4 at id+1_000_000 with
+    ≤5e-4 relative noise) — the pipeline must find and remove exactly
+    the planted members; recall vs brute force is asserted in
+    tests/test_semantic_dedup.py."""
+    from clickhouse_realtime_analytics_demo_spark.operators import graph
+
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = similarity.semantic_dedup_pairs(
+        corpus, threshold=0.95, num_cells=16, max_cluster_size=10_000
+    )
+    kept = graph.keep_one_per_cluster(corpus, pairs, id_col="vec_id")
+    n = corpus.select(F.count("*").alias("n_vecs"))
+    p = pairs.select(F.count("*").alias("dup_pairs"))
+    k = kept.select(F.count("*").alias("kept_vecs"))
+    return (
+        n.crossJoin(p)
+        .crossJoin(k)
+        .select(
+            "n_vecs",
+            "dup_pairs",
+            "kept_vecs",
+            (F.col("n_vecs") - F.col("kept_vecs")).alias("removed_vecs"),
+        )
+    )
 
 
 @register("ann_ivf_topk_stored")  # rows-only: k-means centroids have no SQL twin

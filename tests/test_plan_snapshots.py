@@ -170,6 +170,15 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # TakeOrdered shape; the cell predicate is a PARTITION filter
     # (pruning asserted from scan metrics in test_quantized_store.py)
     "ann_ivf_topk_stored": ({"BroadcastNestedLoopJoinExec": 1}, True),
+    # r11: SemDeDup — the within-cluster pair join runs as two SMJ
+    # arms (cell-keyed self-join + the CC edge attach), the keep-one
+    # anti-join + union plumbing broadcast (3 BHJ), and the two
+    # 1-row summary crossJoins are the BNLJs. Load-bearing negative:
+    # no CartesianProductExec — pair work is cluster-confined
+    "semantic_dedup": (
+        {"BroadcastHashJoinExec": 3, "SortMergeJoinExec": 2, "BroadcastNestedLoopJoinExec": 2},
+        False,
+    ),
     # r10: budgeted selection — the ranking/prefix-sum composition's
     # bounded side aggregates broadcast back (8 BHJ) + packing's
     # ≤num_buckets² triangular offsets join (the one BNLJ, bounded
@@ -203,6 +212,7 @@ _BNLJ_ALLOWED = {
     "ann_cosine_topk_int8_stored",
     "ann_ivf_topk_stored",
     "corpus_select_budget",
+    "semantic_dedup",
 }
 
 
