@@ -124,13 +124,67 @@ def lsh_topk(
     )
 
 
+# Above this many centroid FLOATS (|C| × dim), the plan-literal
+# assignment is replaced by the Arrow/numpy one: each centroid becomes
+# |C| dot-product expressions folded into the plan, and past a few
+# thousand literals Catalyst analysis/codegen time grows faster than
+# the assignment itself (measured in SCALEPROBE "Semantic dedup vs
+# corpus size"). 16 cells × 64 dims = 1,024 stays literal; a
+# production 10⁴-10⁵-cell quantizer goes Arrow.
+_LITERAL_ASSIGN_MAX_FLOATS = 4096
+
+
+def assign_cells_arrow(
+    embeddings: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, cell) nearest-centroid assignment for LARGE cell
+    counts: one vectorized numpy matmul per Arrow batch against the
+    broadcast centroid matrix — (B×D)·(D×|C|) then argmax, the
+    FAISS-style production shape. No shuffle, no per-row Python; the
+    centroid matrix ships once per task closure (|C|×D floats —
+    kilobytes to megabytes, never data-sized). Ties break to the
+    lowest cell index, same as the literal form's array_position."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # D × C
+    cnorm = np.linalg.norm(cmat, axis=0)
+    cnorm[cnorm == 0.0] = 1.0
+    out_schema = f"id long, {vec_col_schema(embeddings, vec_col)}, cell int"
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            vnorm = np.linalg.norm(m, axis=1, keepdims=True)
+            vnorm[vnorm == 0.0] = 1.0
+            sims = (m @ cmat) / (vnorm * cnorm)
+            pdf = pdf.copy()
+            pdf["cell"] = np.argmax(sims, axis=1).astype("int32")
+            yield pdf
+
+    pre = embeddings.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    )
+    return pre.mapInPandas(assign, schema=out_schema)
+
+
+def vec_col_schema(df: DataFrame, vec_col: str) -> str:
+    elem = dict((f.name, f.dataType) for f in df.schema.fields)[vec_col].elementType
+    return f"vec array<{elem.simpleString()}>"
+
+
 def _assign_cells(embeddings: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
     """(id, vec, cell): nearest-centroid assignment by cosine.
 
     Centroids are literal arrays folded into the plan (broadcast-by-
     construction); the argmax over |C| dot products is map-side JVM
-    work — no shuffle, no Python.
+    work — no shuffle, no Python. For cell counts past
+    ``_LITERAL_ASSIGN_MAX_FLOATS`` total floats this defers to
+    :func:`assign_cells_arrow` — the plan-literal form's analysis/
+    codegen cost grows with |C| and a production coarse quantizer
+    carries 10⁴-10⁵ cells.
     """
+    if len(centroids) * len(centroids[0]) > _LITERAL_ASSIGN_MAX_FLOATS:
+        return assign_cells_arrow(embeddings, centroids, id_col, vec_col)
     dvec = F.col("dvec")
     sims = F.array(
         *[

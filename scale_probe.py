@@ -1195,6 +1195,93 @@ def bpe_batched_probe(spark) -> list[dict]:
     return out
 
 
+def semdedup_probe(spark, ks=(1, 10, 40)) -> list[dict]:
+    """Round-11: SemDeDup semantic dedup as the corpus grows, with
+    num_cells scaled ∝ K (the published doctrine — clusters stay
+    bounded, so Σ cluster² stays ~linear in N). Past 64 cells the
+    centroid assignment runs through the Arrow/numpy path (the
+    plan-literal form folds |C|×dim floats into the Catalyst tree).
+    Planted ground truth per K: 5 near-identical copies of the lowest
+    ids — recall must stay 5/5 at every scale."""
+    from clickhouse_realtime_analytics_demo_spark.operators import similarity as _sim
+
+    out = []
+    for k in ks:
+        d = tempfile.mkdtemp(prefix=f"semdedup_k{k}_")
+        replicate(spark, d, k, only=("embeddings",))
+        emb = table(spark, d, "embeddings").localCheckpoint()
+        planted = emb.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 100_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                * (
+                    F.lit(1.0)
+                    + (F.pmod(F.xxhash64(F.col("vec_id"), i, F.lit(99)), F.lit(1000)) - 500)
+                    * F.lit(1e-6)
+                ),
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+            F.col("label"),
+        )
+        corpus = emb.unionByName(planted).localCheckpoint()
+        cells = 16 * k
+        t0 = time.perf_counter()
+        pairs = _sim.semantic_dedup_pairs(
+            corpus, threshold=0.95, num_cells=cells, max_cluster_size=10_000
+        ).localCheckpoint()
+        n_pairs = pairs.count()
+        wall = round(time.perf_counter() - t0, 2)
+        # id-shifted replication copies vector VALUES verbatim, so each
+        # base vector becomes a K-way exact-duplicate clique — the probe
+        # therefore measures dedup under extreme duplication (true-pair
+        # volume ∝ K² per clique). Each planted copy must match its
+        # original AND all K-1 replicas: expected 5·K planted pairs.
+        planted_found = pairs.filter(F.col("id_b") >= 100_000_000).count()
+        row = {
+            "k": k,
+            "vectors": corpus.count(),
+            "num_cells": cells,
+            "assign": "literal" if cells * 64 <= _sim._LITERAL_ASSIGN_MAX_FLOATS else "arrow",
+            "pairs": n_pairs,
+            "planted_recall": f"{planted_found}/{5 * k}",
+            "wall_s": wall,
+        }
+        out.append(row)
+        print(json.dumps({"semdedup_probe": row}), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def write_semdedup_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## Semantic dedup vs corpus size"
+    text, tail_sections = _splice_section(text, marker)
+    base = rows[0]
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py semdedup` (r11): SemDeDup-style cluster-confined "
+        "embedding dedup with num_cells ∝ K (bounded clusters ⇒ Σ cluster² "
+        "~linear in N — the published scale doctrine). Past 64 cells the "
+        "nearest-centroid assignment runs as one numpy matmul per Arrow "
+        "batch (`assign_cells_arrow`) instead of |C|×dim plan literals. "
+        "5 planted near-identical copies per K are the recall gate.",
+        "",
+        "| K | vectors | cells | assignment | pairs | planted recall | wall (s) | ratio |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['k']} | {r['vectors']} | {r['num_cells']} | {r['assign']} |"
+            f" {r['pairs']} | {r['planted_recall']} | {r['wall_s']} |"
+            f" {round(r['wall_s'] / base['wall_s'], 1)}x |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def bpe_4096_probe(spark) -> dict:
     """Round-11 (VERDICT r10 #4): relaxed BPE at 4096 merges — 4× past
     the r10 1024-merge point, en route to the 32k production count —
@@ -2429,6 +2516,11 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_temporal")
         rows = temporal_probe(spark)
         write_temporal_section(rows)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
+        spark = get_spark(app_name="scale_probe_semdedup", shuffle_partitions=64)
+        write_semdedup_section(semdedup_probe(spark))
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "bpe4096":
