@@ -555,9 +555,15 @@ def minhash_char_dedup_pairs(
     )
     # adaptive split_depth (None) runs a histogram job at construction;
     # eager=False promises ZERO construction jobs, so it resolves to
-    # the bit-identical depth-0 valve there
+    # the bit-identical depth-0 valve there. When adaptive IS active,
+    # barrier the signatures first: the decision's histogram pass and
+    # (if depth > 0) the refinement's mh lookup would otherwise each
+    # recompute the map-side signature transform from the shingle
+    # checkpoint — measured ~1-2 s at sf0.1 (r11).
     if split_depth is None and not eager:
         split_depth = 0
+    elif split_depth is None and max_bucket_size is not None:
+        sigs = _barrier(sigs)
     cands = _barrier(lsh_candidates_from_sigs(
         sigs, num_hashes, bands, max_bucket_size, block_col, split_depth
     ))
