@@ -1547,3 +1547,50 @@ def corpus_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "doc_token_heavy_hitters",
+    # Counts are exact integers (the MG pass only PRUNES the recount —
+    # operators/sketches.py's exactness guarantee, margin pinned by
+    # tests/test_sketches.py at both test SFs), tie-break (cnt desc,
+    # token asc) identical in both engines, so ranks and counts hash-
+    # match bit-for-bit.
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    counted AS (
+        SELECT token, COUNT(*) AS cnt FROM toks
+        WHERE token != '' GROUP BY token
+    ),
+    ranked AS (
+        SELECT token, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rnk
+        FROM counted
+    )
+    SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 20 ORDER BY rnk
+    """,
+)
+def doc_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 corpus tokens — the ClickHouse ``topK()`` analog,
+    but EXACT and scale-shaped: at 100 TB the naive plan's aggregation
+    shuffle is keyed by the full vocabulary; here a per-partition
+    Misra-Gries candidate pass (one narrow Arrow sweep, bounded
+    summary) prunes the recount to ≤ counters×partitions keys via a
+    broadcast semi join, and TakeOrdered keeps the 20 winners
+    (operators/sketches.py). Counts are exact whenever the 20th true
+    count exceeds N/(counters+1) — certified by ``exactness_margin``
+    in tests; Zipf token streams clear it by orders of magnitude."""
+    from clickhouse_realtime_analytics_demo_spark.operators import sketches
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = docs.select(
+        F.explode(text.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    return sketches.exact_heavy_hitters(toks, "token", k=20, counters=4096)
