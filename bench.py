@@ -149,6 +149,10 @@ HEADLINE = (
     # (nprobe/16 of the directories) stacked on the int8 byte cut;
     # same first-run-builds, best-of-N-sheds-it shape as above.
     "ann_ivf_topk_stored",
+    # round 11: exact heavy hitters (ClickHouse topK analog) — tracks
+    # the Misra-Gries candidate pass + broadcast-pruned exact recount
+    # (operators/sketches.py), the bounded-shuffle top-k formulation.
+    "doc_token_heavy_hitters",
 )
 
 

@@ -919,6 +919,114 @@ def write_tfidf_section(rows: list[dict]) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
+def heavyhitters_probe(
+    spark, n_rows: int = 8_000_000, key_spaces=(1_000, 100_000, 1_000_000, 4_000_000)
+) -> list[dict]:
+    """Round-11: exact top-20 keys, naive full-key-space shuffle vs the
+    Misra-Gries candidate-pruned two-pass (operators/sketches.py).
+
+    The testdata corpus can't carry this probe: the generator draws
+    document text from a 31-word pool (measured: 31 distinct tokens at
+    ALL three SFs, and events has 1,500 users), so every key fits one
+    counter and both plans degenerate. The probe instead synthesizes a
+    log-uniform (Zipf-shaped: p(rank) ∝ 1/rank) stream JVM-side —
+    ``floor(exp(rand·ln(R)))`` — and walks the key space R while the
+    row count stays fixed, which is the axis that separates the plans:
+    the naive aggregation's shuffle keying grows with R, the MG
+    recount stays bounded at counters × partitions candidates.
+    Equality of the two top-20s is asserted on every rung; the 20th
+    count ≈ N/(20·ln R) clears the exactness bound N/(counters+1) by
+    ~2 orders.
+    """
+    from clickhouse_realtime_analytics_demo_spark.operators import sketches
+
+    out = []
+    for space in key_spaces:
+        stream = spark.range(n_rows).select(
+            F.concat(
+                F.lit("k"),
+                F.floor(F.exp(F.rand(seed=11) * float(__import__("math").log(space))))
+                .cast("long")
+                .cast("string"),
+            ).alias("token")
+        )
+        distinct = stream.select("token").distinct().count()
+        cands = (
+            sketches.mg_candidates(stream, "token", counters=4096)
+            .select("token")
+            .distinct()
+            .count()
+        )
+
+        def _naive():
+            return (
+                stream.groupBy("token")
+                .agg(F.count("*").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("token").asc())
+                .limit(20)
+                .collect()
+            )
+
+        def _mg():
+            return sketches.exact_heavy_hitters(
+                stream, "token", k=20, counters=4096
+            ).collect()
+
+        naive_best = mg_best = float("inf")
+        naive_rows = mg_rows = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            naive_rows = _naive()
+            naive_best = min(naive_best, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            mg_rows = _mg()
+            mg_best = min(mg_best, time.perf_counter() - t0)
+        assert [(r["token"], r["cnt"]) for r in mg_rows] == [
+            (r["token"], r["cnt"]) for r in naive_rows
+        ], f"heavy hitters diverged at key space {space}"
+        row = {
+            "key_space": space,
+            "distinct": distinct,
+            "candidates": cands,
+            "naive_s": round(naive_best, 2),
+            "mg_s": round(mg_best, 2),
+        }
+        out.append(row)
+        print(json.dumps({"heavyhitters_probe": row}), flush=True)
+    return out
+
+
+def write_heavyhitters_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## Heavy hitters: MG-pruned vs full-key-space shuffle"
+    text, tail_sections = _splice_section(text, marker)
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py heavyhitters` (r11): exact top-20 over an 8M-row "
+        "log-uniform stream as the KEY SPACE grows (synthetic, JVM-generated: "
+        "the testdata generator draws document text from a 31-word pool and "
+        "events from 1,500 users — measured — so no real column exercises "
+        "frequency sketching; the registered `doc_token_heavy_hitters` stays "
+        "the oracle/correctness gate over real data). Naive = full groupBy + "
+        "TakeOrdered (shuffle keyed by every distinct key); MG = Misra-Gries "
+        "candidates (counters=4096) → broadcast semi prune → exact recount, "
+        "output asserted equal on every rung. `distinct` is the naive "
+        "shuffle's key count; `candidates` the MG recount's — the bounded-vs-"
+        "growing divergence is the 100 TB story.",
+        "",
+        "| key space R | distinct keys | MG candidates | naive (s) | MG two-pass (s) |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['key_space']:,} | {r['distinct']:,} | {r['candidates']:,} |"
+            f" {r['naive_s']} | {r['mg_s']} |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def ann_int8_probe(spark, ks=(1, 10, 40)) -> list[dict]:
     """Round-10: float vs int8 brute-force cosine top-k as the
     embedding corpus grows. The int8 scan's claim is memory (4× vs
@@ -2538,6 +2646,11 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_tfidf")
         rows = tfidf_probe(spark)
         write_tfidf_section(rows)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "heavyhitters":
+        spark = get_spark(app_name="scale_probe_heavyhitters")
+        write_heavyhitters_section(heavyhitters_probe(spark))
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "annstored":
