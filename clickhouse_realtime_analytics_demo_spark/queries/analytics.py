@@ -735,3 +735,75 @@ def purchase_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cond")
     )
+
+
+@register(
+    "event_type_top_users_state",
+    # Exact because the state runs in its UNTRIMMED regime here:
+    # counters=65536 far exceeds the user-id cardinality at every test
+    # SF (1,500 at sf0.1 — measured), so each partial is a full count
+    # map and the merge is plain addition; the MG trim's bound regime
+    # is property-tested in tests/test_topk_state.py instead. Counts
+    # and (cnt desc, user asc) tie-breaks are identical in both
+    # engines, so ranks hash-match bit-for-bit.
+    oracle="""
+    WITH counted AS (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS user_key,
+               COUNT(*) AS est_count
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, user_key, est_count,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY est_count DESC, user_key ASC
+               ) AS rnk
+        FROM counted
+    )
+    SELECT event_type, user_key, CAST(est_count AS BIGINT) AS est_count,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY event_type, rnk
+    """,
+)
+def event_type_top_users_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users per event type served FROM mergeable topK state —
+    the ClickHouse ``topKState``/``topKMerge`` (AggregatingMergeTree)
+    pattern the reference's State/Merge MVs use for counts
+    (init-scripts/01-create-tables.sql:119-132), applied to heavy
+    hitters: the stream is split into four micro-batch partials
+    (streaming/topk_state.py::topk_partial — one bounded map row per
+    group per batch), merged on read (``merge_states``), then cut to
+    top-5. Batch ≡ merged-state equivalence is the property under
+    test; the same partials write as idempotent ``b=<id>`` parquet
+    parts in the streaming path (tests/test_topk_state.py)."""
+    from clickhouse_realtime_analytics_demo_spark.streaming import topk_state
+
+    events = table(spark, sf_dir, "events")
+    # An unsalted hash split is a disjoint, covering 4-way partition
+    # of the stream — the union of partials sees every event exactly
+    # once (a salted-per-i hash would not partition).
+    partials = [
+        topk_state.topk_partial(
+            events.filter(F.pmod(F.hash("event_id"), F.lit(4)) == i),
+            ["event_type"],
+            "user_id",
+            counters=65536,
+        )
+        for i in range(4)
+    ]
+    parts = partials[0]
+    for p in partials[1:]:
+        parts = parts.unionByName(p)
+    merged = topk_state.merge_states(parts, ["event_type"], counters=65536)
+    entries = merged.select(
+        "event_type", F.explode("topk_mg").alias("user_key", "est_count")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("est_count").desc(), F.col("user_key").asc()
+    )
+    return (
+        entries.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("event_type", "rnk")
+    )

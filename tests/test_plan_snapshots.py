@@ -189,6 +189,13 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
         {"BroadcastHashJoinExec": 8, "BroadcastNestedLoopJoinExec": 1},
         False,
     ),
+    # r11: topK state served query — four partial aggregations union
+    # into the relational topKMerge (explode → sum → MG trim), where
+    # the trim's cut rides a second window function over the SAME
+    # partition spec as the rank: no join anywhere, every window
+    # partitioned (the groups-sized cut join this shape replaced
+    # would be a broadcast bomb at scale)
+    "event_type_top_users_state": ({}, False),
 }
 
 _JOIN_NODES = (
