@@ -120,6 +120,40 @@ def read_topk(
     )
 
 
+def start_incremental(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    keys: list[str],
+    child: str,
+    checkpoint_dir: str,
+    counters: int = 2048,
+    trigger_seconds: float = 1,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming maintenance job (the mv.start_incremental shape):
+    file-stream over the ingest directory → per-batch topK partial →
+    idempotent part append. Returns the StreamingQuery handle."""
+    from clickhouse_realtime_analytics_demo_spark.sources import schemas
+
+    reader = spark.readStream.schema(schemas.EVENTS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        write_batch(batch, keys, child, state_path, batch_id, counters)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{int(trigger_seconds * 1000)} milliseconds")
+        .start()
+    )
+
+
 def compact(spark: SparkSession, state_path: str, keys: list[str],
             counters: int = 2048) -> None:
     """Fold all parts into one (the AggregatingMergeTree background

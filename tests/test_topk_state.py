@@ -127,6 +127,37 @@ def test_compact_preserves_topk(spark, tmp_path):
     assert [tuple(r) for r in after] == [tuple(r) for r in again]
 
 
+def test_streaming_state_equals_batch_topk(spark, tmp_path):
+    """End-to-end Structured Streaming: three ingest blocks stream
+    through foreachBatch into state parts; merge-on-read equals the
+    exact batch top-k over everything ingested (untrimmed regime) —
+    the MV ≡ batch invariant applied to topK state."""
+    from clickhouse_realtime_analytics_demo_spark.sources import generator
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    offset = 0
+    for n in (400, 300, 300):
+        generator.events(spark, n=n, n_users=60, id_offset=offset, partitions=2).write.mode(
+            "append"
+        ).parquet(src)
+        offset += n
+    q = topk_state.start_incremental(
+        spark, src, state, ["country"], "user_id", ckpt,
+        counters=4096, max_files_per_trigger=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = topk_state.read_topk(spark, state, ["country"], k=3, counters=4096).collect()
+    want = _exact_topk(
+        spark.read.parquet(src), ["country"], "user_id", 3
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_trim_plan_one_window_no_join(spark):
     """The MG trim's cut rides a second window function over the SAME
     partition spec — the executed plan must show partitioned
