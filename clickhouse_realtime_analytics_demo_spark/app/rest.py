@@ -57,6 +57,7 @@ def create_app(
     query_log: QueryLog | None = None,
     lake_dir: str | None = None,
     refresh_dir: str | None = None,
+    topk_state_dir: str | None = None,
 ) -> Flask:
     app = Flask(__name__)
     log = query_log if query_log is not None else QueryLog()
@@ -306,6 +307,66 @@ def create_app(
             for r in rows
         ],
     )
+
+    @app.route("/api/live/top-users-by-events")
+    def live_top_users_by_events():
+        """Per-event-type top users, served FROM mergeable topK state
+        when ``topk_state_dir`` holds parts (the r10 MV-served funnel
+        pattern applied to the topKState/topKMerge analog,
+        streaming/topk_state.py): merge-on-read over the incremental
+        parts, ``source: "state"`` + ``refreshed_at``/``staleness_s``
+        from the newest part's commit time. Direct compute (the
+        oracle-backed ``event_type_top_users_state`` query) is the
+        fallback when no maintenance job has written state yet."""
+        try:
+            rows, source, refreshed_at = None, "direct", None
+            if topk_state_dir is not None:
+                from pathlib import Path
+
+                from clickhouse_realtime_analytics_demo_spark.streaming import (
+                    topk_state,
+                )
+
+                parts = sorted(Path(topk_state_dir).glob("b=*"))
+                if parts:
+                    with log.record(
+                        "event_type_top_users_state", kind="rest-state"
+                    ) as ctx:
+                        rows = [
+                            r.asDict()
+                            for r in topk_state.read_topk(
+                                spark, topk_state_dir, ["event_type"], k=5
+                            ).collect()
+                        ]
+                        ctx["rows"] = len(rows)
+                    source = "state"
+                    refreshed_at = max(p.stat().st_mtime for p in parts)
+            if rows is None:
+                rows = run_named("event_type_top_users_state")
+            by_type: dict[str, list] = {}
+            for r in rows:
+                uid = r.get("child", r.get("user_key"))
+                by_type.setdefault(r["event_type"], []).append(
+                    {
+                        "user_id": uid,
+                        "event_count": r["est_count"],
+                        "rank": r["rnk"],
+                    }
+                )
+            return jsonify(
+                {
+                    "event_types": by_type,
+                    "source": source,
+                    "refreshed_at": refreshed_at,
+                    "staleness_s": (
+                        round(max(0.0, time.time() - refreshed_at), 3)
+                        if refreshed_at is not None
+                        else 0.0
+                    ),
+                }
+            )
+        except Exception as exc:
+            return jsonify({"error": str(exc)}), 500
 
     @app.route("/api/live/funnel-depth")
     def live_funnel_depth():

@@ -316,3 +316,53 @@ def test_live_funnel_depth_mv_served(spark, tmp_path):
             "/api/live/funnel-depth"
         ).get_json()
         assert d["levels"] == direct["levels"]
+
+
+def test_live_top_users_by_events_state_served(spark, tmp_path):
+    """r11: with a topk_state_dir holding parts the route serves FROM
+    the merged topK state (source=state, staleness from the newest
+    part), and agrees exactly with the direct-compute fallback — the
+    untrimmed-regime exactness of streaming/topk_state.py on the REST
+    surface. Without parts (or without the dir) it falls back to
+    direct compute."""
+    from clickhouse_realtime_analytics_demo_spark.catalog import table
+    from clickhouse_realtime_analytics_demo_spark.streaming import topk_state
+
+    state_dir = str(tmp_path / "topk_state")
+    app = create_app(
+        spark, SF_DIR, query_log=QueryLog(), topk_state_dir=state_dir
+    )
+    app.testing = True
+    with app.test_client() as c:
+        # dir configured but empty -> direct fallback
+        d = c.get("/api/live/top-users-by-events").get_json()
+        assert d["source"] == "direct" and d["refreshed_at"] is None
+
+        ev = table(spark, SF_DIR, "events")
+        from pyspark.sql import functions as F
+
+        for i in range(3):
+            topk_state.write_batch(
+                ev.filter(F.pmod(F.hash("event_id"), F.lit(3)) == i),
+                ["event_type"],
+                "user_id",
+                state_dir,
+                batch_id=i,
+                counters=65536,
+            )
+        d = c.get("/api/live/top-users-by-events").get_json()
+        assert d["source"] == "state"
+        assert d["refreshed_at"] is not None
+        assert 0.0 <= d["staleness_s"] < 300.0
+        assert d["event_types"]
+        for users in d["event_types"].values():
+            assert [u["rank"] for u in users] == list(range(1, len(users) + 1))
+
+    direct = (
+        create_app(spark, SF_DIR, query_log=QueryLog())
+        .test_client()
+        .get("/api/live/top-users-by-events")
+        .get_json()
+    )
+    assert direct["source"] == "direct"
+    assert d["event_types"] == direct["event_types"]
