@@ -807,3 +807,58 @@ def event_type_top_users_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("event_type", "rnk")
     )
+
+
+@register(
+    "order_status_quantiles_state",
+    # Exact by construction: the state holds per-status value→count
+    # histograms over the integer cents domain (decimal(12,2)×100 is
+    # integral in both engines), merge is count addition, and both
+    # sides pick the value at the pinned nearest-rank
+    # floor(p*(n-1))+1. Same definition as order_value_quantiles, a
+    # structurally different evaluation (histogram cumsum vs row
+    # ranks) — agreement proves the state machinery.
+    oracle="""
+    WITH j AS (
+        SELECT o_orderstatus AS status,
+               CAST(o_totalprice * 100 AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders
+    )
+    SELECT status, CAST(p AS DOUBLE) AS prob, v AS quantile
+    FROM j, (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) probs(p)
+    WHERE rn = CAST(floor(CAST(p AS DOUBLE) * (n - 1)) AS BIGINT) + 1
+    ORDER BY status, prob
+    """,
+)
+def order_status_quantiles_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-value quantiles per order status served FROM
+    mergeable quantile state — the ClickHouse ``quantileExactState``/
+    ``quantileExactMerge`` (AggregatingMergeTree) pattern: the stream
+    splits into four micro-batch histogram partials
+    (streaming/quantile_state.py, value→count maps over the integer
+    cents domain), merges by count addition, and reads nearest-rank
+    quantiles from the cumulative histogram. Batch ≡ merged-state is
+    the property under test; the streaming write/replay/compaction
+    paths are pinned in tests/test_quantile_state.py."""
+    from clickhouse_realtime_analytics_demo_spark.streaming import quantile_state
+
+    orders = table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice") * 100).cast("long")
+    partials = [
+        quantile_state.hist_partial(
+            orders.filter(F.pmod(F.hash("o_orderkey"), F.lit(4)) == i),
+            ["o_orderstatus"],
+            cents,
+        )
+        for i in range(4)
+    ]
+    parts = partials[0]
+    for p in partials[1:]:
+        parts = parts.unionByName(p)
+    merged = quantile_state.merge_states(parts, ["o_orderstatus"])
+    return quantile_state.quantiles_from_state(
+        merged, ["o_orderstatus"], [0.25, 0.5, 0.75, 0.9, 0.99]
+    ).withColumnRenamed("o_orderstatus", "status")

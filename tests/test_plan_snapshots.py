@@ -196,6 +196,10 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # partitioned (the groups-sized cut join this shape replaced
     # would be a broadcast bomb at scale)
     "event_type_top_users_state": ({}, False),
+    # r11: quantileExactState/Merge served query — histogram partials
+    # union into the relational merge; the cumulative and total
+    # windows share ONE group-keyed exchange; no join anywhere
+    "order_status_quantiles_state": ({}, False),
 }
 
 _JOIN_NODES = (
