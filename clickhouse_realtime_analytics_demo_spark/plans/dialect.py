@@ -146,6 +146,22 @@ def _count(args: list[str]) -> str:
     return f"count({', '.join(a.strip() for a in args)})"
 
 
+def _json_path(args: list[str]) -> str:
+    """ClickHouse JSONExtract*(json, 'key'[, 'key2'...]) single/nested
+    key form → get_json_object(json, '$.key[.key2...]'). Numeric
+    indices (1-based array access in ClickHouse) map to [i-1]."""
+    expr = args[0].strip()
+    parts = []
+    for raw in args[1:]:
+        key = _strip_quotes(raw.strip())
+        if key.lstrip("-").isdigit():
+            parts.append(f"[{int(key) - 1}]")
+        else:
+            parts.append(f".{key}")
+    path = "$" + "".join(parts)
+    return f"get_json_object({expr}, '{path}')"
+
+
 _REWRITES: dict[str, Callable[[list[str]], str]] = {
     # date/time extraction (01-create-tables.sql:40-41,50; app.py:92,181)
     "todate": _rename("to_date"),
@@ -229,6 +245,20 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     "arraysort": _rename("array_sort"),
     "splitbychar": lambda a: f"split({a[1].strip()}, {_regex_escaped_literal(a[0])})",
     "splitbystring": lambda a: f"split({a[1].strip()}, {_regex_escaped_literal(a[0])})",
+    # JSON family (ClickHouse sql-reference/functions/json-functions;
+    # the events.props column carries JSON): single-key forms map to
+    # get_json_object path expressions — JVM-side, codegen'd, no UDF
+    "jsonextractstring": lambda a: _json_path(a),
+    "jsonextractraw": lambda a: _json_path(a),
+    "jsonextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
+    "jsonextractuint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
+    "jsonextractfloat": lambda a: f"CAST({_json_path(a)} AS DOUBLE)",
+    "jsonextractbool": lambda a: f"CAST({_json_path(a)} AS BOOLEAN)",
+    "jsonhas": lambda a: f"({_json_path(a)} IS NOT NULL)",
+    "simplejsonextractstring": lambda a: _json_path(a),
+    "simplejsonextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
+    "visitparamextractstring": lambda a: _json_path(a),
+    "visitparamextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
     # dictionary layer (06-add-dictionaries.sql.disabled:139-183;
     # examples/sample_queries.sql:163-221) — plans/dictionaries.py
     "dictget": lambda a: _dictionaries().dict_get_sql(a[0], a[1], a[2]),

@@ -643,3 +643,51 @@ def active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
         .orderBy("custkey")
     )
+
+
+@register(
+    "event_props_json",
+    # JSON semantics pinned identical: both engines extract $.k as a
+    # string and cast to BIGINT (missing key / malformed JSON → NULL
+    # on both sides, exercised by the IS NOT NULL / predicate split);
+    # all aggregates are exact integers.
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS events,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS with_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS distinct_k,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation over the ``props``
+    column — the ClickHouse ``JSONExtract*`` family (visitParamExtract
+    / simpleJSON in older demos) mapped to Spark's ``get_json_object``
+    (§2.8 function map). The extraction is a JVM-side path expression
+    inside whole-stage codegen — no UDF, no Python; at 100 TB only the
+    projected key leaves the scan, and the predicate (`k >= 50`) is a
+    plain integer comparison after extraction."""
+    events = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.count(k).alias("with_k"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.countDistinct(k).alias("distinct_k"),
+            F.sum(F.when(k >= 50, 1).otherwise(0)).alias("high_k"),
+        )
+        .orderBy("event_type")
+    )

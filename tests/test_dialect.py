@@ -254,3 +254,36 @@ def test_array_family_and_split(spark):
         "SELECT arrayJoin(splitByChar(',', 'p,q')) AS v"
     )).collect()
     assert [r.v for r in rows] == ["p", "q"]
+
+
+def test_json_function_rewrites():
+    out = dialect.rewrite(
+        "SELECT JSONExtractInt(props, 'k'), JSONExtractString(props, 'a', 'b'),"
+        " JSONHas(props, 'k'), JSONExtractFloat(props, 'arr', '2') FROM events"
+    )
+    assert "CAST(get_json_object(props, '$.k') AS BIGINT)" in out
+    assert "get_json_object(props, '$.a.b')" in out
+    assert "(get_json_object(props, '$.k') IS NOT NULL)" in out
+    # ClickHouse indices are 1-based; JSONPath is 0-based
+    assert "CAST(get_json_object(props, '$.arr[1]') AS DOUBLE)" in out
+
+
+def test_json_gateway_end_to_end(spark):
+    """ClickHouse-dialect JSON SQL through the gateway, value-checked
+    against DuckDB's json functions on the same parquet files."""
+    catalog.register(spark, SF_DIR)
+    got = gateway.execute(
+        spark,
+        "SELECT event_type, sum(JSONExtractInt(props, 'k')) AS sum_k,"
+        " countIf(JSONHas(props, 'k')) AS with_k"
+        " FROM events GROUP BY event_type ORDER BY event_type",
+    ).df
+    srows = normalize([tuple(r) for r in got.collect()], got.columns)
+    con = duck_connection(SF_DIR)
+    drows = con.sql(
+        "SELECT event_type,"
+        " CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,"
+        " CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_k"
+        " FROM events GROUP BY event_type ORDER BY event_type"
+    ).fetchall()
+    assert srows == normalize(drows, ["event_type", "sum_k", "with_k"])

@@ -200,6 +200,9 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # union into the relational merge; the cumulative and total
     # windows share ONE group-keyed exchange; no join anywhere
     "order_status_quantiles_state": ({}, False),
+    # r11: JSONExtract family — get_json_object is a codegen'd path
+    # expression; pure scan + hash aggregate, no join, no Python
+    "event_props_json": ({}, False),
 }
 
 _JOIN_NODES = (
