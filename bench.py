@@ -153,6 +153,13 @@ HEADLINE = (
     # the Misra-Gries candidate pass + broadcast-pruned exact recount
     # (operators/sketches.py), the bounded-shuffle top-k formulation.
     "doc_token_heavy_hitters",
+    # round 11: the State/Merge family completions — topK state
+    # (partials → relational topKMerge) and quantileExactState
+    # (histogram partials → cumulative nearest-rank), plus the JSON
+    # extraction aggregate (codegen'd get_json_object path).
+    "event_type_top_users_state",
+    "order_status_quantiles_state",
+    "event_props_json",
 )
 
 

@@ -1027,6 +1027,101 @@ def write_heavyhitters_section(rows: list[dict]) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
+def stateparts_probe(spark, part_counts=(8, 64, 256)) -> list[dict]:
+    """Round-11: merge-on-read wall for the new mergeable states
+    (topK, quantile) vs part count — the freshness-vs-parts trade the
+    MV probe measured for sum/HLL partials, applied to the two new
+    State/Merge members. Each rung writes N parts of ~500 rows
+    (5 groups × 100-key child domain), reads best-of-2, compacts to
+    one part, reads again; compacted reads must agree with pre-compact
+    reads (asserted)."""
+    import random as _random
+
+    from clickhouse_realtime_analytics_demo_spark.streaming import (
+        quantile_state,
+        topk_state,
+    )
+
+    rng = _random.Random(11)
+    out = []
+    for n_parts in part_counts:
+        base = tempfile.mkdtemp(prefix=f"stateparts_{n_parts}_")
+        tk, qt = f"{base}/topk", f"{base}/quant"
+        for i in range(n_parts):
+            rows = [
+                ("g%d" % rng.randrange(5), "c%d" % rng.randrange(100),
+                 rng.randrange(0, 10_000))
+                for _ in range(500)
+            ]
+            b = spark.createDataFrame(rows, "g string, child string, v long")
+            topk_state.write_batch(b, ["g"], "child", tk, batch_id=i, counters=256)
+            quantile_state.write_batch(b, ["g"], F.col("v"), qt, batch_id=i)
+
+        def _read_tk():
+            return topk_state.read_topk(spark, tk, ["g"], k=5, counters=256).collect()
+
+        def _read_qt():
+            return quantile_state.read_quantiles(
+                spark, qt, ["g"], [0.5, 0.95]
+            ).collect()
+
+        tk_best = qt_best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter(); tk_rows = _read_tk()
+            tk_best = min(tk_best, time.perf_counter() - t0)
+            t0 = time.perf_counter(); qt_rows = _read_qt()
+            qt_best = min(qt_best, time.perf_counter() - t0)
+        topk_state.compact(spark, tk, ["g"], counters=256)
+        quantile_state.compact(spark, qt, ["g"])
+        t0 = time.perf_counter(); tk_c = _read_tk()
+        tk_compact = time.perf_counter() - t0
+        t0 = time.perf_counter(); qt_c = _read_qt()
+        qt_compact = time.perf_counter() - t0
+        # 100-key domain < 256 counters: both states are untrimmed-
+        # exact here, so folds must preserve reads bit-for-bit (the
+        # trimmed regime's fold bound is tested in test_topk_state.py)
+        assert [tuple(r) for r in qt_c] == [tuple(r) for r in qt_rows]
+        assert [tuple(r) for r in tk_c] == [tuple(r) for r in tk_rows]
+        row = {
+            "parts": n_parts,
+            "topk_read_s": round(tk_best, 2),
+            "topk_compacted_s": round(tk_compact, 2),
+            "quant_read_s": round(qt_best, 2),
+            "quant_compacted_s": round(qt_compact, 2),
+        }
+        out.append(row)
+        print(json.dumps({"stateparts_probe": row}), flush=True)
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def write_stateparts_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## Mergeable state: merge-on-read vs part count"
+    text, tail_sections = _splice_section(text, marker)
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py stateparts` (r11): read wall for the topK and "
+        "quantile State/Merge stores as parts accumulate (500-row parts, "
+        "5 groups), then after one compaction fold. Quantile reads are "
+        "asserted identical pre/post fold (exact state); the fold is the "
+        "AggregatingMergeTree background-merge analog and restores the "
+        "read to its single-part cost — same conclusion as the MV partials "
+        "probe: compaction cadence, not part count, governs freshness.",
+        "",
+        "| parts | topK read (s) | topK after fold | quantile read (s) | quantile after fold |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['parts']} | {r['topk_read_s']} | {r['topk_compacted_s']} |"
+            f" {r['quant_read_s']} | {r['quant_compacted_s']} |"
+        )
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def ann_int8_probe(spark, ks=(1, 10, 40)) -> list[dict]:
     """Round-10: float vs int8 brute-force cosine top-k as the
     embedding corpus grows. The int8 scan's claim is memory (4× vs
@@ -2646,6 +2741,11 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_tfidf")
         rows = tfidf_probe(spark)
         write_tfidf_section(rows)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "stateparts":
+        spark = get_spark(app_name="scale_probe_stateparts")
+        write_stateparts_section(stateparts_probe(spark))
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "heavyhitters":
