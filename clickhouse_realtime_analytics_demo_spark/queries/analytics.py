@@ -780,21 +780,18 @@ def event_type_top_users_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_realtime_analytics_demo_spark.streaming import topk_state
 
     events = table(spark, sf_dir, "events")
-    # An unsalted hash split is a disjoint, covering 4-way partition
-    # of the stream — the union of partials sees every event exactly
-    # once (a salted-per-i hash would not partition).
-    partials = [
-        topk_state.topk_partial(
-            events.filter(F.pmod(F.hash("event_id"), F.lit(4)) == i),
-            ["event_type"],
-            "user_id",
-            counters=65536,
-        )
-        for i in range(4)
-    ]
-    parts = partials[0]
-    for p in partials[1:]:
-        parts = parts.unionByName(p)
+    # Single-scan formulation: the split id joins the partial's GROUP
+    # key (one scan produces four genuine per-split summary rows per
+    # group — the plan a 4-batch stream would have written), and the
+    # merge groups by event_type alone, dropping the split. A filter-
+    # per-split variant scanned events four times for the same result.
+    split = F.pmod(F.hash("event_id"), F.lit(4)).alias("split")
+    parts = topk_state.topk_partial(
+        events.select("event_type", "user_id", split),
+        ["event_type", "split"],
+        "user_id",
+        counters=65536,
+    )
     merged = topk_state.merge_states(parts, ["event_type"], counters=65536)
     entries = merged.select(
         "event_type", F.explode("topk_mg").alias("user_key", "est_count")
@@ -847,18 +844,17 @@ def order_status_quantiles_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice") * 100).cast("long")
-    partials = [
-        quantile_state.hist_partial(
-            orders.filter(F.pmod(F.hash("o_orderkey"), F.lit(4)) == i),
-            ["o_orderstatus"],
-            cents,
-        )
-        for i in range(4)
-    ]
-    parts = partials[0]
-    for p in partials[1:]:
-        parts = parts.unionByName(p)
-    merged = quantile_state.merge_states(parts, ["o_orderstatus"])
+    # Single-scan formulation (see event_type_top_users_state): the
+    # split id rides the partial's group key; the merge drops it.
+    split = F.pmod(F.hash("o_orderkey"), F.lit(4)).alias("split")
+    parts = quantile_state.hist_partial(
+        orders.select("o_orderstatus", "o_totalprice", split),
+        ["o_orderstatus", "split"],
+        cents,
+    )
+    # quantiles_from_state merges the partials by count addition
+    # itself (the storable-map form is only for the write/compaction
+    # path — see quantile_state.merge_states).
     return quantile_state.quantiles_from_state(
-        merged, ["o_orderstatus"], [0.25, 0.5, 0.75, 0.9, 0.99]
+        parts, ["o_orderstatus"], [0.25, 0.5, 0.75, 0.9, 0.99]
     ).withColumnRenamed("o_orderstatus", "status")

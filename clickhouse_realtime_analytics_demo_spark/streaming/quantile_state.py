@@ -55,11 +55,19 @@ def write_batch(
     )
 
 
-def merge_states(parts: DataFrame, keys: list[str]) -> DataFrame:
-    """quantileExactMerge: per-value count addition across parts."""
+def _sum_entries(parts: DataFrame, keys: list[str]) -> DataFrame:
+    """Merged (keys..., bucket, w) entries: per-value count addition
+    across parts — the merge itself, before any map materialization."""
     exploded = parts.select(*keys, F.explode(_COL).alias("bucket", "w"))
-    summed = exploded.groupBy(*keys, "bucket").agg(F.sum("w").alias("w"))
-    return summed.groupBy(*keys).agg(
+    return exploded.groupBy(*keys, "bucket").agg(F.sum("w").alias("w"))
+
+
+def merge_states(parts: DataFrame, keys: list[str]) -> DataFrame:
+    """quantileExactMerge producing STORABLE state (the compaction
+    write path). Read-only consumers should use ``quantiles_from_state``
+    on the parts directly — it skips re-materializing the map just to
+    explode it again."""
+    return _sum_entries(parts, keys).groupBy(*keys).agg(
         F.map_from_entries(F.collect_list(F.struct("bucket", "w"))).alias(_COL)
     )
 
@@ -67,11 +75,12 @@ def merge_states(parts: DataFrame, keys: list[str]) -> DataFrame:
 def quantiles_from_state(
     merged: DataFrame, keys: list[str], probs: list[float]
 ) -> DataFrame:
-    """Nearest-rank quantiles from a merged histogram: cumulative and
-    total windows over ONE group-keyed exchange, then for each p the
-    smallest value whose cumulative count reaches rank
+    """Nearest-rank quantiles from summary rows (state parts OR a
+    merged frame — any mix re-merges by count addition): cumulative
+    and total windows over ONE group-keyed exchange, then for each p
+    the smallest value whose cumulative count reaches rank
     floor(p*(n-1))+1. Output: (keys..., prob double, quantile long)."""
-    entries = merged.select(*keys, F.explode(_COL).alias("bucket", "w"))
+    entries = _sum_entries(merged, keys)
     wcum = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -111,7 +120,9 @@ def read_quantiles(
     spark: SparkSession, state_path: str, keys: list[str], probs: list[float]
 ) -> DataFrame:
     parts = spark.read.parquet(f"{state_path}/b=*")
-    return quantiles_from_state(merge_states(parts, keys), keys, probs)
+    # quantiles_from_state re-merges entries itself — no need to
+    # materialize the merged map just to explode it again.
+    return quantiles_from_state(parts, keys, probs)
 
 
 def compact(spark: SparkSession, state_path: str, keys: list[str]) -> None:
