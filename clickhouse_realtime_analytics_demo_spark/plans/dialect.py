@@ -245,6 +245,19 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     "arraysort": _rename("array_sort"),
     "splitbychar": lambda a: f"split({a[1].strip()}, {_regex_escaped_literal(a[0])})",
     "splitbystring": lambda a: f"split({a[1].strip()}, {_regex_escaped_literal(a[0])})",
+    # array higher-order functions (ClickHouse puts the LAMBDA first,
+    # Spark puts the array first — pure argument reorder; the lambda
+    # text passes through, `x -> expr` is valid in both dialects)
+    "arraymap": lambda a: f"transform({a[1].strip()}, {a[0].strip()})",
+    "arrayfilter": lambda a: f"filter({a[1].strip()}, {a[0].strip()})",
+    "arrayexists": lambda a: f"exists({a[1].strip()}, {a[0].strip()})",
+    "arrayall": lambda a: f"forall({a[1].strip()}, {a[0].strip()})",
+    "arraycount": lambda a: (
+        f"size(filter({a[1].strip()}, {a[0].strip()}))"
+        if len(a) == 2
+        else f"size(filter({a[0].strip()}, x -> x != 0))"
+    ),
+    "arrayfirst": lambda a: f"element_at(filter({a[1].strip()}, {a[0].strip()}), 1)",
     # JSON family (ClickHouse sql-reference/functions/json-functions;
     # the events.props column carries JSON): single-key forms map to
     # get_json_object path expressions — JVM-side, codegen'd, no UDF

@@ -287,3 +287,44 @@ def test_json_gateway_end_to_end(spark):
         " FROM events GROUP BY event_type ORDER BY event_type"
     ).fetchall()
     assert srows == normalize(drows, ["event_type", "sum_k", "with_k"])
+
+
+def test_array_hof_rewrites():
+    out = dialect.rewrite(
+        "SELECT arrayMap(x -> x * 2, arr), arrayFilter(x -> x != '', arr),"
+        " arrayExists(x -> x > 3, arr), arrayAll(x -> x > 0, arr),"
+        " arrayCount(x -> x = 1, arr), arrayCount(arr),"
+        " arrayFirst(x -> x > 9, arr) FROM t"
+    )
+    assert "transform(arr, x -> x * 2)" in out
+    assert "filter(arr, x -> x != '')" in out
+    assert "exists(arr, x -> x > 3)" in out
+    assert "forall(arr, x -> x > 0)" in out
+    assert "size(filter(arr, x -> x = 1))" in out
+    assert "size(filter(arr, x -> x != 0))" in out
+    assert "element_at(filter(arr, x -> x > 9), 1)" in out
+
+
+def test_array_hof_gateway_end_to_end(spark):
+    """ClickHouse lambda-first HOFs through the gateway vs DuckDB's
+    list functions on the same documents parquet — integer outputs so
+    equality is exact."""
+    catalog.register(spark, SF_DIR)
+    got = gateway.execute(
+        spark,
+        "SELECT lang,"
+        " sum(arrayCount(x -> x != '', splitByChar(' ', text))) AS words,"
+        " sum(if(arrayExists(x -> lengthUTF8(x) > 8, splitByChar(' ', text)), 1, 0))"
+        "   AS docs_with_long_word"
+        " FROM documents WHERE text IS NOT NULL GROUP BY lang ORDER BY lang",
+    ).df
+    srows = normalize([tuple(r) for r in got.collect()], got.columns)
+    con = duck_connection(SF_DIR)
+    drows = con.sql(
+        "SELECT lang,"
+        " CAST(SUM(length(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS words,"
+        " CAST(SUM(CASE WHEN length(list_filter(string_split(text, ' '), x -> length(x) > 8)) > 0"
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_long_word"
+        " FROM documents WHERE text IS NOT NULL GROUP BY lang ORDER BY lang"
+    ).fetchall()
+    assert srows == normalize(drows, ["lang", "words", "docs_with_long_word"])
