@@ -152,3 +152,39 @@ def test_ntile_arithmetic_law(spark, n, k):
         .collect()
     ]
     assert got == want
+
+
+# ------------------------------------------------- Misra-Gries summaries
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=2_000),
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=1, max_value=257),
+)
+@settings(deadline=None, max_examples=40)
+def test_mg_trim_laws_random_streams(vals, counters, batch):
+    """The two Misra-Gries invariants on arbitrary integer streams at
+    arbitrary batch sizes: (1) every reported weight is a lower bound
+    undercounting by at most N/(counters+1); (2) every key with true
+    count above that threshold survives. Keys drawn from a small
+    domain so collisions and trims actually happen."""
+    import pandas as pd
+
+    from clickhouse_realtime_analytics_demo_spark.operators import sketches
+
+    stream = [f"k{v}" for v in vals]
+    counts: dict = {}
+    for i in range(0, len(stream), batch):
+        s = pd.Series(stream[i : i + batch]).value_counts()
+        counts = sketches._mg_merge_trim(counts, s, counters)
+    truth: dict = {}
+    for k in stream:
+        truth[k] = truth.get(k, 0) + 1
+    bound = len(stream) / (counters + 1.0)
+    assert len(counts) <= counters
+    for k, w in counts.items():
+        assert w <= truth[k]
+        assert truth[k] - w <= bound
+    for k, c in truth.items():
+        if c > bound:
+            assert k in counts
