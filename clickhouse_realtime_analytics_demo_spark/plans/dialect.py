@@ -245,6 +245,35 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     "arraysort": _rename("array_sort"),
     "splitbychar": lambda a: f"split({a[1].strip()}, {_regex_escaped_literal(a[0])})",
     "splitbystring": lambda a: f"split({a[1].strip()}, {_regex_escaped_literal(a[0])})",
+    # date-part extraction (sql-reference/functions/date-time-functions)
+    "toyear": _rename("year"),
+    "toquarter": _rename("quarter"),
+    "tomonth": _rename("month"),
+    "todayofmonth": _rename("day"),
+    "tominute": _rename("minute"),
+    "tosecond": _rename("second"),
+    # ClickHouse toDayOfWeek: Monday=1..Sunday=7; Spark dayofweek:
+    # Sunday=1..Saturday=7 — shift so both agree (DuckDB isodow twin)
+    "todayofweek": lambda a: f"(((dayofweek({a[0].strip()}) + 5) % 7) + 1)",
+    # string functions (sql-reference/functions/string-functions;
+    # position/instr are both 1-based, 0 when absent — identical)
+    "position": lambda a: f"instr({a[0].strip()}, {a[1].strip()})",
+    "positioncaseinsensitive": lambda a: (
+        f"instr(lower({a[0].strip()}), lower({a[1].strip()}))"
+    ),
+    "startswith": _rename("startswith"),
+    "endswith": _rename("endswith"),
+    "substringutf8": _rename("substring"),
+    "trimleft": _rename("ltrim"),
+    "trimright": _rename("rtrim"),
+    "trimboth": _rename("trim"),
+    "leftpad": _rename("lpad"),
+    "rightpad": _rename("rpad"),
+    "concatwithseparator": _rename("concat_ws"),
+    "replaceall": _rename("replace"),
+    "replaceregexpall": lambda a: (
+        f"regexp_replace({a[0].strip()}, {a[1].strip()}, {a[2].strip()})"
+    ),
     # array higher-order functions (ClickHouse puts the LAMBDA first,
     # Spark puts the array first — pure argument reorder; the lambda
     # text passes through, `x -> expr` is valid in both dialects)

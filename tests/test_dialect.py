@@ -328,3 +328,45 @@ def test_array_hof_gateway_end_to_end(spark):
         " FROM documents WHERE text IS NOT NULL GROUP BY lang ORDER BY lang"
     ).fetchall()
     assert srows == normalize(drows, ["lang", "words", "docs_with_long_word"])
+
+
+def test_scalar_string_date_rewrites():
+    out = dialect.rewrite(
+        "SELECT toYear(ts), toQuarter(ts), toMonth(ts), toDayOfMonth(ts),"
+        " toDayOfWeek(ts), toMinute(ts), toSecond(ts),"
+        " position(name, 'abc'), positionCaseInsensitive(name, 'ABC'),"
+        " startsWith(name, 'a'), endsWith(name, 'z'), trimBoth(name),"
+        " leftPad(name, 5, ' '), concatWithSeparator('-', a, b),"
+        " replaceAll(name, 'x', 'y'), replaceRegexpAll(name, '[0-9]', '#')"
+        " FROM t"
+    )
+    for frag in (
+        "year(ts)", "quarter(ts)", "month(ts)", "day(ts)",
+        "(((dayofweek(ts) + 5) % 7) + 1)", "minute(ts)", "second(ts)",
+        "instr(name, 'abc')", "instr(lower(name), lower('ABC'))",
+        "startswith(name, 'a')", "endswith(name, 'z')", "trim(name)",
+        "lpad(name, 5, ' ')", "concat_ws('-', a, b)",
+        "replace(name, 'x', 'y')", "regexp_replace(name, '[0-9]', '#')",
+    ):
+        assert frag in out, (frag, out)
+
+
+def test_scalar_gateway_end_to_end(spark):
+    """ClickHouse scalar forms through the gateway vs DuckDB —
+    notably toDayOfWeek's Monday=1 convention (DuckDB isodow twin)
+    and 1-based position()."""
+    catalog.register(spark, SF_DIR)
+    got = gateway.execute(
+        spark,
+        "SELECT toDayOfWeek(ts) AS dow, count() AS events,"
+        " countIf(position(event_type, 'a') > 0) AS with_a"
+        " FROM events GROUP BY dow ORDER BY dow",
+    ).df
+    srows = normalize([tuple(r) for r in got.collect()], got.columns)
+    con = duck_connection(SF_DIR)
+    drows = con.sql(
+        "SELECT CAST(isodow(ts) AS INT) AS dow, COUNT(*) AS events,"
+        " CAST(SUM(CASE WHEN strpos(event_type, 'a') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS with_a"
+        " FROM events GROUP BY dow ORDER BY dow"
+    ).fetchall()
+    assert srows == normalize(drows, ["dow", "events", "with_a"])
