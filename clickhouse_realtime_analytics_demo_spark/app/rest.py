@@ -550,6 +550,12 @@ def create_app(
 
         return jsonify(introspect.dictionary_stats())
 
+    @app.route("/api/system/functions")
+    def system_functions():
+        from clickhouse_realtime_analytics_demo_spark.ops import introspect
+
+        return jsonify(introspect.function_stats())
+
     @app.route("/api/system/query-log")
     def system_query_log():
         entries = log.entries()[-int(request.args.get("limit", "100")) :]

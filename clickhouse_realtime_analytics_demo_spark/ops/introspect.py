@@ -81,6 +81,24 @@ def dictionary_stats() -> list[dict]:
     return list(loaded_dictionaries().values())
 
 
+def function_stats() -> list[dict]:
+    """``system.functions`` analog: every ClickHouse-dialect function
+    name the gateway rewrites, with the Spark form it becomes (a
+    1-arg probe rendering — enough for a dashboard to show the
+    mapping). Names not listed pass through to Spark SQL untouched,
+    exactly like ClickHouse's native functions."""
+    from clickhouse_realtime_analytics_demo_spark.plans.dialect import _REWRITES
+
+    out = []
+    for name in sorted(_REWRITES):
+        try:
+            spark_form = _REWRITES[name](["x", "'k'", "1"])
+        except Exception:
+            spark_form = "(context-dependent)"
+        out.append({"name": name, "origin": "dialect", "spark_form": spark_form})
+    return out
+
+
 def explain(df: DataFrame, mode: str = "formatted") -> str:
     """Formatted physical plan string (EXPLAIN surface, X13)."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]

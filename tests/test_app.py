@@ -366,3 +366,17 @@ def test_live_top_users_by_events_state_served(spark, tmp_path):
     )
     assert direct["source"] == "direct"
     assert d["event_types"] == direct["event_types"]
+
+
+def test_system_functions(client):
+    """system.functions analog: every dialect rewrite is listed with
+    its Spark form; spot-check entries across the r11 families."""
+    rows = client.get("/api/system/functions").get_json()
+    by_name = {r["name"]: r for r in rows}
+    assert len(rows) >= 80
+    assert "todate" in by_name and "to_date" in by_name["todate"]["spark_form"]
+    assert "jsonextractint" in by_name
+    assert "get_json_object" in by_name["jsonextractint"]["spark_form"]
+    assert "arraymap" in by_name and "transform" in by_name["arraymap"]["spark_form"]
+    assert "todayofweek" in by_name
+    assert all(r["origin"] == "dialect" for r in rows)
