@@ -58,6 +58,7 @@ def create_app(
     lake_dir: str | None = None,
     refresh_dir: str | None = None,
     topk_state_dir: str | None = None,
+    topk_counters: int = 2048,
 ) -> Flask:
     app = Flask(__name__)
     log = query_log if query_log is not None else QueryLog()
@@ -321,26 +322,41 @@ def create_app(
         try:
             rows, source, refreshed_at = None, "direct", None
             if topk_state_dir is not None:
-                from pathlib import Path
-
+                from clickhouse_realtime_analytics_demo_spark.streaming import (
+                    parts as parts_store,
+                )
                 from clickhouse_realtime_analytics_demo_spark.streaming import (
                     topk_state,
                 )
 
-                parts = sorted(Path(topk_state_dir).glob("b=*"))
+                parts = parts_store.live_part_dirs(topk_state_dir)
                 if parts:
-                    with log.record(
-                        "event_type_top_users_state", kind="rest-state"
-                    ) as ctx:
-                        rows = [
-                            r.asDict()
-                            for r in topk_state.read_topk(
-                                spark, topk_state_dir, ["event_type"], k=5
-                            ).collect()
-                        ]
-                        ctx["rows"] = len(rows)
-                    source = "state"
-                    refreshed_at = max(p.stat().st_mtime for p in parts)
+                    # A state-read failure (e.g. the maintenance job
+                    # racing a part write/compaction beyond the grace
+                    # window) degrades to direct compute, never a 500
+                    # (r11 ADVICE rest.py:337). counters rides the same
+                    # config the maintenance job was started with —
+                    # reading with a different width silently changes
+                    # the MG trim regime.
+                    try:
+                        with log.record(
+                            "event_type_top_users_state", kind="rest-state"
+                        ) as ctx:
+                            rows = [
+                                r.asDict()
+                                for r in topk_state.read_topk(
+                                    spark,
+                                    topk_state_dir,
+                                    ["event_type"],
+                                    k=5,
+                                    counters=topk_counters,
+                                ).collect()
+                            ]
+                            ctx["rows"] = len(rows)
+                        source = "state"
+                        refreshed_at = max(p.stat().st_mtime for p in parts)
+                    except Exception:
+                        rows, source, refreshed_at = None, "direct", None
             if rows is None:
                 rows = run_named("event_type_top_users_state")
             by_type: dict[str, list] = {}

@@ -112,13 +112,21 @@ def _format_readable_size(args: list[str]) -> str:
     return f"(CASE {branches}ELSE concat(CAST(round({x}, 2) AS STRING), ' B') END)"
 
 
+def _cond(arg: str) -> str:
+    """ClickHouse -If combinators accept UInt8 conditions (nonzero =
+    true, e.g. countIf(JSONHas(...))); Spark's count_if/CASE want
+    BOOLEAN. CAST(... AS BOOLEAN) is an identity on booleans and the
+    nonzero test on integers — exactly ClickHouse's coercion."""
+    return f"CAST({arg.strip()} AS BOOLEAN)"
+
+
 def _sum_if(args: list[str]) -> str:
     # ClickHouse sumIf returns 0 (not NULL) when nothing matches.
-    return f"coalesce(sum(CASE WHEN {args[1].strip()} THEN {args[0].strip()} END), 0)"
+    return f"coalesce(sum(CASE WHEN {_cond(args[1])} THEN {args[0].strip()} END), 0)"
 
 
 def _avg_if(args: list[str]) -> str:
-    return f"avg(CASE WHEN {args[1].strip()} THEN {args[0].strip()} END)"
+    return f"avg(CASE WHEN {_cond(args[1])} THEN {args[0].strip()} END)"
 
 
 def _regex_escaped_literal(arg: str) -> str:
@@ -149,17 +157,46 @@ def _count(args: list[str]) -> str:
 def _json_path(args: list[str]) -> str:
     """ClickHouse JSONExtract*(json, 'key'[, 'key2'...]) single/nested
     key form → get_json_object(json, '$.key[.key2...]'). Numeric
-    indices (1-based array access in ClickHouse) map to [i-1]."""
+    indices (1-based array access in ClickHouse) map to [i-1]. Keys
+    containing a dot (or other JSONPath metacharacters) take the
+    bracket form ``$['key.with.dots']`` so they read ONE key, not a
+    nested path. Negative (from-the-end) indices are rejected — Spark's
+    get_json_object JSONPath has no from-the-end addressing, and a
+    silent [-n-1] translation would always read NULL (r11 ADVICE
+    dialect.py:164)."""
     expr = args[0].strip()
     parts = []
     for raw in args[1:]:
         key = _strip_quotes(raw.strip())
         if key.lstrip("-").isdigit():
-            parts.append(f"[{int(key) - 1}]")
-        else:
+            idx = int(key)
+            if idx < 0:
+                raise ValueError(
+                    "JSONExtract: negative (from-the-end) indices are not "
+                    "supported by Spark's get_json_object JSONPath"
+                )
+            parts.append(f"[{idx - 1}]")
+        elif key.isidentifier():
             parts.append(f".{key}")
+        else:
+            if "'" in key or "\\" in key:
+                raise ValueError(
+                    f"JSONExtract: key {key!r} contains a quote/backslash — "
+                    "not expressible in Spark's JSONPath literal"
+                )
+            parts.append(f"['{key}']")
     path = "$" + "".join(parts)
-    return f"get_json_object({expr}, '{path}')"
+    # bracket-form keys put single quotes INSIDE the SQL string
+    # literal — backslash-escape them for Spark's parser
+    return f"get_json_object({expr}, '{path.replace(chr(39), chr(92) + chr(39))}')"
+
+
+def _hof_reject(name: str, n_arrays: int) -> str:
+    raise ValueError(
+        f"{name}: {n_arrays} array arguments — Spark's array HOFs take one "
+        "array (arrayMap's 2-array form maps to zip_with; others have no "
+        "multi-array twin)"
+    )
 
 
 _REWRITES: dict[str, Callable[[list[str]], str]] = {
@@ -185,7 +222,7 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     "uniq": _rename("approx_count_distinct"),
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(x.strip() for x in a)})",
     "uniqcombined": _rename("approx_count_distinct"),
-    "countif": _rename("count_if"),
+    "countif": lambda a: f"count_if({_cond(a[0])})",
     "sumif": _sum_if,
     "avgif": _avg_if,
     "grouparray": _rename("collect_list"),
@@ -214,10 +251,10 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     "lowerutf8": _rename("lower"),
     "upperutf8": _rename("upper"),
     "ifnull": _rename("coalesce"),
-    "if": lambda a: f"(CASE WHEN {a[0].strip()} THEN {a[1].strip()} ELSE {a[2].strip()} END)",
+    "if": lambda a: f"(CASE WHEN {_cond(a[0])} THEN {a[1].strip()} ELSE {a[2].strip()} END)",
     "multiif": lambda a: "(CASE "
     + " ".join(
-        f"WHEN {a[i].strip()} THEN {a[i + 1].strip()}" for i in range(0, len(a) - 1, 2)
+        f"WHEN {_cond(a[i])} THEN {a[i + 1].strip()}" for i in range(0, len(a) - 1, 2)
     )
     + f" ELSE {a[-1].strip()} END)",
     "has": _rename("array_contains"),
@@ -256,10 +293,19 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     # Sunday=1..Saturday=7 — shift so both agree (DuckDB isodow twin)
     "todayofweek": lambda a: f"(((dayofweek({a[0].strip()}) + 5) % 7) + 1)",
     # string functions (sql-reference/functions/string-functions;
-    # position/instr are both 1-based, 0 when absent — identical)
-    "position": lambda a: f"instr({a[0].strip()}, {a[1].strip()})",
+    # position/instr are both 1-based, 0 when absent — identical).
+    # The 3-arg start_pos form maps to locate(needle, haystack, pos)
+    # — instr has no start argument, and dropping it silently returned
+    # the wrong position (r11 ADVICE dialect.py:260).
+    "position": lambda a: (
+        f"instr({a[0].strip()}, {a[1].strip()})"
+        if len(a) == 2
+        else f"locate({a[1].strip()}, {a[0].strip()}, {a[2].strip()})"
+    ),
     "positioncaseinsensitive": lambda a: (
         f"instr(lower({a[0].strip()}), lower({a[1].strip()}))"
+        if len(a) == 2
+        else f"locate(lower({a[1].strip()}), lower({a[0].strip()}), {a[2].strip()})"
     ),
     "startswith": _rename("startswith"),
     "endswith": _rename("endswith"),
@@ -276,31 +322,66 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     ),
     # array higher-order functions (ClickHouse puts the LAMBDA first,
     # Spark puts the array first — pure argument reorder; the lambda
-    # text passes through, `x -> expr` is valid in both dialects)
-    "arraymap": lambda a: f"transform({a[1].strip()}, {a[0].strip()})",
-    "arrayfilter": lambda a: f"filter({a[1].strip()}, {a[0].strip()})",
-    "arrayexists": lambda a: f"exists({a[1].strip()}, {a[0].strip()})",
-    "arrayall": lambda a: f"forall({a[1].strip()}, {a[0].strip()})",
+    # text passes through, `x -> expr` is valid in both dialects).
+    # ClickHouse's multi-array forms: arrayMap(lam, a1, a2) has an
+    # exact Spark twin in zip_with; the other HOFs have none, so >1
+    # array RAISES instead of silently dropping the extra arrays and
+    # computing wrong results (r11 ADVICE dialect.py:260).
+    "arraymap": lambda a: (
+        f"transform({a[1].strip()}, {a[0].strip()})"
+        if len(a) == 2
+        else f"zip_with({a[1].strip()}, {a[2].strip()}, {a[0].strip()})"
+        if len(a) == 3
+        else _hof_reject("arrayMap", len(a) - 1)
+    ),
+    "arrayfilter": lambda a: (
+        f"filter({a[1].strip()}, {a[0].strip()})"
+        if len(a) == 2
+        else _hof_reject("arrayFilter", len(a) - 1)
+    ),
+    "arrayexists": lambda a: (
+        f"exists({a[1].strip()}, {a[0].strip()})"
+        if len(a) == 2
+        else _hof_reject("arrayExists", len(a) - 1)
+    ),
+    "arrayall": lambda a: (
+        f"forall({a[1].strip()}, {a[0].strip()})"
+        if len(a) == 2
+        else _hof_reject("arrayAll", len(a) - 1)
+    ),
     "arraycount": lambda a: (
         f"size(filter({a[1].strip()}, {a[0].strip()}))"
         if len(a) == 2
         else f"size(filter({a[0].strip()}, x -> x != 0))"
+        if len(a) == 1
+        else _hof_reject("arrayCount", len(a) - 1)
     ),
-    "arrayfirst": lambda a: f"element_at(filter({a[1].strip()}, {a[0].strip()}), 1)",
+    "arrayfirst": lambda a: (
+        f"element_at(filter({a[1].strip()}, {a[0].strip()}), 1)"
+        if len(a) == 2
+        else _hof_reject("arrayFirst", len(a) - 1)
+    ),
     # JSON family (ClickHouse sql-reference/functions/json-functions;
     # the events.props column carries JSON): single-key forms map to
     # get_json_object path expressions — JVM-side, codegen'd, no UDF
+    # Numeric/bool extractors coalesce to ClickHouse's documented
+    # missing-/mistyped-key defaults (0 / 0.0 / false), and JSONHas
+    # yields 0/1 INT (UInt8 analog, summable) — a bare CAST's NULL
+    # diverges from ClickHouse in avg(), comparisons, and NULL-skipping
+    # aggregates (r11 ADVICE dialect.py:295). Known residual
+    # divergence: JSONHas('{"a":null}','a') is 1 in ClickHouse but 0
+    # here (get_json_object can't tell a JSON null from a missing key).
     "jsonextractstring": lambda a: _json_path(a),
     "jsonextractraw": lambda a: _json_path(a),
-    "jsonextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
-    "jsonextractuint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
-    "jsonextractfloat": lambda a: f"CAST({_json_path(a)} AS DOUBLE)",
-    "jsonextractbool": lambda a: f"CAST({_json_path(a)} AS BOOLEAN)",
-    "jsonhas": lambda a: f"({_json_path(a)} IS NOT NULL)",
+    "jsonextractint": lambda a: f"coalesce(CAST({_json_path(a)} AS BIGINT), 0)",
+    "jsonextractuint": lambda a: f"coalesce(CAST({_json_path(a)} AS BIGINT), 0)",
+    "jsonextractfloat": lambda a: f"coalesce(CAST({_json_path(a)} AS DOUBLE), 0.0d)",
+    "jsonextractbool": lambda a: f"coalesce(CAST({_json_path(a)} AS BOOLEAN), false)",
+    "jsonhas": lambda a: f"CAST({_json_path(a)} IS NOT NULL AS INT)",
     "simplejsonextractstring": lambda a: _json_path(a),
-    "simplejsonextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
+    "simplejsonextractint": lambda a: f"coalesce(CAST({_json_path(a)} AS BIGINT), 0)",
     "visitparamextractstring": lambda a: _json_path(a),
-    "visitparamextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
+    "visitparamextractint": lambda a: f"coalesce(CAST({_json_path(a)} AS BIGINT), 0)",
     # dictionary layer (06-add-dictionaries.sql.disabled:139-183;
     # examples/sample_queries.sql:163-221) — plans/dictionaries.py
     "dictget": lambda a: _dictionaries().dict_get_sql(a[0], a[1], a[2]),

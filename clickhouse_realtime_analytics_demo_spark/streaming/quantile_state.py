@@ -119,28 +119,31 @@ def quantiles_from_state(
 def read_quantiles(
     spark: SparkSession, state_path: str, keys: list[str], probs: list[float]
 ) -> DataFrame:
-    parts = spark.read.parquet(f"{state_path}/b=*")
-    # quantiles_from_state re-merges entries itself — no need to
-    # materialize the merged map just to explode it again.
+    from clickhouse_realtime_analytics_demo_spark.streaming import topk_state
+
+    # Manifest-aware live-part read (shared helper) — quantiles_from_
+    # state re-merges entries itself, so no map re-materialization.
+    parts = topk_state._read_live_parts(spark, state_path)
     return quantiles_from_state(parts, keys, probs)
 
 
-def compact(spark: SparkSession, state_path: str, keys: list[str]) -> None:
-    """Fold all parts into one (the AggregatingMergeTree background
-    merge); same commit-then-remove order as topk_state.compact."""
-    import shutil
-    from pathlib import Path
+def compact(
+    spark: SparkSession,
+    state_path: str,
+    keys: list[str],
+    checkpoint_dir: str | None = None,
+) -> bool:
+    """Fold all live parts into one via the shared crash-safe store
+    (atomic publish + tombstone grace + commit gate — see
+    topk_state.compact for the full contract)."""
+    from clickhouse_realtime_analytics_demo_spark.streaming import parts as store
 
-    root = Path(state_path)
-    part_dirs = sorted(d for d in root.glob("b=*") if d.is_dir())
-    if len(part_dirs) < 2:
-        return
-    folded = merge_states(spark.read.parquet(f"{state_path}/b=*"), keys)
-    tmp = root / "_folding"
-    folded.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-    for d in part_dirs:
-        shutil.rmtree(d)
-    tmp.rename(part_dirs[0])
+    return store.compact_parts(
+        state_path,
+        read_parts=lambda dirs: spark.read.parquet(*dirs),
+        fold=lambda df: merge_states(df, keys).coalesce(1),
+        checkpoint_dir=checkpoint_dir,
+    )
 
 
 def start_incremental(

@@ -99,6 +99,27 @@ def merge_states(
     )
 
 
+def _read_live_parts(spark: SparkSession, state_path: str) -> DataFrame:
+    """Manifest-aware snapshot read of the live part set (the
+    parts.live_part_dirs contract): readers never see a half-published
+    fold, and a fold's inputs stay resolvable for the whole tombstone
+    grace window even after the merge publishes."""
+    from clickhouse_realtime_analytics_demo_spark.streaming import parts as store
+
+    dirs = [str(d) for d in store.live_part_dirs(state_path)]
+    if not dirs:
+        raise FileNotFoundError(f"no state parts under {state_path}")
+    try:
+        return spark.read.parquet(*dirs)
+    except Exception as e:  # one re-list covers the listing→read race
+        if not store.is_transient_listing_race(e):
+            raise
+        dirs = [str(d) for d in store.live_part_dirs(state_path)]
+        if not dirs:
+            raise FileNotFoundError(f"no state parts under {state_path}") from e
+        return spark.read.parquet(*dirs)
+
+
 def read_topk(
     spark: SparkSession,
     state_path: str,
@@ -108,7 +129,7 @@ def read_topk(
 ) -> DataFrame:
     """Merge-on-read final: top-k children per group with their
     (lower bound, undercount ≤ N/(counters+1)) weights."""
-    parts = spark.read.parquet(f"{state_path}/b=*")
+    parts = _read_live_parts(spark, state_path)
     merged = merge_states(parts, keys, counters)
     entries = merged.select(*keys, F.explode("topk_mg").alias("child", "w"))
     w = Window.partitionBy(*keys).orderBy(F.col("w").desc(), F.col("child").asc())
@@ -154,23 +175,32 @@ def start_incremental(
     )
 
 
-def compact(spark: SparkSession, state_path: str, keys: list[str],
-            counters: int = 2048) -> None:
-    """Fold all parts into one (the AggregatingMergeTree background
-    merge). Reuses the b=<id> layout: the fold lands in the lowest
-    part id and the rest are removed only after the new part commits.
-    """
-    import shutil
-    from pathlib import Path
+def compact(
+    spark: SparkSession,
+    state_path: str,
+    keys: list[str],
+    counters: int = 2048,
+    checkpoint_dir: str | None = None,
+) -> bool:
+    """Fold all live parts into one (the AggregatingMergeTree
+    background merge), through the shared crash-safe part store
+    (``streaming/parts.py``): the fold is written to a dot-hidden dir,
+    published by a single atomic rename with a manifest excluding its
+    inputs, and the inputs are tombstoned for a grace window rather
+    than deleted under concurrent readers. A crash at any step is
+    replayed or rolled back on the next call — readers never see a
+    half-committed fold or a stranded ``_folding`` dir (the pre-r12
+    delete-then-rename scheme had both failure modes).
 
-    root = Path(state_path)
-    part_dirs = sorted(d for d in root.glob("b=*") if d.is_dir())
-    if len(part_dirs) < 2:
-        return
-    parts = spark.read.parquet(f"{state_path}/b=*")
-    folded = merge_states(parts, keys, counters)
-    tmp = root / "_folding"
-    folded.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-    for d in part_dirs:
-        shutil.rmtree(d)
-    tmp.rename(part_dirs[0])
+    With ``checkpoint_dir``, only stream-committed batch ids fold (the
+    mv.compact commit gate) so crash-replayed batches can't re-appear
+    next to a fold that already contains them. Returns True if a fold
+    published."""
+    from clickhouse_realtime_analytics_demo_spark.streaming import parts as store
+
+    return store.compact_parts(
+        state_path,
+        read_parts=lambda dirs: spark.read.parquet(*dirs),
+        fold=lambda df: merge_states(df, keys, counters).coalesce(1),
+        checkpoint_dir=checkpoint_dir,
+    )

@@ -329,8 +329,12 @@ def test_live_top_users_by_events_state_served(spark, tmp_path):
     from clickhouse_realtime_analytics_demo_spark.streaming import topk_state
 
     state_dir = str(tmp_path / "topk_state")
+    # counters plumbed through create_app so the route reads with the
+    # same width the maintenance job wrote (r11 ADVICE: a mismatched
+    # default silently changes the MG trim regime)
     app = create_app(
-        spark, SF_DIR, query_log=QueryLog(), topk_state_dir=state_dir
+        spark, SF_DIR, query_log=QueryLog(), topk_state_dir=state_dir,
+        topk_counters=65536,
     )
     app.testing = True
     with app.test_client() as c:
@@ -366,6 +370,26 @@ def test_live_top_users_by_events_state_served(spark, tmp_path):
     )
     assert direct["source"] == "direct"
     assert d["event_types"] == direct["event_types"]
+
+
+def test_live_top_users_state_read_failure_falls_back(spark, tmp_path):
+    """r11 ADVICE (rest.py:337): a state-read failure — here a part
+    dir with no readable parquet, the shape a racing writer leaves
+    mid-write beyond the retry — must degrade to direct compute
+    (source=direct, HTTP 200), never a 500."""
+    state_dir = tmp_path / "topk_state"
+    junk = state_dir / "b=0"
+    junk.mkdir(parents=True)
+    (junk / "not-parquet.txt").write_text("torn write")
+    app = create_app(
+        spark, SF_DIR, query_log=QueryLog(), topk_state_dir=str(state_dir)
+    )
+    app.testing = True
+    resp = app.test_client().get("/api/live/top-users-by-events")
+    assert resp.status_code == 200
+    d = resp.get_json()
+    assert d["source"] == "direct"
+    assert d["event_types"]
 
 
 def test_system_functions(client):

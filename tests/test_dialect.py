@@ -27,7 +27,7 @@ def test_function_renames():
     assert "to_date(ts)" in out
     assert "hour(ts)" in out
     assert "approx_count_distinct(user_id)" in out
-    assert "count_if(x > 1)" in out
+    assert "count_if(CAST(x > 1 AS BOOLEAN))" in out
 
 
 def test_nested_calls_rewrite():
@@ -50,7 +50,12 @@ def test_comments_untouched():
 
 def test_sumif_zero_default():
     out = dialect.rewrite("SELECT sumIf(revenue, event_type = 'purchase') FROM t")
-    assert out == "SELECT coalesce(sum(CASE WHEN event_type = 'purchase' THEN revenue END), 0) FROM t"
+    # the CAST(... AS BOOLEAN) wrap is ClickHouse's UInt8-condition
+    # coercion (identity on booleans) — see dialect._cond
+    assert out == (
+        "SELECT coalesce(sum(CASE WHEN CAST(event_type = 'purchase' AS BOOLEAN)"
+        " THEN revenue END), 0) FROM t"
+    )
 
 
 def test_prewhere_merges_into_where():
@@ -74,8 +79,13 @@ def test_numbers_table_function():
 
 def test_multiif_and_if():
     out = dialect.rewrite("SELECT multiIf(a > 1, 'x', b > 2, 'y', 'z'), if(c, 1, 0) FROM t")
-    assert "CASE WHEN a > 1 THEN 'x' WHEN b > 2 THEN 'y' ELSE 'z' END" in out
-    assert "CASE WHEN c THEN 1 ELSE 0 END" in out
+    # conditions ride dialect._cond (ClickHouse UInt8 coercion) — the
+    # bare-int form if(c, 1, 0) is the very case that needs it
+    assert (
+        "CASE WHEN CAST(a > 1 AS BOOLEAN) THEN 'x'"
+        " WHEN CAST(b > 2 AS BOOLEAN) THEN 'y' ELSE 'z' END"
+    ) in out
+    assert "CASE WHEN CAST(c AS BOOLEAN) THEN 1 ELSE 0 END" in out
 
 
 def test_datediff_month_boundary_semantics(spark):
@@ -261,11 +271,42 @@ def test_json_function_rewrites():
         "SELECT JSONExtractInt(props, 'k'), JSONExtractString(props, 'a', 'b'),"
         " JSONHas(props, 'k'), JSONExtractFloat(props, 'arr', '2') FROM events"
     )
-    assert "CAST(get_json_object(props, '$.k') AS BIGINT)" in out
+    # numeric extracts coalesce to ClickHouse's missing-key defaults
+    # (0 / 0.0), JSONHas is a summable 0/1 INT (r11 ADVICE)
+    assert "coalesce(CAST(get_json_object(props, '$.k') AS BIGINT), 0)" in out
     assert "get_json_object(props, '$.a.b')" in out
-    assert "(get_json_object(props, '$.k') IS NOT NULL)" in out
+    assert "CAST(get_json_object(props, '$.k') IS NOT NULL AS INT)" in out
     # ClickHouse indices are 1-based; JSONPath is 0-based
-    assert "CAST(get_json_object(props, '$.arr[1]') AS DOUBLE)" in out
+    assert "coalesce(CAST(get_json_object(props, '$.arr[1]') AS DOUBLE), 0.0d)" in out
+
+
+def test_json_edge_cases():
+    """r11 ADVICE (dialect.py:164/295): dotted keys take bracket form
+    (one key, not a nested path); negative indices and quoted keys
+    raise instead of silently reading NULL; missing keys yield the
+    ClickHouse 0/0.0/false defaults end-to-end."""
+    import pytest
+
+    out = dialect.rewrite("SELECT JSONExtractString(props, 'a.b') FROM t")
+    assert "get_json_object(props, '$[\\'a.b\\']')" in out
+    with pytest.raises(ValueError, match="negative"):
+        dialect.rewrite("SELECT JSONExtractString(props, '-1') FROM t")
+    with pytest.raises(ValueError, match="quote"):
+        dialect.rewrite("SELECT JSONExtractString(props, 'a\\'b') FROM t")
+
+
+def test_json_missing_key_defaults(spark):
+    """Missing/mistyped keys: Int→0, Float→0.0, Bool→false, JSONHas
+    sums — the ClickHouse-documented defaults, not NULL."""
+    row = spark.sql(
+        dialect.rewrite(
+            "SELECT JSONExtractInt('{\"a\":1}', 'missing') AS i,"
+            " JSONExtractFloat('{}', 'x') AS f,"
+            " JSONExtractBool('{}', 'x') AS b,"
+            " JSONHas('{\"a\":1}', 'a') + JSONHas('{}', 'a') AS h"
+        )
+    ).collect()[0]
+    assert (row.i, row.f, row.b, row.h) == (0, 0.0, False, 1)
 
 
 def test_json_gateway_end_to_end(spark):
@@ -303,6 +344,40 @@ def test_array_hof_rewrites():
     assert "size(filter(arr, x -> x = 1))" in out
     assert "size(filter(arr, x -> x != 0))" in out
     assert "element_at(filter(arr, x -> x > 9), 1)" in out
+
+
+def test_array_hof_multi_array_forms(spark):
+    """r11 ADVICE (dialect.py:260): ClickHouse's 2-array arrayMap maps
+    to zip_with (exact twin, value-checked); every other multi-array
+    HOF raises instead of silently dropping arrays."""
+    import pytest
+
+    out = dialect.rewrite(
+        "SELECT arrayMap((x, y) -> x + y, array(1, 2), array(10, 20)) AS s"
+    )
+    assert "zip_with(array(1, 2), array(10, 20), (x, y) -> x + y)" in out
+    assert spark.sql(out).collect()[0].s == [11, 22]
+    for bad in (
+        "SELECT arrayMap((x,y,z) -> x, a, b, c) FROM t",
+        "SELECT arrayFilter((x,y) -> x > y, a, b) FROM t",
+        "SELECT arrayExists((x,y) -> x > y, a, b) FROM t",
+        "SELECT arrayCount((x,y) -> x > y, a, b) FROM t",
+    ):
+        with pytest.raises(ValueError, match="array"):
+            dialect.rewrite(bad)
+
+
+def test_position_start_pos(spark):
+    """r11 ADVICE (dialect.py:260): 3-arg position(haystack, needle,
+    start_pos) maps to locate(needle, haystack, pos) — previously the
+    start was silently dropped."""
+    out = dialect.rewrite(
+        "SELECT position('abcabc', 'b', 3) AS p,"
+        " positionCaseInsensitive('ABCabc', 'B', 3) AS pi"
+    )
+    assert "locate('b', 'abcabc', 3)" in out
+    row = spark.sql(out).collect()[0]
+    assert (row.p, row.pi) == (5, 5)
 
 
 def test_array_hof_gateway_end_to_end(spark):

@@ -63,10 +63,12 @@ def test_replay_and_compact(spark, tmp_path):
     quantile_state.write_batch(b1, ["g"], F.col("v"), path, batch_id=1)
     replay = quantile_state.read_quantiles(spark, path, ["g"], PROBS).collect()
     assert [tuple(r) for r in once] == [tuple(r) for r in replay]
-    quantile_state.compact(spark, path, ["g"])
-    import glob
+    assert quantile_state.compact(spark, path, ["g"])
+    from clickhouse_realtime_analytics_demo_spark.streaming import parts as parts_store
 
-    assert len(glob.glob(f"{path}/b=*")) == 1
+    # atomic-publish contract (r11 ADVICE): live set is the fold alone,
+    # folded inputs tombstoned for the reader grace window, no _folding
+    assert len(parts_store.live_part_dirs(path)) == 1
     after = quantile_state.read_quantiles(spark, path, ["g"], PROBS).collect()
     assert [tuple(r) for r in once] == [tuple(r) for r in after]
 

@@ -115,16 +115,57 @@ def test_compact_preserves_topk(spark, tmp_path):
             ev.filter(F.col("user_id") % 3 == i), ["event_type"], "user_id", path, i
         )
     before = topk_state.read_topk(spark, path, ["event_type"], k=5).collect()
-    topk_state.compact(spark, path, ["event_type"])
-    import glob
+    assert topk_state.compact(spark, path, ["event_type"])
+    from clickhouse_realtime_analytics_demo_spark.streaming import parts as parts_store
 
-    assert len(glob.glob(f"{path}/b=*")) == 1
+    # live set = the fold alone; the folded inputs sit out a tombstone
+    # grace window (concurrent-reader TOCTOU cover) before deletion.
+    assert len(parts_store.live_part_dirs(path)) == 1
     after = topk_state.read_topk(spark, path, ["event_type"], k=5).collect()
     assert [tuple(r) for r in before] == [tuple(r) for r in after]
-    # compact twice: no-op below two parts
-    topk_state.compact(spark, path, ["event_type"])
+    # compact twice: no-op below two live parts
+    assert not topk_state.compact(spark, path, ["event_type"])
     again = topk_state.read_topk(spark, path, ["event_type"], k=5).collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in again]
+
+
+def test_compact_crash_mid_publish_never_strands_readers(spark, tmp_path):
+    """r11 ADVICE (topk_state.py:176): the old compact deleted every
+    b=* part BEFORE renaming _folding into place — a crash between the
+    two stranded ALL state. Now compaction rides the shared crash-safe
+    store: kill it at the publish seam and (a) readers still serve the
+    pre-fold state, (b) the next compact call recovers and finishes."""
+    from clickhouse_realtime_analytics_demo_spark.streaming import parts as parts_store
+
+    ev = _events(spark)
+    path = str(tmp_path / "state")
+    for i in range(3):
+        topk_state.write_batch(
+            ev.filter(F.col("user_id") % 3 == i), ["event_type"], "user_id", path, i
+        )
+    before = topk_state.read_topk(spark, path, ["event_type"], k=5).collect()
+
+    def boom(live, target, doomed):
+        raise RuntimeError("crash between publish and delete")
+
+    try:
+        parts_store.compact_parts(
+            path,
+            read_parts=lambda dirs: spark.read.parquet(*dirs),
+            fold=lambda df: topk_state.merge_states(df, ["event_type"]).coalesce(1),
+            finish=boom,
+        )
+    except RuntimeError:
+        pass
+    # mid-crash: fold published with manifest, inputs not yet doomed —
+    # readers must see exactly one consistent state (the fold alone)
+    mid = topk_state.read_topk(spark, path, ["event_type"], k=5).collect()
+    assert [tuple(r) for r in mid] == [tuple(r) for r in before]
+    # recovery path (next compact call) completes the deletes
+    topk_state.compact(spark, path, ["event_type"])
+    assert len(parts_store.live_part_dirs(path)) == 1
+    after = topk_state.read_topk(spark, path, ["event_type"], k=5).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
 
 
 def test_streaming_state_equals_batch_topk(spark, tmp_path):
