@@ -42,29 +42,44 @@ def table_stats(sf_dir: str, tables: tuple[str, ...] = TABLES) -> list[dict]:
         path = Path(sf_dir) / f"{name}.parquet"
         if not path.exists():
             continue
-        meta = pq.ParquetFile(path).metadata
-        compressed = sum(
-            meta.row_group(g).column(c).total_compressed_size
-            for g in range(meta.num_row_groups)
-            for c in range(meta.num_columns)
+        # single-file (testdata layout) or a Spark-written directory of
+        # part files — sum footers across parts either way
+        files = (
+            sorted(p for p in path.glob("*.parquet") if p.is_file())
+            if path.is_dir()
+            else [path]
         )
-        uncompressed = sum(
-            meta.row_group(g).column(c).total_uncompressed_size
-            for g in range(meta.num_row_groups)
-            for c in range(meta.num_columns)
-        )
+        if not files:
+            continue
+        rows = row_groups = columns = compressed = uncompressed = file_bytes = 0
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            rows += meta.num_rows
+            row_groups += meta.num_row_groups
+            columns = meta.num_columns
+            compressed += sum(
+                meta.row_group(g).column(c).total_compressed_size
+                for g in range(meta.num_row_groups)
+                for c in range(meta.num_columns)
+            )
+            uncompressed += sum(
+                meta.row_group(g).column(c).total_uncompressed_size
+                for g in range(meta.num_row_groups)
+                for c in range(meta.num_columns)
+            )
+            file_bytes += f.stat().st_size
         out.append(
             {
                 "table": name,
-                "rows": meta.num_rows,
-                "row_groups": meta.num_row_groups,
-                "columns": meta.num_columns,
+                "rows": rows,
+                "row_groups": row_groups,
+                "columns": columns,
                 "compressed_bytes": compressed,
                 "uncompressed_bytes": uncompressed,
                 "compressed_size": format_readable_size(compressed),
                 "uncompressed_size": format_readable_size(uncompressed),
                 "compression_ratio": round(uncompressed / compressed, 2) if compressed else None,
-                "file_bytes": path.stat().st_size,
+                "file_bytes": file_bytes,
             }
         )
     return out

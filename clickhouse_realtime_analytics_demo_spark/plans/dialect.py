@@ -225,6 +225,17 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     "countif": lambda a: f"count_if({_cond(a[0])})",
     "sumif": _sum_if,
     "avgif": _avg_if,
+    # State/Merge combinators over fully-merged MV tables
+    # (sample_queries.sql:79-85 on mv_user_funnel; DDL
+    # 01-create-tables.sql:119-132): our MV parts store partials as
+    # plain numbers, so -State at view-definition time is the plain
+    # aggregate and -Merge at read time is SUM over the partial rows —
+    # the AggregatingMergeTree algebra on relational state.
+    "countstate": _count,
+    "sumstate": _rename("sum"),
+    "countmerge": _rename("sum"),
+    "summerge": _rename("sum"),
+    "uniqstate": _rename("approx_count_distinct"),
     "grouparray": _rename("collect_list"),
     "groupuniqarray": lambda a: f"collect_set({a[0].strip()})",
     # note: quantified comparison `> ANY (SELECT ...)` must NOT become
@@ -488,6 +499,25 @@ def _rewrite_calls(sql: str) -> str:
     return "".join(out)
 
 
+def _strip_line_comments(fragment: str) -> str:
+    """Remove ``-- …`` line comments (string-literal-aware)."""
+    out = []
+    i = 0
+    while i < len(fragment):
+        if fragment[i] == "'":
+            j = _skip_noncode(fragment, i)
+            out.append(fragment[i:j])
+            i = j
+            continue
+        if fragment.startswith("--", i):
+            j = fragment.find("\n", i)
+            i = len(fragment) if j < 0 else j
+            continue
+        out.append(fragment[i])
+        i += 1
+    return "".join(out)
+
+
 def _merge_prewhere(sql: str) -> str:
     """Rewrite ``PREWHERE c1 [WHERE c2]`` -> ``WHERE (c1) AND (c2)``.
 
@@ -545,7 +575,10 @@ def _merge_prewhere(sql: str) -> str:
                     i = m.end()
                     continue
             i += 1
-        cond = sql[start + 8 : cond_end].strip()
+        # drop line comments from the captured condition: it gets
+        # re-embedded inside parens on one logical line, where a
+        # trailing `-- …` would swallow the closing paren
+        cond = _strip_line_comments(sql[start + 8 : cond_end]).strip()
         if next_kw == "WHERE":
             # merge: PREWHERE c1 WHERE -> WHERE (c1) AND
             sql = sql[:start] + f"WHERE ({cond}) AND " + sql[cond_end + 5 :].lstrip()
@@ -581,8 +614,28 @@ def _rewrite_nonliteral_intervals(sql: str) -> str:
     return _INTERVAL_EXPR.sub(repl, sql)
 
 
+# ClickHouse EXPLAIN variants (PIPELINE, indexes=1, PLAN, ESTIMATE,
+# SYNTAX, AST — sample_queries.sql:461-479) all normalize to Spark's
+# EXPLAIN: Catalyst's formatted plan is the single surface carrying
+# the pipeline/index-usage answers (PushedFilters, partition pruning).
+_EXPLAIN_VARIANT = re.compile(
+    r"^(\s*)EXPLAIN\s+(PIPELINE|PLAN|ESTIMATE|AST|SYNTAX|QUERY\s+TREE|indexes\s*=\s*1)\b\s*",
+    re.IGNORECASE,
+)
+
+# system.* table names → flat view names (ops/introspect + query_log
+# analogs registered by plans/corpus.prepare_reference_env; the
+# reference reads them at sample_queries.sql:483-543).
+_SYSTEM_TABLE = re.compile(
+    r"\bsystem\.(query_log|parts|dictionaries|tables|functions|columns)\b",
+    re.IGNORECASE,
+)
+
+
 def rewrite(sql: str) -> str:
     """Rewrite a ClickHouse-dialect query into Spark SQL."""
+    sql = _EXPLAIN_VARIANT.sub(r"\1EXPLAIN ", sql)
+    sql = _SYSTEM_TABLE.sub(lambda m: f"system_{m.group(1).lower()}", sql)
     sql = _merge_prewhere(sql)
     sql = _rewrite_calls(sql)
     sql = _rewrite_nonliteral_intervals(sql)

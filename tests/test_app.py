@@ -401,6 +401,7 @@ def test_system_functions(client):
     assert "todate" in by_name and "to_date" in by_name["todate"]["spark_form"]
     assert "jsonextractint" in by_name
     assert "get_json_object" in by_name["jsonextractint"]["spark_form"]
-    assert "arraymap" in by_name and "transform" in by_name["arraymap"]["spark_form"]
+    # the 3-arg probe renders arrayMap's 2-array form (zip_with)
+    assert "arraymap" in by_name and "zip_with" in by_name["arraymap"]["spark_form"]
     assert "todayofweek" in by_name
     assert all(r["origin"] == "dialect" for r in rows)
