@@ -271,6 +271,63 @@ def _wait_for_quiesce(threshold: float, max_wait_sec: float) -> tuple[dict, bool
     return snap, snap["load1"] > threshold
 
 
+def _spin_once(n: int = 200_000) -> float:
+    """One spin-loop timing in ms — the same fixed work the sampler
+    times, callable synchronously for the pre-run quiet baseline."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x ^= i
+    return (time.perf_counter() - t0) * 1000.0
+
+
+def quiet_spin_baseline(samples: int = 8, pause_s: float = 0.05) -> float:
+    """This box's effective core speed BEFORE Spark starts: min of a
+    few spin samples (min, not median — the quiet floor is what a
+    momentarily-busy pre-run box still touches between interruptions).
+    The run-level contamination gate compares the run's spin p95
+    against a multiple of this number (VERDICT r11 #2)."""
+    best = float("inf")
+    for _ in range(samples):
+        best = min(best, _spin_once())
+        time.sleep(pause_s)
+    return round(best, 2)
+
+
+def over_band_queries(
+    timings: dict[str, float], bands: dict[str, float], band_factor: float
+) -> list[str]:
+    """Queries whose recorded best is above band_factor× their committed
+    clean-round min — the set the end-of-run re-queue targets and the
+    final contamination decision inspects."""
+    return [
+        n
+        for n, t in timings.items()
+        if bands.get(n) is not None and bands[n] > 0 and t > band_factor * bands[n]
+    ]
+
+
+def spin_contamination(
+    over_band: list[str],
+    spin_p95_ms: float | None,
+    quiet_ms: float,
+    factor: float = 2.0,
+) -> bool:
+    """Run-level quiet gate (VERDICT r11 #2): queries still over their
+    committed band after every retry, on a run whose spin p95 exceeded
+    ``factor``× the pre-run quiet baseline, are host noise — stamp the
+    artifact contaminated rather than record noise as measurement.
+    Over-band with a QUIET run is the honest opposite: a real
+    regression, reported as such. Missing instruments (no spin samples
+    or no baseline) with over-band queries default to contaminated —
+    unprovable numbers must not pass as clean."""
+    if not over_band:
+        return False
+    if spin_p95_ms is None or quiet_ms <= 0:
+        return True
+    return spin_p95_ms > factor * quiet_ms
+
+
 BANDS_PATH = Path(REPO) / "BENCH_BANDS.json"
 
 
@@ -336,6 +393,7 @@ def main() -> None:
     load_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
     load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "120"))
     load_pre, contaminated = _wait_for_quiesce(load_threshold, load_wait)
+    quiet_ms = quiet_spin_baseline()  # pre-Spark effective-core floor
 
     spark = get_spark(app_name="bench")
     registry = all_queries()
@@ -394,16 +452,38 @@ def main() -> None:
             w0 = time.perf_counter()
             best = min(best, _best_of(name, runs, record_first=False))
             retry_max = sampler.window_max(w0, time.perf_counter())
-            wmax = max(wmax, retry_max) if retry_max is not None else wmax
+            # either window may hold no sample (short queries between
+            # 2 s ticks) — max over whichever values exist
+            present = [v for v in (wmax, retry_max) if v is not None]
+            wmax = max(present) if present else None
         timings[name] = round(best, 3)
         spin_window[name] = wmax
         steal[name] = _steal_pct(cpu0, _read_cpu())
+
+    # End-of-run re-queue (VERDICT r11 #2): queries still over their
+    # committed band after the in-loop retry get ONE more best-of-N at
+    # the end — host slowdowns are bursty, and minutes later the same
+    # query frequently re-pins at its band (observed r10/r11). Bounded
+    # by its own budget so a genuinely-regressed build terminates.
+    end_budget = int(os.environ.get("SPARK_GRAFT_BENCH_END_RETRIES", "8"))
+    end_requeued: list[str] = []
+    for name in over_band_queries(timings, bands, band_factor):
+        if end_budget <= 0:
+            break
+        end_budget -= 1
+        end_requeued.append(name)
+        timings[name] = round(min(timings[name], _best_of(name, runs, record_first=False)), 3)
 
     total = round(sum(timings.values()), 3)
     run_steal = _steal_pct(cpu_run_start, _read_cpu())
     spin = sampler.stop()
     load_post = _read_load()
-    contaminated = contaminated or run_steal > steal_max
+    over_band = over_band_queries(timings, bands, band_factor)
+    contaminated = (
+        contaminated
+        or run_steal > steal_max
+        or spin_contamination(over_band, spin.get("p95_ms"), quiet_ms)
+    )
     # Line 1: bulky per-query instrument maps — forensics, intentionally
     # NOT the line the driver parses (VERDICT r10 #1: one combined line
     # outgrew the driver's tail window and produced parsed:null).
@@ -421,12 +501,20 @@ def main() -> None:
                 "queries_spin_max_ms": spin_window,
                 "spin_retry_ms": spin_retry_ms,
                 "band_factor": band_factor,
+                "quiet_spin_ms": quiet_ms,
             }
         )
     )
     # Line 2 (LAST, compact): the headline the driver records. Scalar
     # instrument summaries only, so the line always fits the tail window.
-    print(json.dumps(compact_result(timings, total, runs, sf, run_steal, spin, spin_retried, band_retried, contaminated)))
+    print(
+        json.dumps(
+            compact_result(
+                timings, total, runs, sf, run_steal, spin, spin_retried,
+                band_retried, contaminated, quiet_ms, end_requeued, over_band,
+            )
+        )
+    )
     spark.stop()
 
 
@@ -440,11 +528,18 @@ def compact_result(
     spin_retried: list[str],
     band_retried: list[str],
     contaminated: bool,
+    quiet_ms: float = 0.0,
+    end_requeued: list[str] | None = None,
+    over_band: list[str] | None = None,
 ) -> dict:
-    """The driver-parsed headline record. Keep this SCALAR-summaries-only:
-    BENCH_r10.json was parsed:null because per-query instrument maps grew
-    the line past the driver's ~2 KB tail window; tests pin the encoded
-    size of this dict at full headline width."""
+    """The driver-parsed headline record. Keep this SCALAR-summaries-only
+    (plus short name lists): BENCH_r10.json was parsed:null because
+    per-query instrument maps grew the line past the driver's ~2 KB tail
+    window; tests pin the encoded size of this dict at full headline
+    width. `over_band` names the queries still above their committed
+    band after every retry — with contaminated:false those are honest
+    regressions, with contaminated:true the run's spin p95 said the box
+    was slow and the numbers are not comparable (VERDICT r11 #2)."""
     return {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -455,8 +550,14 @@ def compact_result(
         "steal_pct": run_steal,
         "spin_p95_ms": spin.get("p95_ms"),
         "spin_max_ms": spin.get("max_ms"),
+        "quiet_spin_ms": quiet_ms,
         "spin_retried": spin_retried,
         "band_retried": band_retried,
+        # name lists capped so the line can NEVER outgrow the tail
+        # window (full membership is in the instruments line + timings)
+        "end_requeued": (end_requeued or [])[:8],
+        "over_band": (over_band or [])[:5],
+        "over_band_n": len(over_band or []),
         "contaminated": contaminated,
     }
 

@@ -29,6 +29,9 @@ from bench import (
     _steal_pct,
     _wait_for_quiesce,
     compact_result,
+    over_band_queries,
+    quiet_spin_baseline,
+    spin_contamination,
     update_bands,
 )
 
@@ -128,6 +131,37 @@ def test_retry_reason_spin_and_band():
     assert _retry_reason("z", 0.5, None, {"z": 0.0}, 25.0, 2.0) is None
 
 
+def test_over_band_queries_selection():
+    bands = {"a": 1.0, "b": 2.0, "z": 0.0}
+    timings = {"a": 2.5, "b": 3.9, "c": 50.0, "z": 9.0}
+    # a: 2.5 > 2x1.0 -> over; b: 3.9 < 2x2.0 -> in band; c: no anchor;
+    # z: degenerate 0 anchor never fires
+    assert over_band_queries(timings, bands, 2.0) == ["a"]
+    assert over_band_queries(timings, {}, 2.0) == []
+
+
+def test_spin_contamination_matrix():
+    """VERDICT r11 #2 trigger matrix: contaminated only when queries
+    stay over band AND the run's spin p95 says the box was slow (or the
+    instruments are missing, which must not pass as clean)."""
+    # nothing over band -> clean regardless of spin
+    assert spin_contamination([], spin_p95_ms=999.0, quiet_ms=9.0) is False
+    # over band + noisy run (p95 > 2x quiet) -> contaminated
+    assert spin_contamination(["q"], spin_p95_ms=25.0, quiet_ms=9.0) is True
+    # over band + quiet run -> an honest regression, NOT contamination
+    assert spin_contamination(["q"], spin_p95_ms=12.0, quiet_ms=9.0) is False
+    # boundary: exactly 2x is still quiet
+    assert spin_contamination(["q"], spin_p95_ms=18.0, quiet_ms=9.0) is False
+    # missing instruments + over band -> conservative contaminated
+    assert spin_contamination(["q"], spin_p95_ms=None, quiet_ms=9.0) is True
+    assert spin_contamination(["q"], spin_p95_ms=12.0, quiet_ms=0.0) is True
+
+
+def test_quiet_spin_baseline_sane():
+    ms = quiet_spin_baseline(samples=3, pause_s=0.0)
+    assert 0.5 < ms < 5000.0  # a real timing, not a degenerate 0/inf
+
+
 def test_load_bands_missing_and_roundtrip(tmp_path):
     p = tmp_path / "BENCH_BANDS.json"
     assert _load_bands(p) == {}  # missing file -> valve disarmed, no crash
@@ -156,6 +190,7 @@ def test_compact_result_fits_driver_tail_window():
     # size of the driver-parsed line at FULL headline width with
     # worst-case retry lists so the regression can't silently return.
     timings = {name: 123.456 for name in HEADLINE}
+    longest = sorted(HEADLINE, key=len, reverse=True)
     line = json.dumps(
         compact_result(
             timings,
@@ -167,6 +202,11 @@ def test_compact_result_fits_driver_tail_window():
             spin_retried=list(HEADLINE[:3]),
             band_retried=list(HEADLINE[3:6]),
             contaminated=True,
+            quiet_ms=99.99,
+            # worst case: every query re-queued AND still over band —
+            # compact_result must cap the lists so the line still fits
+            end_requeued=longest,
+            over_band=longest,
         )
     )
     assert len(line.encode()) < 1900, f"driver line too big: {len(line)}B"
@@ -174,8 +214,13 @@ def test_compact_result_fits_driver_tail_window():
     assert parsed["metric"] == "headline_query_wall_clock_total"
     assert set(parsed["queries"]) == set(HEADLINE)
     assert parsed["contaminated"] is True
+    assert len(parsed["end_requeued"]) <= 8 and len(parsed["over_band"]) <= 5
+    assert parsed["over_band_n"] == len(HEADLINE)
     # the keys cross-round tooling reads must stay present
-    for key in ("value", "unit", "sf", "steal_pct", "spin_p95_ms", "band_retried"):
+    for key in (
+        "value", "unit", "sf", "steal_pct", "spin_p95_ms", "band_retried",
+        "quiet_spin_ms", "over_band", "over_band_n",
+    ):
         assert key in parsed
 
 
