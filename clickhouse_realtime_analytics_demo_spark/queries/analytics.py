@@ -858,3 +858,31 @@ def order_status_quantiles_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_state.quantiles_from_state(
         parts, ["o_orderstatus"], [0.25, 0.5, 0.75, 0.9, 0.99]
     ).withColumnRenamed("o_orderstatus", "status")
+
+
+@register("order_status_quantiles_tdigest")  # no oracle: bounded-size
+# APPROXIMATE sketch (rank error ~O(1/compression)) — tolerance vs the
+# exact nearest-rank twin is pinned locally in
+# tests/test_tdigest_state.py + test_analytics_tdigest below, the A3
+# (uniq) handling applied to quantiles. Driver records rows-only.
+def order_status_quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value quantiles per status from the BOUNDED mergeable
+    t-digest state (streaming/tdigest_state.py) — the ClickHouse
+    ``quantileTDigestState``/``quantileTDigestMerge`` analog (VERDICT
+    r11 #3). Unlike ``order_status_quantiles_state`` (exact, state
+    bounded by DOMAIN cardinality), the digest is O(compression) per
+    group on ANY domain — the 100 TB continuous-value path. Build is
+    per-partition combiner-style (mapInPandas emits sketches, never
+    rows, into the shuffle); extraction is relational (one group-keyed
+    window pair + interpolation)."""
+    from clickhouse_realtime_analytics_demo_spark.streaming import tdigest_state
+
+    orders = table(spark, sf_dir, "orders")
+    state = tdigest_state.tdigest_partial(
+        orders.select(F.col("o_orderstatus").alias("status"), "o_totalprice"),
+        ["status"],
+        F.col("o_totalprice"),
+    )
+    return tdigest_state.quantiles_from_state(
+        state, ["status"], [0.25, 0.5, 0.75, 0.9, 0.99]
+    )

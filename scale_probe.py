@@ -1039,6 +1039,7 @@ def stateparts_probe(spark, part_counts=(8, 64, 256)) -> list[dict]:
 
     from clickhouse_realtime_analytics_demo_spark.streaming import (
         quantile_state,
+        tdigest_state,
         topk_state,
     )
 
@@ -1046,7 +1047,8 @@ def stateparts_probe(spark, part_counts=(8, 64, 256)) -> list[dict]:
     out = []
     for n_parts in part_counts:
         base = tempfile.mkdtemp(prefix=f"stateparts_{n_parts}_")
-        tk, qt = f"{base}/topk", f"{base}/quant"
+        tk, qt, td = f"{base}/topk", f"{base}/quant", f"{base}/tdig"
+        td_state_rows = 0
         for i in range(n_parts):
             rows = [
                 ("g%d" % rng.randrange(5), "c%d" % rng.randrange(100),
@@ -1056,6 +1058,10 @@ def stateparts_probe(spark, part_counts=(8, 64, 256)) -> list[dict]:
             b = spark.createDataFrame(rows, "g string, child string, v long")
             topk_state.write_batch(b, ["g"], "child", tk, batch_id=i, counters=256)
             quantile_state.write_batch(b, ["g"], F.col("v"), qt, batch_id=i)
+            # r12: the bounded t-digest sibling — CONTINUOUS value
+            # (v + a fractional jitter would change the exact twin; the
+            # sketch doesn't care, so the same v keys all three stores)
+            tdigest_state.write_batch(b, ["g"], F.col("v"), td, batch_id=i)
 
         def _read_tk():
             return topk_state.read_topk(spark, tk, ["g"], k=5, counters=256).collect()
@@ -1065,29 +1071,56 @@ def stateparts_probe(spark, part_counts=(8, 64, 256)) -> list[dict]:
                 spark, qt, ["g"], [0.5, 0.95]
             ).collect()
 
-        tk_best = qt_best = float("inf")
+        def _read_td():
+            return tdigest_state.read_quantiles(
+                spark, td, ["g"], [0.5, 0.95]
+            ).collect()
+
+        tk_best = qt_best = td_best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter(); tk_rows = _read_tk()
             tk_best = min(tk_best, time.perf_counter() - t0)
             t0 = time.perf_counter(); qt_rows = _read_qt()
             qt_best = min(qt_best, time.perf_counter() - t0)
+            t0 = time.perf_counter(); _read_td()
+            td_best = min(td_best, time.perf_counter() - t0)
+        # stored digest size: bounded at O(compression) per group per
+        # part regardless of rows — the claim that distinguishes it
+        # from the exact histogram state
+        td_centroids = spark.read.parquet(f"{td}/b=*").select(
+            F.sum(F.size("means")).alias("c")
+        ).collect()[0]["c"]
+        td_state_rows = int(td_centroids)
         topk_state.compact(spark, tk, ["g"], counters=256)
         quantile_state.compact(spark, qt, ["g"])
+        tdigest_state.compact(spark, td, ["g"])
         t0 = time.perf_counter(); tk_c = _read_tk()
         tk_compact = time.perf_counter() - t0
         t0 = time.perf_counter(); qt_c = _read_qt()
         qt_compact = time.perf_counter() - t0
-        # 100-key domain < 256 counters: both states are untrimmed-
-        # exact here, so folds must preserve reads bit-for-bit (the
-        # trimmed regime's fold bound is tested in test_topk_state.py)
+        t0 = time.perf_counter(); td_c = _read_td()
+        td_compact = time.perf_counter() - t0
+        # 100-key domain < 256 counters: both exact states are
+        # untrimmed-exact here, so folds must preserve reads
+        # bit-for-bit (the trimmed regime's fold bound is tested in
+        # test_topk_state.py). The digest fold re-compresses — its
+        # contract is the rank bound (test_tdigest_state.py), checked
+        # here as median within 2% of the exact state's.
         assert [tuple(r) for r in qt_c] == [tuple(r) for r in qt_rows]
         assert [tuple(r) for r in tk_c] == [tuple(r) for r in tk_rows]
+        qt_by = {(r["g"], r["prob"]): r["quantile"] for r in qt_c}
+        for r in td_c:
+            exact = qt_by[(r["g"], r["prob"])]
+            assert abs(r["quantile"] - exact) <= 0.02 * 10_000, (r, exact)
         row = {
             "parts": n_parts,
             "topk_read_s": round(tk_best, 2),
             "topk_compacted_s": round(tk_compact, 2),
             "quant_read_s": round(qt_best, 2),
             "quant_compacted_s": round(qt_compact, 2),
+            "tdigest_read_s": round(td_best, 2),
+            "tdigest_compacted_s": round(td_compact, 2),
+            "tdigest_centroids": td_state_rows,
         }
         out.append(row)
         print(json.dumps({"stateparts_probe": row}), flush=True)
@@ -1109,15 +1142,22 @@ def write_stateparts_section(rows: list[dict]) -> None:
         "asserted identical pre/post fold (exact state); the fold is the "
         "AggregatingMergeTree background-merge analog and restores the "
         "read to its single-part cost — same conclusion as the MV partials "
-        "probe: compaction cadence, not part count, governs freshness.",
+        "probe: compaction cadence, not part count, governs freshness. "
+        "r12 adds the bounded t-digest store (quantileTDigest analog): "
+        "the centroid column counts TOTAL stored centroids across parts "
+        "— O(parts × groups × compression), never row-count-shaped — "
+        "and its post-fold read is checked against the exact state's "
+        "median within the sketch rank bound.",
         "",
-        "| parts | topK read (s) | topK after fold | quantile read (s) | quantile after fold |",
-        "|---|---|---|---|---|",
+        "| parts | topK read (s) | topK after fold | quantile read (s) | quantile after fold | tdigest read (s) | tdigest after fold | tdigest centroids |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['parts']} | {r['topk_read_s']} | {r['topk_compacted_s']} |"
             f" {r['quant_read_s']} | {r['quant_compacted_s']} |"
+            f" {r.get('tdigest_read_s', '-')} | {r.get('tdigest_compacted_s', '-')} |"
+            f" {r.get('tdigest_centroids', '-')} |"
         )
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
