@@ -127,6 +127,45 @@ def test_ivf_store_partition_pruning_and_recall(spark, tmp_path):
     assert recall >= 0.5, f"IVF-store recall {recall} too low"
 
 
+def test_ivf_recall_floor_vs_nprobe(spark, tmp_path):
+    """r12 (VERDICT r11 #5): the recall-vs-nprobe contract, asserted —
+    mean recall@10 over several queries is (a) monotone non-decreasing
+    in nprobe, (b) above the floor at the default nprobe=4, (c) near
+    the int8 ceiling when every cell is probed (the full-probe gap
+    from 1.0 is pure quantization ranking loss). The 40× curve with
+    cell-skew readout lives in SCALEPROBE.md (`scale_probe.py
+    ivfrecall`)."""
+    from clickhouse_realtime_analytics_demo_spark import catalog
+
+    emb = catalog.table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    qids = [(j * 101) % n for j in range(8)]
+    exact = {
+        q: {
+            r.neighbor_id
+            for r in similarity.brute_force_topk(emb, query_id=q, k=10).collect()
+        }
+        for q in qids
+    }
+
+    def mean_recall(nprobe: int) -> float:
+        hits = []
+        for q in qids:
+            got = {
+                r.neighbor_id
+                for r in quantized.ivf_stored_topk(
+                    spark, SF_DIR, query_id=q, k=10, nprobe=nprobe, root=str(tmp_path)
+                ).collect()
+            }
+            hits.append(len(got & exact[q]) / 10.0)
+        return sum(hits) / len(hits)
+
+    r1, r4, r16 = mean_recall(1), mean_recall(4), mean_recall(16)
+    assert r1 <= r4 + 0.05 and r4 <= r16 + 0.05, (r1, r4, r16)  # monotone (slack: ties)
+    assert r4 >= 0.40, f"recall@10 at nprobe=4 fell to {r4}"
+    assert r16 >= 0.90, f"full-probe int8 ceiling fell to {r16}"
+
+
 def test_ivf_store_scores_match_inline_quantized(spark, tmp_path):
     # the store's qvec column must be EXACTLY the inline quantization
     # of the source vectors: score the probed cells via the store and
