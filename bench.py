@@ -160,6 +160,10 @@ HEADLINE = (
     "event_type_top_users_state",
     "order_status_quantiles_state",
     "event_props_json",
+    # round 12 (VERDICT r11 #3): the bounded t-digest quantile state —
+    # tracks the Arrow-batched combiner build + relational extraction
+    # (the continuous-domain production path next to the exact state).
+    "order_status_quantiles_tdigest",
 )
 
 
@@ -555,8 +559,8 @@ def compact_result(
         "band_retried": band_retried,
         # name lists capped so the line can NEVER outgrow the tail
         # window (full membership is in the instruments line + timings)
-        "end_requeued": (end_requeued or [])[:8],
-        "over_band": (over_band or [])[:5],
+        "end_requeued": (end_requeued or [])[:6],
+        "over_band": (over_band or [])[:4],
         "over_band_n": len(over_band or []),
         "contaminated": contaminated,
     }
