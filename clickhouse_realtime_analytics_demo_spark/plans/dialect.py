@@ -289,6 +289,9 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     # arrayJoin is the CH idiom for explode)
     "arrayjoin": _rename("explode"),
     "arraylength": _rename("size"),
+    # both 1-based; element_at also shares ClickHouse's negative
+    # (from-the-end) indexing
+    "arrayelement": _rename("element_at"),
     "arraydistinct": _rename("array_distinct"),
     "arraysort": _rename("array_sort"),
     "splitbychar": lambda a: f"split({a[1].strip()}, {_regex_escaped_literal(a[0])})",
@@ -402,6 +405,53 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
 }
 
 
+# --- parametric aggregate combinators: ClickHouse's two-group call
+# form `name(params)(args)` (sql-reference/aggregate-functions/
+# parametric-functions). Spark's percentile takes the fraction as a
+# plain argument, so the rewrite folds the groups together. quantile*
+# (exact interpolation) → percentile; quantileTDigest* (sketch) →
+# approx_percentile (Spark's quantile sketch — same contract, a
+# different sketch; the engine's own t-digest lives in
+# streaming/tdigest_state.py). quantiles* returns an ARRAY in
+# ClickHouse — percentile with an array of fractions matches.
+def _quantile_parametric(agg: str, as_array: bool):
+    def fn(params: list[str], args: list[str]) -> str:
+        x = ", ".join(a.strip() for a in args)
+        ps = ", ".join(p.strip() for p in params)
+        if as_array or len(params) > 1:
+            return f"{agg}({x}, array({ps}))"
+        return f"{agg}({x}, {ps})"
+
+    return fn
+
+
+def _topk_parametric(params: list[str], args: list[str]) -> str:
+    raise ValueError(
+        "topK(k)(x) has no single-expression Spark twin — use the "
+        "relational top-k (row_number over count desc) or the mergeable "
+        "topK state (streaming/topk_state.py, served by "
+        "event_type_top_users_state)"
+    )
+
+
+_PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
+    "quantile": _quantile_parametric("percentile", as_array=False),
+    "quantileexact": _quantile_parametric("percentile", as_array=False),
+    "quantiles": _quantile_parametric("percentile", as_array=True),
+    "quantilesexact": _quantile_parametric("percentile", as_array=True),
+    "quantiletdigest": _quantile_parametric("approx_percentile", as_array=False),
+    "quantilestdigest": _quantile_parametric("approx_percentile", as_array=True),
+    # uniqUpTo(N): exact distinct count up to N, N+1 beyond — exactly
+    # expressible (docs: parametric-functions#uniqupto)
+    "uniqupto": lambda p, a: (
+        f"least(count(DISTINCT {', '.join(x.strip() for x in a)}), "
+        f"{p[0].strip()} + 1)"
+    ),
+    "topk": _topk_parametric,
+    "topkweighted": _topk_parametric,
+}
+
+
 def _dictionaries():
     # Deferred import: dictionaries.py imports pyspark; keep this
     # module importable for pure string-rewrite unit tests.
@@ -488,6 +538,23 @@ def _rewrite_calls(sql: str) -> str:
         k = m.end()
         while k < len(sql) and sql[k] in " \t":
             k += 1
+        pfn = _PARAMETRIC.get(name.lower())
+        if pfn is not None and k < len(sql) and sql[k] == "(":
+            # two-group parametric form name(params)(args)?
+            params, mid = _parse_args(sql, k)
+            k2 = mid
+            while k2 < len(sql) and sql[k2] in " \t":
+                k2 += 1
+            if k2 < len(sql) and sql[k2] == "(":
+                args, end = _parse_args(sql, k2)
+                out.append(
+                    pfn(
+                        [_rewrite_calls(p) for p in params],
+                        [_rewrite_calls(a) for a in args],
+                    )
+                )
+                i = end
+                continue
         fn = _REWRITES.get(name.lower())
         if fn is not None and k < len(sql) and sql[k] == "(":
             args, end = _parse_args(sql, k)

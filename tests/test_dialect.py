@@ -367,6 +367,58 @@ def test_array_hof_multi_array_forms(spark):
             dialect.rewrite(bad)
 
 
+def test_parametric_aggregate_rewrites():
+    """r12: ClickHouse's two-group parametric form name(params)(args)
+    (sql-reference parametric-functions) — quantile*/quantiles* fold
+    into percentile (exact) / approx_percentile (TDigest sketch),
+    uniqUpTo(N) is exactly expressible, topK(k) raises with guidance
+    instead of emitting unparseable SQL."""
+    import pytest
+
+    out = dialect.rewrite(
+        "SELECT quantile(0.5)(x), quantiles(0.25, 0.9)(x),"
+        " quantileTDigest(0.95)(x), uniqUpTo(10)(u) FROM t"
+    )
+    assert "percentile(x, 0.5)" in out
+    assert "percentile(x, array(0.25, 0.9))" in out
+    assert "approx_percentile(x, 0.95)" in out
+    assert "least(count(DISTINCT u), 10 + 1)" in out
+    # the bare (non-parametric) median form is untouched by the new path
+    assert "percentile(x, 0.5)" in dialect.rewrite("SELECT quantile(x) FROM t")
+    with pytest.raises(ValueError, match="topK"):
+        dialect.rewrite("SELECT topK(5)(u) FROM t")
+
+
+def test_parametric_quantile_gateway_end_to_end(spark):
+    """quantile(p)(x) / quantiles(...)(x) / uniqUpTo through the
+    gateway, value-checked against DuckDB's quantile_cont on the same
+    parquet (both sides exact interpolated percentiles)."""
+    catalog.register(spark, SF_DIR)
+    got = gateway.execute(
+        spark,
+        "SELECT o_orderstatus AS status,"
+        " round(quantile(0.5)(o_totalprice), 4) AS p50,"
+        " round(arrayElement(quantiles(0.25, 0.9)(o_totalprice), 2), 4) AS p90,"
+        " uniqUpTo(3)(o_orderpriority) AS prio_upto3"
+        " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    ).df
+    srows = [tuple(r) for r in got.collect()]
+    con = duck_connection(SF_DIR)
+    drows = con.sql(
+        "SELECT o_orderstatus AS status,"
+        " round(quantile_cont(o_totalprice, 0.5), 4) AS p50,"
+        " round(quantile_cont(o_totalprice, 0.9), 4) AS p90,"
+        " least(count(DISTINCT o_orderpriority), 4) AS prio_upto3"
+        " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ).fetchall()
+    assert len(srows) == len(drows)
+    for s, d in zip(srows, drows):
+        assert s[0] == d[0]
+        assert abs(float(s[1]) - float(d[1])) < 1e-6, (s, d)
+        assert abs(float(s[2]) - float(d[2])) < 1e-6, (s, d)
+        assert int(s[3]) == int(d[3])
+
+
 def test_position_start_pos(spark):
     """r11 ADVICE (dialect.py:260): 3-arg position(haystack, needle,
     start_pos) maps to locate(needle, haystack, pos) — previously the
