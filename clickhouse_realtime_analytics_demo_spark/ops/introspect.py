@@ -102,7 +102,10 @@ def function_stats() -> list[dict]:
     1-arg probe rendering — enough for a dashboard to show the
     mapping). Names not listed pass through to Spark SQL untouched,
     exactly like ClickHouse's native functions."""
-    from clickhouse_realtime_analytics_demo_spark.plans.dialect import _REWRITES
+    from clickhouse_realtime_analytics_demo_spark.plans.dialect import (
+        _PARAMETRIC,
+        _REWRITES,
+    )
 
     out = []
     for name in sorted(_REWRITES):
@@ -111,6 +114,12 @@ def function_stats() -> list[dict]:
         except Exception:
             spark_form = "(context-dependent)"
         out.append({"name": name, "origin": "dialect", "spark_form": spark_form})
+    for name in sorted(_PARAMETRIC):
+        try:
+            spark_form = _PARAMETRIC[name](["0.5"], ["x"])
+        except Exception:
+            spark_form = "(unsupported — raises with guidance)"
+        out.append({"name": name, "origin": "parametric", "spark_form": spark_form})
     return out
 
 

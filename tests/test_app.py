@@ -404,4 +404,8 @@ def test_system_functions(client):
     # the 3-arg probe renders arrayMap's 2-array form (zip_with)
     assert "arraymap" in by_name and "zip_with" in by_name["arraymap"]["spark_form"]
     assert "todayofweek" in by_name
-    assert all(r["origin"] == "dialect" for r in rows)
+    assert all(r["origin"] in ("dialect", "parametric") for r in rows)
+    # r12: the parametric combinator family is listed too
+    assert by_name["quantiletdigest"]["origin"] == "parametric"
+    assert "approx_percentile" in by_name["quantiletdigest"]["spark_form"]
+    assert "guidance" in by_name["topk"]["spark_form"] or "unsupported" in by_name["topk"]["spark_form"]
