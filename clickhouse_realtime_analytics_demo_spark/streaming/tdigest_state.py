@@ -261,17 +261,27 @@ def compact(
     keys: list[str],
     compression: int = DEFAULT_COMPRESSION,
     checkpoint_dir: str | None = None,
+    retain_where=None,
 ) -> bool:
     """Fold all live parts into one via the shared crash-safe store
     (atomic publish + tombstone grace + commit gate — the
-    topk_state.compact contract)."""
+    topk_state.compact contract). ``retain_where``: optional
+    key-column retention predicate applied before the fold (the
+    TTL-on-merge analog; runs even at one live part — a retention
+    fold is a rewrite, see topk_state.compact)."""
     from clickhouse_realtime_analytics_demo_spark.streaming import parts as store
+
+    def _fold(df: DataFrame) -> DataFrame:
+        if retain_where is not None:
+            df = df.filter(retain_where)
+        return merge_states(df, keys, compression).coalesce(1)
 
     return store.compact_parts(
         state_path,
         read_parts=lambda dirs: spark.read.parquet(*dirs),
-        fold=lambda df: merge_states(df, keys, compression).coalesce(1),
+        fold=_fold,
         checkpoint_dir=checkpoint_dir,
+        min_parts=1 if retain_where is not None else 2,
     )
 
 

@@ -181,6 +181,7 @@ def compact(
     keys: list[str],
     counters: int = 2048,
     checkpoint_dir: str | None = None,
+    retain_where=None,
 ) -> bool:
     """Fold all live parts into one (the AggregatingMergeTree
     background merge), through the shared crash-safe part store
@@ -195,12 +196,29 @@ def compact(
     With ``checkpoint_dir``, only stream-committed batch ids fold (the
     mv.compact commit gate) so crash-replayed batches can't re-appear
     next to a fold that already contains them. Returns True if a fold
-    published."""
+    published.
+
+    ``retain_where``: optional retention predicate over the state's
+    GROUP KEY columns (the mv.compact contract; the ClickHouse
+    ``TTL ... DELETE``-on-merge analog for AggregatingMergeTree
+    state). Whole expired groups are dropped BEFORE the fold, so at a
+    date-keyed state the steady-state key space is
+    ``retention_days × |daily active groups|`` instead of unbounded —
+    the one growth term the multi-day probe left to the data model.
+    A retention fold is a rewrite, not just a merge: it runs even at
+    one live part (min_parts=1), or an already-compacted store could
+    never expire anything."""
     from clickhouse_realtime_analytics_demo_spark.streaming import parts as store
+
+    def _fold(df: DataFrame) -> DataFrame:
+        if retain_where is not None:
+            df = df.filter(retain_where)
+        return merge_states(df, keys, counters).coalesce(1)
 
     return store.compact_parts(
         state_path,
         read_parts=lambda dirs: spark.read.parquet(*dirs),
-        fold=lambda df: merge_states(df, keys, counters).coalesce(1),
+        fold=_fold,
         checkpoint_dir=checkpoint_dir,
+        min_parts=1 if retain_where is not None else 2,
     )
