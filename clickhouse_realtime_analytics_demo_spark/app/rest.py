@@ -642,7 +642,12 @@ def create_app(
             return jsonify({"error": "corpus file not available"}), 404
         if label not in stmts:
             return jsonify({"error": f"unknown example {label!r}"}), 404
-        limit = min(int(request.args.get("limit", "100")), 1000)
+        # parse + clamp inside the contract: ?limit=abc or a negative
+        # value is a 400, never an unhandled 500 (r12 ADVICE)
+        try:
+            limit = max(0, min(int(request.args.get("limit", "100")), 1000))
+        except ValueError:
+            return jsonify({"error": "limit must be an integer"}), 400
         try:
             with log.record(f"example:{label}", kind="corpus") as ctx:
                 df = corpus.run_statement(spark, stmts[label])

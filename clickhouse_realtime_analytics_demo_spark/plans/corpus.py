@@ -48,6 +48,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from clickhouse_realtime_analytics_demo_spark.plans import dialect
+
 # One day before the fixture generation window's end (sources/
 # generator.py: EPOCH_START 2024-01-01 + WINDOW_DAYS 90), so
 # `today()`-relative filters select populated days.
@@ -179,13 +181,19 @@ def load_corpus(path: str = DEFAULT_CORPUS) -> list[CorpusStatement]:
     return out
 
 
+_TODAY_CALL = re.compile(r"\btoday\(\)")
+_NOW_CALL = re.compile(r"\bnow\(\)")
+
+
 def pin_clock(sql: str, today: str = PINNED_TODAY) -> str:
     """Replace ``today()`` / ``now()`` with pinned literals (applied
     BEFORE the dialect rewrite, which would otherwise map them to the
     session wall clock). ClickHouse's own clock functions are
-    evaluated once per query, so a literal has identical semantics."""
-    sql = re.sub(r"\btoday\(\)", f"DATE '{today}'", sql)
-    sql = re.sub(r"\bnow\(\)", f"TIMESTAMP '{today} 12:00:00'", sql)
+    evaluated once per query, so a literal has identical semantics.
+    Quote-aware: a ``today()`` inside a string literal or comment is
+    left alone (dialect.sub_code_only)."""
+    sql = dialect.sub_code_only(_TODAY_CALL, f"DATE '{today}'", sql)
+    sql = dialect.sub_code_only(_NOW_CALL, f"TIMESTAMP '{today} 12:00:00'", sql)
     return sql
 
 
@@ -605,22 +613,13 @@ def _register_system_views(spark: SparkSession, data_dir: str, query_log=None) -
     ).createOrReplaceTempView("system_functions")
 
 
-# Declared per-statement patches for the ONE construct Spark cannot
-# run verbatim: ClickHouse resolves a SELECT-list alias with precedence
-# over a same-named base column in later expressions of that list
-# (sample_queries.sql:95 — `revenue / unique_users` means the aliases,
-# but mv_country_stats also HAS those columns); Spark resolves the base
-# column first and then rejects the bare column under aggregation
-# (MISSING_AGGREGATION — a loud analysis error, never a silent wrong
-# answer). The patch inlines the alias definitions; values identical.
-PATCHES: dict[str, tuple[str, str, str]] = {
-    "ex_2_4": (
-        "round(revenue / unique_users, 2)",
-        "round(SUM(total_revenue) / SUM(unique_users), 2)",
-        "alias-vs-column precedence under aggregation (ClickHouse "
-        "prefers the SELECT alias; Spark the base column)",
-    ),
-}
+# Declared per-statement patches. EMPTY since round 13: the last
+# divergence (ex_2_4 — ClickHouse resolves a SELECT-list alias with
+# precedence over a same-named base column, sample_queries.sql:95)
+# is now handled inside the dialect itself
+# (dialect._inline_select_aliases), so all 35 reference statements
+# execute verbatim. The machinery stays for future dialect gaps.
+PATCHES: dict[str, tuple[str, str, str]] = {}
 
 
 def run_statement(
@@ -633,8 +632,7 @@ def run_statement(
     → validate → spark.sql). Directives (``USE demo_db``) are session
     no-ops — the fixture views are unqualified and already in scope —
     and return None. ``apply_patches=False`` runs the exact verbatim
-    text (the test asserts the one patched statement fails LOUDLY
-    without its patch)."""
+    text (identical to the default while PATCHES is empty)."""
     from clickhouse_realtime_analytics_demo_spark.plans import gateway
 
     if stmt.kind == "directive":

@@ -154,13 +154,13 @@ def _count(args: list[str]) -> str:
     return f"count({', '.join(a.strip() for a in args)})"
 
 
-def _json_path(args: list[str]) -> str:
-    """ClickHouse JSONExtract*(json, 'key'[, 'key2'...]) single/nested
-    key form → get_json_object(json, '$.key[.key2...]'). Numeric
-    indices (1-based array access in ClickHouse) map to [i-1]. Keys
-    containing a dot (or other JSONPath metacharacters) take the
-    bracket form ``$['key.with.dots']`` so they read ONE key, not a
-    nested path. Negative (from-the-end) indices are rejected — Spark's
+def _json_path_parts(args: list[str]) -> tuple[str, list[str]]:
+    """Shared key→JSONPath-segment translation for the JSON family.
+    Returns (json expr, path segments). Numeric indices (1-based array
+    access in ClickHouse) map to [i-1]. Keys containing a dot (or
+    other JSONPath metacharacters) take the bracket form
+    ``$['key.with.dots']`` so they read ONE key, not a nested path.
+    Negative (from-the-end) indices are rejected — Spark's
     get_json_object JSONPath has no from-the-end addressing, and a
     silent [-n-1] translation would always read NULL (r11 ADVICE
     dialect.py:164)."""
@@ -185,10 +185,60 @@ def _json_path(args: list[str]) -> str:
                     "not expressible in Spark's JSONPath literal"
                 )
             parts.append(f"['{key}']")
-    path = "$" + "".join(parts)
+    return expr, parts
+
+
+def _path_literal(path: str) -> str:
     # bracket-form keys put single quotes INSIDE the SQL string
     # literal — backslash-escape them for Spark's parser
-    return f"get_json_object({expr}, '{path.replace(chr(39), chr(92) + chr(39))}')"
+    return "'" + path.replace(chr(39), chr(92) + chr(39)) + "'"
+
+
+def _json_path(args: list[str]) -> str:
+    """ClickHouse JSONExtract*(json, 'key'[, 'key2'...]) single/nested
+    key form → get_json_object(json, '$.key[.key2...]')."""
+    expr, parts = _json_path_parts(args)
+    return f"get_json_object({expr}, {_path_literal('$' + ''.join(parts))})"
+
+
+def _json_has(args: list[str]) -> str:
+    """JSONHas → key-presence probe via ``json_object_keys`` on the
+    ENCLOSING object, so a key holding JSON null still counts as
+    present — ClickHouse's JSONHas('{"a":null}','a') = 1, which the
+    old IS-NOT-NULL probe on get_json_object could not distinguish
+    from a missing key (the r12 documented divergence, now closed).
+    Non-object parents and malformed JSON yield NULL keys → 0, the
+    ClickHouse result. Array-index form (last arg numeric) keeps the
+    extraction probe — a JSON null array ELEMENT stays a documented
+    divergence (no element-count primitive reaches it without UDFs).
+    Emits a summable 0/1 INT (the UInt8 analog); a BARE WHERE
+    JSONHas(...) must be written `JSONHas(...) = 1` (Spark refuses an
+    int condition — loud, never silent; the If-combinator positions
+    are coerced by _cond)."""
+    expr, parts = _json_path_parts(args)
+    if not parts or parts[-1].startswith("["):
+        return f"coalesce(CAST({_json_path(args)} IS NOT NULL AS INT), 0)"
+    last = parts[-1]
+    key = last[1:] if last.startswith(".") else _strip_quotes(last[1:-1])
+    parent = "$" + "".join(parts[:-1])
+    keys_expr = (
+        f"json_object_keys({expr})"
+        if parent == "$"
+        else f"json_object_keys(get_json_object({expr}, {_path_literal(parent)}))"
+    )
+    key_lit = "'" + key.replace(chr(39), chr(92) + chr(39)) + "'"
+    return f"coalesce(CAST(array_contains({keys_expr}, {key_lit}) AS INT), 0)"
+
+
+def _uniq_merge_reject(args: list[str]) -> str:
+    raise ValueError(
+        "uniqMerge: the shim's uniqState finalizes to a plain count per "
+        "group, so uniqMerge over it has no correct rewrite (distinct "
+        "counts are not summable — sum() would overcount). Re-aggregate "
+        "from the base table with uniq()/approx_count_distinct, or use "
+        "the mergeable HLL state the engine's MVs keep "
+        "(hll_sketch_agg / hll_union_agg, streaming/mv.py)"
+    )
 
 
 def _hof_reject(name: str, n_arrays: int) -> str:
@@ -236,6 +286,13 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     "countmerge": _rename("sum"),
     "summerge": _rename("sum"),
     "uniqstate": _rename("approx_count_distinct"),
+    # uniqMerge has NO value-level twin: uniqState above finalizes to a
+    # NUMBER per group (distinct counts are not summable — a sum()
+    # "fix" silently overcounts), so the pair cannot half-translate.
+    # Loud guidance instead (r12 ADVICE): the mergeable-sketch path is
+    # hll_sketch_agg/hll_union_agg, which streaming/mv.py uses for
+    # exactly this (daily_user_activity's sessions_hll).
+    "uniqmerge": _uniq_merge_reject,
     "grouparray": _rename("collect_list"),
     "groupuniqarray": lambda a: f"collect_set({a[0].strip()})",
     # note: quantified comparison `> ANY (SELECT ...)` must NOT become
@@ -382,16 +439,15 @@ _REWRITES: dict[str, Callable[[list[str]], str]] = {
     # missing-/mistyped-key defaults (0 / 0.0 / false), and JSONHas
     # yields 0/1 INT (UInt8 analog, summable) — a bare CAST's NULL
     # diverges from ClickHouse in avg(), comparisons, and NULL-skipping
-    # aggregates (r11 ADVICE dialect.py:295). Known residual
-    # divergence: JSONHas('{"a":null}','a') is 1 in ClickHouse but 0
-    # here (get_json_object can't tell a JSON null from a missing key).
+    # aggregates (r11 ADVICE dialect.py:295). JSONHas null-vs-missing
+    # is resolved via json_object_keys (see _json_has).
     "jsonextractstring": lambda a: _json_path(a),
     "jsonextractraw": lambda a: _json_path(a),
     "jsonextractint": lambda a: f"coalesce(CAST({_json_path(a)} AS BIGINT), 0)",
     "jsonextractuint": lambda a: f"coalesce(CAST({_json_path(a)} AS BIGINT), 0)",
     "jsonextractfloat": lambda a: f"coalesce(CAST({_json_path(a)} AS DOUBLE), 0.0d)",
     "jsonextractbool": lambda a: f"coalesce(CAST({_json_path(a)} AS BOOLEAN), false)",
-    "jsonhas": lambda a: f"CAST({_json_path(a)} IS NOT NULL AS INT)",
+    "jsonhas": _json_has,
     "simplejsonextractstring": lambda a: _json_path(a),
     "simplejsonextractint": lambda a: f"coalesce(CAST({_json_path(a)} AS BIGINT), 0)",
     "visitparamextractstring": lambda a: _json_path(a),
@@ -699,11 +755,326 @@ _SYSTEM_TABLE = re.compile(
 )
 
 
+def sub_code_only(pattern: re.Pattern, repl, sql: str) -> str:
+    """Apply ``pattern.sub(repl, ...)`` to the CODE segments of the
+    SQL only — string literals and comments pass through verbatim
+    (the same scanner contract as ``_rewrite_calls``). Used for the
+    whole-text regex rewrites (system.* mapping here; the corpus
+    clock pin), which would otherwise silently rewrite matches inside
+    literals, e.g. a gateway query filtering system_query_log by a
+    query-text LIKE 'system.parts%'."""
+    out: list[str] = []
+    code_start = 0
+    i = 0
+    while i < len(sql):
+        j = _skip_noncode(sql, i)
+        if j != i:
+            out.append(pattern.sub(repl, sql[code_start:i]))
+            out.append(sql[i:j])
+            code_start = i = j
+            continue
+        i += 1
+    out.append(pattern.sub(repl, sql[code_start:]))
+    return "".join(out)
+
+
+# ---------------------------------------------- SELECT-alias precedence
+#
+# ClickHouse resolves a SELECT-list alias with PRECEDENCE over a
+# same-named base column everywhere else in the query (the default
+# prefer_column_name_to_alias=0); Spark resolves the reverse — a base
+# column wins and the lateral alias loses, so the reference's
+# `SUM(unique_users) AS unique_users ... revenue / unique_users`
+# (examples/sample_queries.sql:89-100) either fails analysis
+# (MISSING_AGGREGATION) or silently computes over the wrong column.
+# The pass below recovers ClickHouse semantics by INLINING each
+# alias's expression into later references: later select items and
+# HAVING always; WHERE and GROUP BY only for aggregate-free,
+# window-free aliases (an aggregate there is ClickHouse-illegal too).
+# ORDER BY needs nothing — both engines resolve sort names against
+# the output list first. AS-form aliases only; a parenthesized
+# subquery is its own scope (substitution never descends into one,
+# and each nested SELECT block is processed independently).
+
+_AGG_NAMES = (
+    # this pass runs BEFORE _rewrite_calls, so it must recognize both
+    # the ClickHouse spellings (incl. the -State/-Merge/-If combinator
+    # families, e.g. ex_2_3's sumMerge) and the Spark names the MV
+    # fixture bodies already use
+    r"sum|count|avg|min|max|median|any|anyLast|anyHeavy|argMin|argMax"
+    r"|uniq\w*|quantile\w*|topK|groupArray\w*|groupUniqArray|groupBitmap\w*"
+    r"|corr|covar\w*|stddev\w*|var\w*|\w+State|\w+Merge|\w+If"
+    r"|first_value|last_value|collect_list|collect_set|approx_count_distinct"
+    r"|percentile\w*|hll_sketch_agg|hll_union_agg"
+)
+_AGG_OR_WINDOW = re.compile(rf"(?i)\b({_AGG_NAMES})\s*\(|\bover\s*\(")
+_AGG_NAME = re.compile(rf"(?i)^({_AGG_NAMES}|over)$")
+
+# clause keywords that end the select list / delimit block clauses,
+# at the block's own paren depth
+_SELECT_LIST_END = frozenset(
+    {"FROM", "WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+     "SETTINGS", "WINDOW", "QUALIFY", "UNION", "INTO", "FORMAT"}
+)
+
+
+def _scan_tokens(sql: str, start: int):
+    """Yield (kind, i, j) over sql[start:]: kind 'noncode' (literal or
+    comment), 'ident', or 'char'."""
+    i = start
+    while i < len(sql):
+        j = _skip_noncode(sql, i)
+        if j != i:
+            yield "noncode", i, j
+            i = j
+            continue
+        m = _IDENT.match(sql, i)
+        if m:
+            yield "ident", i, m.end()
+            i = m.end()
+            continue
+        yield "char", i, i + 1
+        i += 1
+
+
+def _split_select_alias(item: str) -> tuple[str, str | None]:
+    """Split one select item at its LAST top-level ``AS``; returns
+    (expr, alias) or (item, None). ``CAST(x AS INT)``'s AS sits at
+    depth 1 and never matches."""
+    depth = 0
+    last: tuple[int, int] | None = None
+    for kind, i, j in _scan_tokens(item, 0):
+        if kind == "char":
+            if item[i] == "(":
+                depth += 1
+            elif item[i] == ")":
+                depth -= 1
+        elif kind == "ident" and depth == 0 and item[i:j].upper() == "AS":
+            last = (i, j)
+    if last is None:
+        return item, None
+    alias = item[last[1]:].strip()
+    if not _IDENT.fullmatch(alias):
+        return item, None
+    return item[: last[0]], alias
+
+
+def _substitute_aliases(
+    text: str, aliases: dict[str, str], plain: dict[str, str] | None = None
+) -> str:
+    """Replace bare references to ``aliases`` keys with their
+    parenthesized expressions. Exact-case identifier match (ClickHouse
+    identifiers are case-sensitive); skips function-call positions,
+    qualified names, and whole parenthesized subqueries. INSIDE an
+    aggregate/OVER call only the ``plain`` (aggregate-free) subset
+    applies — ClickHouse resolves a name in an aggregate's argument to
+    the base column when the alias would nest aggregates
+    (`SUM(page_views) AS page_views ... SUM(page_views)` sums the
+    column, never the alias), but still expands scalar aliases there
+    (`x+1 AS y, SUM(y)` sums x+1)."""
+    if plain is None:
+        plain = {k: v for k, v in aliases.items() if not _AGG_OR_WINDOW.search(v)}
+    if not aliases:
+        return text
+    out: list[str] = []
+    depth = 0
+    agg_stack: list[int] = []  # paren depths of open aggregate calls
+    pending_agg = False
+    i = 0
+    while i < len(text):
+        j = _skip_noncode(text, i)
+        if j != i:
+            out.append(text[i:j])
+            i = j
+            continue
+        if text[i] == "(":
+            # subquery? copy the balanced group verbatim
+            k = i + 1
+            while k < len(text) and text[k] in " \t\r\n":
+                k += 1
+            m = _IDENT.match(text, k)
+            if m and m.group(0).upper() == "SELECT":
+                d2, k2 = 0, i
+                while k2 < len(text):
+                    j2 = _skip_noncode(text, k2)
+                    if j2 != k2:
+                        k2 = j2
+                        continue
+                    if text[k2] == "(":
+                        d2 += 1
+                    elif text[k2] == ")":
+                        d2 -= 1
+                        if d2 == 0:
+                            k2 += 1
+                            break
+                    k2 += 1
+                out.append(text[i:k2])
+                i = k2
+                pending_agg = False
+                continue
+            depth += 1
+            if pending_agg:
+                agg_stack.append(depth)
+                pending_agg = False
+            out.append("(")
+            i += 1
+            continue
+        if text[i] == ")":
+            if agg_stack and agg_stack[-1] == depth:
+                agg_stack.pop()
+            depth -= 1
+            out.append(")")
+            i += 1
+            continue
+        m = _IDENT.match(text, i)
+        if not m:
+            if text[i] not in " \t\r\n":
+                pending_agg = False
+            out.append(text[i])
+            i += 1
+            continue
+        name = m.group(0)
+        scope = plain if agg_stack else aliases
+        expr = scope.get(name)
+        qualified = (i > 0 and text[i - 1] == ".") or (
+            m.end() < len(text) and text[m.end()] == "."
+        )
+        k = m.end()
+        while k < len(text) and text[k] in " \t":
+            k += 1
+        is_call = k < len(text) and text[k] == "("
+        pending_agg = is_call and bool(_AGG_NAME.fullmatch(name))
+        if expr is not None and not qualified and not is_call:
+            out.append(f"({expr})")
+        else:
+            out.append(name)
+        i = m.end()
+    return "".join(out)
+
+
+def _rewrite_select_block(sql: str, start: int) -> tuple[str, int]:
+    """Process one SELECT block starting just after its SELECT keyword:
+    returns (rewritten block text, end index). The block ends when
+    paren depth drops below the block's own, at a top-level ``;``, or
+    at a top-level UNION/EXCEPT/INTERSECT (the next set operand is its
+    own block, picked up by the outer scan)."""
+    depth = 0
+    items: list[str] = []
+    seg_start = start
+    pos = start
+    end = len(sql)
+    clauses: list[tuple[str, int, int]] = []  # (KW, seg_start, seg_end)
+    cur_kw: str | None = None
+    cur_start = -1
+    in_select_list = True
+
+    def _close_clause(upto: int) -> None:
+        nonlocal cur_kw, cur_start
+        if cur_kw is not None:
+            clauses.append((cur_kw, cur_start, upto))
+            cur_kw = None
+
+    for kind, i, j in _scan_tokens(sql, start):
+        if kind == "noncode":
+            continue
+        if kind == "char":
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < 0:
+                    end = i
+                    break
+            elif c == ";" and depth == 0:
+                end = i
+                break
+            elif c == "," and depth == 0 and in_select_list:
+                items.append(sql[seg_start:i])
+                seg_start = i + 1
+            continue
+        word = sql[i:j].upper()
+        if depth == 0 and word in ("UNION", "EXCEPT", "INTERSECT"):
+            end = i
+            break
+        if depth == 0 and in_select_list and word in _SELECT_LIST_END:
+            items.append(sql[seg_start:i])
+            in_select_list = False
+            cur_kw, cur_start = word, i
+            continue
+        if depth == 0 and not in_select_list and word in _SELECT_LIST_END:
+            if word == "BY":  # GROUP BY / ORDER BY continuation
+                continue
+            _close_clause(i)
+            cur_kw, cur_start = word, i
+    else:
+        i = len(sql)
+    if in_select_list:
+        items.append(sql[seg_start:end])
+        in_select_list = False
+    _close_clause(end)
+
+    aliases: dict[str, str] = {}  # every AS alias (for later items/HAVING)
+    plain: dict[str, str] = {}  # aggregate-free subset (WHERE/GROUP BY)
+    new_items: list[str] = []
+    for item in items:
+        item = _substitute_aliases(item, aliases, plain)
+        expr, alias = _split_select_alias(item)
+        if alias is not None and expr.strip() != alias:
+            # line comments inside the expression would comment out
+            # everything after the inlined `(expr)` — strip them
+            clean = _strip_line_comments(expr).strip()
+            aliases[alias] = clean
+            if not _AGG_OR_WINDOW.search(clean):
+                plain[alias] = clean
+        new_items.append(item)
+
+    out = [",".join(new_items)]
+    for kw, s, e in clauses:
+        seg = sql[s:e]
+        if kw == "HAVING":
+            seg = _substitute_aliases(seg, aliases, plain)
+        elif kw in ("WHERE", "PREWHERE", "GROUP"):
+            seg = _substitute_aliases(seg, plain, plain)
+        out.append(seg)
+    # nested SELECTs (subqueries in items, FROM, or predicates) are
+    # their own scopes — recurse over the rebuilt text
+    return _inline_select_aliases("".join(out)), end
+
+
+def _inline_select_aliases(sql: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(sql):
+        j = _skip_noncode(sql, i)
+        if j != i:
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = _IDENT.match(sql, i)
+        if m and m.group(0).upper() == "SELECT":
+            out.append(sql[i : m.end()])
+            block, end = _rewrite_select_block(sql, m.end())
+            out.append(block)
+            i = end
+            continue
+        if m:
+            out.append(m.group(0))
+            i = m.end()
+            continue
+        out.append(sql[i])
+        i += 1
+    return "".join(out)
+
+
 def rewrite(sql: str) -> str:
     """Rewrite a ClickHouse-dialect query into Spark SQL."""
     sql = _EXPLAIN_VARIANT.sub(r"\1EXPLAIN ", sql)
-    sql = _SYSTEM_TABLE.sub(lambda m: f"system_{m.group(1).lower()}", sql)
+    sql = sub_code_only(
+        _SYSTEM_TABLE, lambda m: f"system_{m.group(1).lower()}", sql
+    )
     sql = _merge_prewhere(sql)
+    sql = _inline_select_aliases(sql)
     sql = _rewrite_calls(sql)
     sql = _rewrite_nonliteral_intervals(sql)
     return sql

@@ -163,6 +163,7 @@ def ivf_stored_topk(
     nprobe: int = 4,
     num_cells: int = 16,
     root: str | None = None,
+    rerank: int = 0,
 ) -> DataFrame:
     """IVF ANN top-k over the partitioned store: pick the nprobe cells
     whose centroids are nearest the (dequantized) query — a driver-side
@@ -170,7 +171,17 @@ def ivf_stored_topk(
     ``cell=`` directories with all-integer cosine re-rank. The cell
     predicate is a partition filter, so the non-probed ~(1 -
     nprobe/num_cells) of the store is never opened
-    (tests/test_quantized_store.py asserts it from inputFiles)."""
+    (tests/test_quantized_store.py asserts it from inputFiles).
+
+    ``rerank`` (r13, VERDICT r12 #3): take the top ``rerank`` int8
+    candidates, then re-score THOSE with exact float cosine against
+    the source embeddings table for the final top-k. The r12 40×
+    probe isolated the residual loss as pure int8 RANKING error
+    (recall@10 = 0.967 at full probe), so a float pass over a bounded
+    candidate set recovers it: the candidate ids are broadcast into a
+    point-lookup join on the float table — O(rerank) rows fetched,
+    never a second full scan. 0 disables (the pure-int8 path, default
+    and plan-snapshotted)."""
     from clickhouse_realtime_analytics_demo_spark.operators import similarity
 
     path = ensure_ivf_store(spark, sf_dir, num_cells, root=root)
@@ -186,13 +197,34 @@ def ivf_stored_topk(
 
     probe = sorted(range(len(centroids)), key=lambda i: (-cos_to_q(centroids[i]), i))[:nprobe]
     q = store.filter(F.col("vec_id") == query_id).select(F.col("qvec").alias("query_q"))
-    return (
+    int8_scored = (
         store.filter(F.col("cell").isin(probe) & (F.col("vec_id") != query_id))
         .crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.round(
                 similarity.int_cosine(F.col("qvec"), F.col("query_q")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    if not rerank:
+        return int8_scored.orderBy(F.desc("cosine_sim"), "neighbor_id").limit(k)
+    cand = (
+        int8_scored.orderBy(F.desc("cosine_sim"), "neighbor_id")
+        .limit(max(rerank, k))
+        .select("neighbor_id")
+    )
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    qf = emb.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("query_vec")
+    )
+    return (
+        emb.join(F.broadcast(cand), emb.vec_id == cand.neighbor_id, "inner")
+        .crossJoin(F.broadcast(qf))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("query_vec")), 6
             ).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), "neighbor_id")

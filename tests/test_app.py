@@ -435,7 +435,8 @@ def test_examples_index_and_run(spark, tmp_path):
         assert len(idx) == 35
         by_label = {r["label"]: r for r in idx}
         assert by_label["use"]["kind"] == "directive"
-        assert by_label["ex_2_4"]["patched"] is True
+        # r13: PATCHES is empty — every statement is verbatim
+        assert not any(r["patched"] for r in idx)
 
         r = c.post("/api/examples/ex_1_1")
         assert r.status_code == 200
@@ -450,3 +451,9 @@ def test_examples_index_and_run(spark, tmp_path):
         assert r.status_code in (200, 400)
         if r.status_code == 400:
             assert "error" in r.get_json()
+
+        # r12 ADVICE: malformed/negative limit is a 400/clamp, never 500
+        r = c.post("/api/examples/ex_1_1?limit=abc")
+        assert r.status_code == 400 and "limit" in r.get_json()["error"]
+        r = c.post("/api/examples/ex_1_1?limit=-5")
+        assert r.status_code == 200 and r.get_json()["row_count"] == 0

@@ -272,10 +272,14 @@ def test_json_function_rewrites():
         " JSONHas(props, 'k'), JSONExtractFloat(props, 'arr', '2') FROM events"
     )
     # numeric extracts coalesce to ClickHouse's missing-key defaults
-    # (0 / 0.0), JSONHas is a summable 0/1 INT (r11 ADVICE)
+    # (0 / 0.0), JSONHas is a summable 0/1 INT (r11 ADVICE) probed via
+    # json_object_keys so a JSON-null value still counts (r12 VERDICT #6)
     assert "coalesce(CAST(get_json_object(props, '$.k') AS BIGINT), 0)" in out
     assert "get_json_object(props, '$.a.b')" in out
-    assert "CAST(get_json_object(props, '$.k') IS NOT NULL AS INT)" in out
+    assert (
+        "coalesce(CAST(array_contains(json_object_keys(props), 'k') AS INT), 0)"
+        in out
+    )
     # ClickHouse indices are 1-based; JSONPath is 0-based
     assert "coalesce(CAST(get_json_object(props, '$.arr[1]') AS DOUBLE), 0.0d)" in out
 
@@ -307,6 +311,93 @@ def test_json_missing_key_defaults(spark):
         )
     ).collect()[0]
     assert (row.i, row.f, row.b, row.h) == (0, 0.0, False, 1)
+
+
+def test_json_has_null_vs_missing(spark):
+    """r12 VERDICT #6 closed: JSONHas distinguishes a key holding JSON
+    null (present → 1, the ClickHouse result) from a missing key (0),
+    at top level and nested; malformed JSON and non-object parents
+    yield 0."""
+    row = spark.sql(
+        dialect.rewrite(
+            "SELECT JSONHas('{\"a\":null}', 'a') AS null_val,"
+            " JSONHas('{\"a\":null}', 'b') AS missing,"
+            " JSONHas('{\"o\":{\"x\":null}}', 'o', 'x') AS nested_null,"
+            " JSONHas('{\"o\":{\"x\":null}}', 'o', 'y') AS nested_missing,"
+            " JSONHas('not json', 'a') AS malformed,"
+            " JSONHas('[1,2]', 'a') AS non_object"
+        )
+    ).collect()[0]
+    assert (
+        row.null_val, row.missing, row.nested_null,
+        row.nested_missing, row.malformed, row.non_object,
+    ) == (1, 0, 1, 0, 0, 0)
+
+
+def test_uniq_merge_rejected_loudly():
+    """r12 ADVICE: uniqMerge has no correct value-level rewrite
+    (distinct counts are not summable) — the shim refuses with
+    guidance instead of half-translating the uniqState/uniqMerge
+    pair."""
+    import pytest
+
+    with pytest.raises(ValueError, match="uniqMerge"):
+        dialect.rewrite("SELECT uniqMerge(users_state) FROM mv GROUP BY d")
+
+
+def test_quote_aware_whole_text_rewrites():
+    """r12 ADVICE: system.* mapping (and corpus.pin_clock) are applied
+    through the string-literal-skipping scanner — a literal mentioning
+    'system.parts' or 'today()' survives verbatim."""
+    out = dialect.rewrite(
+        "SELECT query FROM system.query_log WHERE query LIKE '%system.parts%'"
+    )
+    assert "FROM system_query_log" in out
+    assert "'%system.parts%'" in out
+    from clickhouse_realtime_analytics_demo_spark.plans import corpus
+
+    pinned = corpus.pin_clock("SELECT 'today()' AS lit, today() AS d")
+    assert "'today()'" in pinned
+    assert "DATE '" in pinned
+
+
+def test_alias_precedence_inlining(spark):
+    """r12 VERDICT #1: ClickHouse resolves SELECT-list aliases over
+    same-named base columns; the dialect inlines alias expressions
+    into later references so Spark computes the same thing. Pins the
+    ex_2_4 shape (agg alias ÷ agg alias under GROUP BY), the ex_2_3
+    guard (an agg alias referenced INSIDE another aggregate means the
+    base column — never a nested aggregate), non-agg aliases reaching
+    WHERE/GROUP BY, and subquery scope isolation."""
+    out = dialect.rewrite(
+        "SELECT country, SUM(unique_users) as unique_users,"
+        " SUM(total_revenue) as revenue,"
+        " round(revenue / unique_users, 2) as rpu"
+        " FROM mv GROUP BY country"
+    )
+    assert "round((SUM(total_revenue)) / (SUM(unique_users)), 2)" in out
+    out = dialect.rewrite(
+        "SELECT sum(page_views) as page_views,"
+        " round(sum(purchases) * 100.0 / sum(page_views), 2) as rate FROM mv"
+    )
+    assert "sum(sum(" not in out
+    out = dialect.rewrite(
+        "SELECT toDate(ts) AS d, count(*) AS c FROM e"
+        " WHERE d > '2024-01-01' GROUP BY d"
+    )
+    assert "WHERE (to_date(ts)) > '2024-01-01'" in out
+    assert "GROUP BY (to_date(ts))" in out
+    out = dialect.rewrite("SELECT a AS x, (SELECT x FROM t2) AS sub, x + 1 AS y FROM t1")
+    assert "(SELECT x FROM t2)" in out  # inner scope untouched
+    assert "(a) + 1 AS y" in out
+    # end-to-end: the ClickHouse resolution is what executes
+    row = spark.sql(
+        dialect.rewrite(
+            "SELECT SUM(v) AS v, SUM(w) AS w, v / w AS ratio"
+            " FROM (SELECT 10 AS v, 2 AS w UNION ALL SELECT 30 AS v, 2 AS w)"
+        )
+    ).collect()[0]
+    assert (row.v, row.w, float(row.ratio)) == (40, 4, 10.0)
 
 
 def test_json_gateway_end_to_end(spark):

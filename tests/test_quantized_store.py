@@ -166,6 +166,52 @@ def test_ivf_recall_floor_vs_nprobe(spark, tmp_path):
     assert r16 >= 0.90, f"full-probe int8 ceiling fell to {r16}"
 
 
+def test_ivf_float_rerank_recovers_recall(spark, tmp_path):
+    """r13 (VERDICT r12 #3): the r12 probe isolated full-probe recall
+    loss as pure int8 RANKING error — a float re-rank over the bounded
+    top-candidate set must erase it. Pins: (a) full-probe + re-rank
+    recall@10 ≥ 0.99 (vs the ~0.95-0.97 int8 ceiling), (b) re-rank at
+    nprobe=4 never hurts the int8 ranking, (c) the re-ranked scores
+    are EXACTLY the float cosines (brute-force agreement on the
+    returned ids)."""
+    from clickhouse_realtime_analytics_demo_spark import catalog
+
+    emb = catalog.table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    qids = [(j * 101) % n for j in range(8)]
+    exact = {
+        q: {
+            r.neighbor_id: r.cosine_sim
+            for r in similarity.brute_force_topk(emb, query_id=q, k=10).collect()
+        }
+        for q in qids
+    }
+
+    def mean_recall(nprobe: int, rerank: int) -> float:
+        hits = []
+        for q in qids:
+            got = {
+                r.neighbor_id
+                for r in quantized.ivf_stored_topk(
+                    spark, SF_DIR, query_id=q, k=10, nprobe=nprobe,
+                    root=str(tmp_path), rerank=rerank,
+                ).collect()
+            }
+            hits.append(len(got & set(exact[q])) / 10.0)
+        return sum(hits) / len(hits)
+
+    full_rr = mean_recall(16, 200)
+    assert full_rr >= 0.99, f"full-probe + float re-rank recall {full_rr}"
+    assert mean_recall(4, 200) >= mean_recall(4, 0) - 1e-9
+    # (c) score agreement: returned cosines == float brute-force values
+    rows = quantized.ivf_stored_topk(
+        spark, SF_DIR, query_id=qids[0], k=10, nprobe=16,
+        root=str(tmp_path), rerank=200,
+    ).collect()
+    for r in rows:
+        assert exact[qids[0]].get(r.neighbor_id, r.cosine_sim) == r.cosine_sim
+
+
 def test_ivf_store_scores_match_inline_quantized(spark, tmp_path):
     # the store's qvec column must be EXACTLY the inline quantization
     # of the source vectors: score the probed cells via the store and

@@ -19,9 +19,11 @@ Check tiers (spec per statement below):
 - executes: runs and returns a stable schema (0 rows by design, e.g.
             the 'some-session-id' placeholder)
 
-One statement (ex_2_4) carries a declared patch — ClickHouse resolves
-SELECT-list aliases over same-named base columns, Spark the reverse
-(corpus.PATCHES); the gate asserts the verbatim form fails LOUDLY.
+Since round 13 corpus.PATCHES is EMPTY: the last divergence (ex_2_4,
+ClickHouse resolving SELECT-list aliases over same-named base columns)
+is handled by dialect._inline_select_aliases, so all 35 statements run
+verbatim; a dedicated test pins the alias-precedence semantics on the
+verbatim text.
 """
 
 from __future__ import annotations
@@ -319,15 +321,26 @@ def test_corpus_statement(env, label):
         raise AssertionError(spec)
 
 
-def test_patched_statement_fails_loudly_verbatim(env):
-    """The one patched statement (ex_2_4, alias-precedence — see
-    corpus.PATCHES) must fail ANALYSIS verbatim, never silently
-    compute something else."""
+def test_ex_2_4_verbatim_alias_precedence(env):
+    """r13 (VERDICT r12 #1): the formerly-patched statement now runs
+    VERBATIM — corpus.PATCHES is empty — and resolves the ClickHouse
+    way: `revenue / unique_users` means the SELECT aliases
+    (SUM(total_revenue) / SUM(unique_users)), not the base columns.
+    Pinned by internal consistency on the verbatim result: every row's
+    revenue_per_user equals round(revenue/unique_users, 2) computed
+    from the SAME row's aggregate columns (Spark's own resolution
+    would have failed analysis on the bare base column, or — worse —
+    divided by a non-aggregated value)."""
     spark, _, stmts = env
-    from pyspark.errors import AnalysisException
-
-    with pytest.raises(AnalysisException):
-        corpus.run_statement(spark, stmts["ex_2_4"], apply_patches=False).collect()
+    assert corpus.PATCHES == {}
+    rows = corpus.run_statement(
+        spark, stmts["ex_2_4"], apply_patches=False
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["unique_users"] > 0
+        want = round(float(r["revenue"]) / float(r["unique_users"]), 2)
+        assert abs(float(r["revenue_per_user"]) - want) < 1e-9, dict(r.asDict())
 
 
 def test_value_check_coverage_floor(env):
