@@ -164,6 +164,10 @@ HEADLINE = (
     # tracks the Arrow-batched combiner build + relational extraction
     # (the continuous-domain production path next to the exact state).
     "order_status_quantiles_tdigest",
+    # round 13 (VERDICT r12 #3): IVF probe + float re-rank of the
+    # bounded int8 candidate set — the recall-recovering production
+    # ANN path (exact scores, point-lookup join, no second scan).
+    "ann_ivf_topk_rerank",
 )
 
 

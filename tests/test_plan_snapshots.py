@@ -170,6 +170,15 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # TakeOrdered shape; the cell predicate is a PARTITION filter
     # (pruning asserted from scan metrics in test_quantized_store.py)
     "ann_ivf_topk_stored": ({"BroadcastNestedLoopJoinExec": 1}, True),
+    # r13: IVF + float re-rank — the int8 probe's 1-row broadcast and
+    # the float query-vector broadcast are the two BNLJs; the bounded
+    # candidate set (top 200 ids) broadcasts into a point-lookup BHJ
+    # on the float table; BOTH top-k cuts are TakeOrdered (candidate
+    # cut + final), never a global sort
+    "ann_ivf_topk_rerank": (
+        {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 2},
+        True,
+    ),
     # r11: SemDeDup — the within-cluster pair join runs as two SMJ
     # arms (cell-keyed self-join + the CC edge attach), the keep-one
     # anti-join + union plumbing broadcast (3 BHJ), and the two
@@ -232,6 +241,7 @@ _BNLJ_ALLOWED = {
     "ann_cosine_topk_int8",
     "ann_cosine_topk_int8_stored",
     "ann_ivf_topk_stored",
+    "ann_ivf_topk_rerank",
     "corpus_select_budget",
     "semantic_dedup",
 }
