@@ -876,6 +876,22 @@ def _substitute_aliases(
         plain = {k: v for k, v in aliases.items() if not _AGG_OR_WINDOW.search(v)}
     if not aliases:
         return text
+    # lambda params (`x -> …`, `(x, y) -> …` in HOFs) shadow aliases
+    # for the whole text: substituting either the declaration or a body
+    # reference would corrupt the lambda — exclude colliding names
+    lam = {
+        m.group(1)
+        for m in re.finditer(r"([A-Za-z_][A-Za-z0-9_]*)\s*(?:,|\))?\s*->", text)
+    } | {
+        n
+        for m in re.finditer(r"\(([^()]*)\)\s*->", text)
+        for n in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", m.group(1))
+    }
+    if lam & set(aliases):
+        aliases = {k: v for k, v in aliases.items() if k not in lam}
+        plain = {k: v for k, v in plain.items() if k not in lam}
+        if not aliases:
+            return text
     out: list[str] = []
     depth = 0
     agg_stack: list[int] = []  # paren depths of open aggregate calls

@@ -390,6 +390,13 @@ def test_alias_precedence_inlining(spark):
     out = dialect.rewrite("SELECT a AS x, (SELECT x FROM t2) AS sub, x + 1 AS y FROM t1")
     assert "(SELECT x FROM t2)" in out  # inner scope untouched
     assert "(a) + 1 AS y" in out
+    # lambda params shadow aliases inside their own HOF item; outer
+    # references still resolve to the alias
+    out = dialect.rewrite(
+        "SELECT a AS x, arrayMap(x -> x + 1, arr) AS m, x + 2 AS y FROM t"
+    )
+    assert "transform(arr, x -> x + 1)" in out
+    assert "(a) + 2 AS y" in out
     # end-to-end: the ClickHouse resolution is what executes
     row = spark.sql(
         dialect.rewrite(
