@@ -559,11 +559,13 @@ def compact_result(
         "spin_p95_ms": spin.get("p95_ms"),
         "spin_max_ms": spin.get("max_ms"),
         "quiet_spin_ms": quiet_ms,
-        "spin_retried": spin_retried,
-        "band_retried": band_retried,
         # name lists capped so the line can NEVER outgrow the tail
-        # window (full membership is in the instruments line + timings)
-        "end_requeued": (end_requeued or [])[:6],
+        # window (full membership is in the instruments line + timings;
+        # r13 tightened all four caps when the 37th HEADLINE query put
+        # the worst-case line 1 byte over the pin)
+        "spin_retried": spin_retried[:4],
+        "band_retried": band_retried[:4],
+        "end_requeued": (end_requeued or [])[:5],
         "over_band": (over_band or [])[:4],
         "over_band_n": len(over_band or []),
         "contaminated": contaminated,

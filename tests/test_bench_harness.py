@@ -214,7 +214,8 @@ def test_compact_result_fits_driver_tail_window():
     assert parsed["metric"] == "headline_query_wall_clock_total"
     assert set(parsed["queries"]) == set(HEADLINE)
     assert parsed["contaminated"] is True
-    assert len(parsed["end_requeued"]) <= 6 and len(parsed["over_band"]) <= 4
+    assert len(parsed["end_requeued"]) <= 5 and len(parsed["over_band"]) <= 4
+    assert len(parsed["spin_retried"]) <= 4 and len(parsed["band_retried"]) <= 4
     assert parsed["over_band_n"] == len(HEADLINE)
     # the keys cross-round tooling reads must stay present
     for key in (
