@@ -3181,7 +3181,8 @@ def write_temporal_section(rows: list[dict]) -> None:
 
 
 def state_retention_probe(
-    spark, days=10, retain_days=3, events_per_day=20_000, n_users=1500
+    spark, days=10, retain_days=3, events_per_day=20_000, n_users=1500,
+    grace_seconds=4.0,
 ) -> list[dict]:
     """Round-13 (VERDICT r12 #2, the at-scale half): multi-day ingest
     into DATE-KEYED state for all four State/Merge families with a
@@ -3204,6 +3205,17 @@ def state_retention_probe(
     )
 
     base = tempfile.mkdtemp(prefix="stateretention_")
+    # the probe compresses a "day" to ~10-15 s of wall clock, so the
+    # production 120 s tombstone grace would span the whole run and
+    # folded parts would never reap — scale grace with the compressed
+    # clock (same ratio: grace ≪ day) so steady-state BYTES are
+    # measurable, not just steady-state rows. Restored on exit.
+    from clickhouse_realtime_analytics_demo_spark.streaming import (
+        parts as _parts_mod,
+    )
+
+    prod_grace = _parts_mod.GRACE_SECONDS
+    _parts_mod.GRACE_SECONDS = grace_seconds
     mv_root = f"{base}/mv"
     tk, qt, td = f"{base}/topk", f"{base}/quant", f"{base}/tdig"
     keys = ["event_date", "country"]
@@ -3281,6 +3293,7 @@ def state_retention_probe(
         print(json.dumps({"state_retention_probe": row}), flush=True)
     for b in batches:
         b.unpersist()
+    _parts_mod.GRACE_SECONDS = prod_grace
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -3301,7 +3314,12 @@ def write_state_retention_section(rows: list[dict], retain_days: int = 3) -> Non
         "(compact(retain_where=…) — the TTL-on-merge analog the r12 probe "
         "named as the one unbounded term). Stored rows are ASSERTED equal "
         "to the retained window's key space at every fold (the probe "
-        "aborts otherwise).",
+        "aborts otherwise). The tombstone grace window is scaled to the "
+        "probe's compressed day (~12 s wall per day vs the production "
+        "120 s grace), keeping grace ≪ day at the same ratio as "
+        "production — the first run left grace unscaled and measured "
+        "pure tombstone accumulation (+0.36 MB/day, rows still flat), "
+        "which at real cadence the existing reap-on-fold already sheds.",
         "",
         "| day | events total | MV stored rows | state keys | state MB |"
         " MV read (s) | topK read (s) | quant read (s) | tdigest read (s) |",
