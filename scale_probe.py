@@ -1516,9 +1516,11 @@ def write_ivf_recall_section(row: dict) -> None:
             f"full-probe recall {ceiling} → {rr.get(full)} (the residual "
             "was pure int8 RANKING loss, now recovered by exact scoring "
             "of a broadcastable candidate set — a point-lookup join on "
-            "the float table, never a second scan) and every lower "
-            "nprobe row by the same mechanism; per-query cost stays "
-            "within the int8 path's band (columns above).",
+            "the float table, never a second scan). Lower nprobe rows "
+            "move little: their loss is PROBE-MISS, not ranking — a "
+            "neighbor in an unprobed cell never reaches the candidate "
+            "set, so re-rank composes with nprobe rather than "
+            "substituting for it. Per-query cost columns above.",
         ]
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
