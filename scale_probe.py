@@ -3377,14 +3377,14 @@ def bench_sf1_probe(spark, k: int = 10, runs: int = 2) -> dict:
     base_wall: dict[str, float] = {}
     for name in _bench.HEADLINE:
         t0 = time.perf_counter()
-        qs[name](spark, BASE_SF).collect()
+        qs[name].fn(spark, BASE_SF).collect()
         base_wall[name] = round(time.perf_counter() - t0, 3)
     sf1_wall: dict[str, float] = {}
     for name in _bench.HEADLINE:
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            qs[name](spark, d).collect()
+            qs[name].fn(spark, d).collect()
             best = min(best, time.perf_counter() - t0)
         sf1_wall[name] = round(best, 3)
         print(
@@ -3435,18 +3435,24 @@ def write_bench_sf1_section(row: dict) -> None:
         "noise). Per-query sf1 mins are committed as BENCH_BANDS_sf1."
         % row["runs"],
         "",
-        "| query | sf0.1 (session) | sf0.1 (band) | sf1 | factor |",
-        "|---|---|---|---|---|",
+        "| query | sf0.1 (session) | sf0.1 (band) | sf1 | ×session | ×band |",
+        "|---|---|---|---|---|---|",
     ]
     super_linear = []
     for name in _bench.HEADLINE:
         s01 = row["sf01_session"][name]
         s1 = row["sf1"][name]
-        factor = round(s1 / s01, 1) if s01 > 0 else float("inf")
-        if factor > 10:
-            super_linear.append((name, factor))
+        band = bands.get(name)
+        f_sess = round(s1 / s01, 1) if s01 > 0 else float("inf")
+        f_band = round(s1 / band, 1) if band else None
+        # name super-linear queries by the CLEAN band anchor (the
+        # session pass is single-run and carries first-run store
+        # builds, skewing its factor low for exactly the heavy queries)
+        if (f_band or f_sess) > 10:
+            super_linear.append((name, f_band or f_sess))
         lines.append(
-            f"| {name} | {s01} | {bands.get(name, '—')} | {s1} | {factor}× |"
+            f"| {name} | {s01} | {band if band is not None else '—'} | {s1} |"
+            f" {f_sess}× | {f_band if f_band is not None else '—'}× |"
         )
     lines += [
         "",
@@ -3459,15 +3465,16 @@ def write_bench_sf1_section(row: dict) -> None:
     if super_linear:
         lines += [
             "",
-            "Queries above 10× (named per the rung's contract): "
+            "Queries above 10× their clean sf0.1 band (named per the "
+            "rung's contract): "
             + ", ".join(f"{n} ({f}×)" for n, f in super_linear)
-            + " — see the per-query notes below the table in this section.",
+            + ".",
         ]
     else:
         lines += [
             "",
-            "No query exceeded 10× for 10× data — every HEADLINE plan "
-            "scales at-or-below linear at this rung.",
+            "No query exceeded 10× its clean sf0.1 band for 10× data — "
+            "every HEADLINE plan scales at-or-below linear at this rung.",
         ]
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
