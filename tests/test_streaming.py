@@ -316,10 +316,118 @@ def test_ttl_partition_drop(spark, tmp_path):
     path = str(tmp_path / "events")
     before_months = retention.expired_months(path, date(2099, 1, 1))
     assert len(before_months) >= 2
-    report = retention.apply_ttl(spark, path, "event_date", date(2024, 2, 1))
+    # grace 0 = quiesced mode: doom AND physically reap in one pass
+    report = retention.apply_ttl(
+        spark, path, "event_date", date(2024, 2, 1), grace_seconds=0.0
+    )
     assert report["dropped_partitions"] == [202401]
+    assert report["reaped"] == ["yyyymm=202401"]
     remaining = spark.read.parquet(path)
     assert remaining.filter(F.col("event_date") < F.lit("2024-02-01")).count() == 0
+
+
+def test_ttl_doom_grace_lifecycle(spark, tmp_path):
+    """VERDICT r13 #1: a TTL drop is a logical doom first — every byte
+    stays on disk through the grace window (in-flight readers finish),
+    marker-aware listings exclude it instantly, and only the reap past
+    grace removes it physically."""
+    from pathlib import Path
+
+    ev = generator.events(spark, n=2000, n_users=50)
+    writer.write_table(ev, str(tmp_path), "events")
+    path = str(tmp_path / "events")
+    jan = Path(path) / "yyyymm=202401"
+    pre_cutoff = (
+        writer.read_table(spark, str(tmp_path), "events")
+        .filter(F.col("event_date") < F.lit("2024-02-01"))
+        .count()
+    )
+    assert pre_cutoff > 0
+
+    # default grace: logical drop only
+    report = retention.apply_ttl(spark, path, "event_date", date(2024, 2, 1))
+    assert report["dropped_partitions"] == [202401]
+    assert report["reaped"] == []
+    assert jan.is_dir(), "doomed partition must survive the grace window"
+    # marker-aware reader: expired rows gone at marker time
+    ev2 = writer.read_table(spark, str(tmp_path), "events")
+    assert ev2.filter(F.col("event_date") < F.lit("2024-02-01")).count() == 0
+    # bare-path reader: bounded staleness — still served, never errors
+    bare = spark.read.parquet(path)
+    assert (
+        bare.filter(F.col("event_date") < F.lit("2024-02-01")).count() == pre_cutoff
+    )
+    # second pass is idempotent: nothing newly doomed, nothing reaped early
+    report2 = retention.apply_ttl(spark, path, "event_date", date(2024, 2, 1))
+    assert report2["dropped_partitions"] == []
+    assert jan.is_dir()
+    # grace expiry: physical removal
+    assert retention.reap_expired(path, grace_seconds=0.0) == ["yyyymm=202401"]
+    assert not jan.exists()
+    assert spark.read.parquet(path).filter(
+        F.col("event_date") < F.lit("2024-02-01")
+    ).count() == 0
+
+
+def test_ttl_boundary_trim_lifecycle(spark, tmp_path):
+    """Boundary-month trim rides the same doom/grace/publish contract:
+    old files stay resolvable through grace, listings flip atomically
+    to the trimmed generation, late backdated arrivals fold in at
+    publish (visible, never lost)."""
+    from pathlib import Path
+
+    ev = generator.events(spark, n=2000, n_users=50)
+    writer.write_table(ev, str(tmp_path), "events")
+    path = str(tmp_path / "events")
+    feb = Path(path) / "yyyymm=202402"
+    cutoff = date(2024, 2, 10)
+    tbl = lambda: writer.read_table(spark, str(tmp_path), "events")  # noqa: E731
+    feb_keep = (
+        tbl()
+        .filter(
+            (F.col("event_date") >= F.lit("2024-02-10"))
+            & (F.col("event_date") < F.lit("2024-03-01"))
+        )
+        .count()
+    )
+    report = retention.apply_ttl(
+        spark, path, "event_date", cutoff, trim_boundary_month=True
+    )
+    assert report["dropped_partitions"] == [202401]
+    assert report["trimmed_boundary_rows"] > 0
+    # grace window: old boundary files still on disk, generation live
+    assert feb.is_dir() and (feb / "_DOOMED").exists()
+    gens = list(Path(path).glob(".ttl-trim-202402-*"))
+    assert len(gens) == 1
+    got = tbl()
+    assert got.filter(F.col("event_date") < F.lit("2024-02-10")).count() == 0
+    assert got.filter(F.col("yyyymm") == 202402).count() == feb_keep
+
+    # a late backdated arrival lands in the doomed boundary dir
+    late = generator.events(
+        spark, n=40, n_users=5, seed=99, id_offset=10_000, partitions=1
+    ).filter(
+        (F.col("event_date") >= F.lit("2024-02-15"))
+        & (F.col("event_date") < F.lit("2024-03-01"))
+    )
+    n_late = late.count()
+    assert n_late > 0
+    late.coalesce(1).write.mode("append").parquet(str(feb))
+
+    # reap past grace: fold late files, publish the generation
+    retention.reap_expired(path, grace_seconds=0.0)
+    assert (feb / "_SUCCESS").exists(), "published staged partition"
+    assert not (feb / "_DOOMED").exists()
+    pub = tbl()
+    assert pub.filter(F.col("event_date") < F.lit("2024-02-10")).count() == 0
+    assert pub.filter(F.col("yyyymm") == 202402).count() == feb_keep + n_late
+    # bare read agrees once published (generation is dot-hidden)
+    bare_feb = spark.read.parquet(path).filter(F.col("yyyymm") == 202402)
+    assert bare_feb.count() == feb_keep + n_late
+    # superseded generation sits out its own grace, then disappears
+    assert (gens[0] / "_DOOMED").exists()
+    retention.reap_expired(path, grace_seconds=0.0)
+    assert not gens[0].exists()
 
 
 def test_maybe_compact_threshold(spark, tmp_path):
