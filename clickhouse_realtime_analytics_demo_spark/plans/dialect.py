@@ -202,25 +202,40 @@ def _json_path(args: list[str]) -> str:
 
 
 def _json_has(args: list[str]) -> str:
-    """JSONHas → key-presence probe via ``json_object_keys`` on the
-    ENCLOSING object, so a key holding JSON null still counts as
-    present — ClickHouse's JSONHas('{"a":null}','a') = 1, which the
-    old IS-NOT-NULL probe on get_json_object could not distinguish
-    from a missing key (the r12 documented divergence, now closed).
-    Non-object parents and malformed JSON yield NULL keys → 0, the
-    ClickHouse result. Array-index form (last arg numeric) keeps the
-    extraction probe — a JSON null array ELEMENT stays a documented
-    divergence (no element-count primitive reaches it without UDFs).
+    """JSONHas → presence probe that counts JSON nulls as present,
+    matching ClickHouse in BOTH addressing forms (r12/r13 divergences,
+    now closed):
+
+    - **object key** (``.key`` or bracket-form ``['k.x']`` for keys
+      with dots/metacharacters): ``json_object_keys`` on the ENCLOSING
+      object — ``JSONHas('{"a":null}','a') = 1``. Non-object parents
+      and malformed JSON yield NULL keys → 0, the ClickHouse result.
+    - **array index** (last arg numeric, 1-based): index-EXISTENCE via
+      ``json_array_length`` on the enclosing array — a null ELEMENT
+      counts (``JSONHas('[null]', 1) = 1``), out-of-range and
+      non-array parents are 0 (VERDICT r13 #6: the old extraction
+      probe conflated null elements with absent indices).
+
     Emits a summable 0/1 INT (the UInt8 analog); a BARE WHERE
     JSONHas(...) must be written `JSONHas(...) = 1` (Spark refuses an
     int condition — loud, never silent; the If-combinator positions
     are coerced by _cond)."""
     expr, parts = _json_path_parts(args)
-    if not parts or parts[-1].startswith("["):
+    if not parts:
         return f"coalesce(CAST({_json_path(args)} IS NOT NULL AS INT), 0)"
     last = parts[-1]
-    key = last[1:] if last.startswith(".") else _strip_quotes(last[1:-1])
     parent = "$" + "".join(parts[:-1])
+    if last.startswith("[") and not last.startswith("['"):
+        # numeric index: parts hold the 0-based translation, so the
+        # element exists iff the enclosing array's length exceeds it
+        idx0 = int(last[1:-1])
+        arr = (
+            expr
+            if len(parts) == 1
+            else f"get_json_object({expr}, {_path_literal(parent)})"
+        )
+        return f"coalesce(CAST(json_array_length({arr}) > {idx0} AS INT), 0)"
+    key = last[1:] if last.startswith(".") else _strip_quotes(last[1:-1])
     keys_expr = (
         f"json_object_keys({expr})"
         if parent == "$"
@@ -803,11 +818,23 @@ _AGG_NAMES = (
     # fixture bodies already use
     r"sum|count|avg|min|max|median|any|anyLast|anyHeavy|argMin|argMax"
     r"|uniq\w*|quantile\w*|topK|groupArray\w*|groupUniqArray|groupBitmap\w*"
-    r"|corr|covar\w*|stddev\w*|var\w*|\w+State|\w+Merge|\w+If"
+    r"|corr|covar\w*|stddev\w*|var\w*|\w+State|\w+Merge"
+    # -If combinator: ONLY over known aggregate bases — a bare \w+If
+    # also matched the SCALAR If family (multiIf/if/nullIf), excluding
+    # their aliases from the `plain` map and silently resolving them
+    # to base columns inside aggregates (r13 ADVICE, dialect.py:806)
+    r"|(?:sum|count|avg|min|max|any|anyLast|anyHeavy|argMin|argMax|median"
+    r"|topK|groupArray|groupUniqArray|corr|covarPop|covarSamp"
+    r"|stddevPop|stddevSamp|varPop|varSamp)If"
     r"|first_value|last_value|collect_list|collect_set|approx_count_distinct"
     r"|percentile\w*|hll_sketch_agg|hll_union_agg"
 )
-_AGG_OR_WINDOW = re.compile(rf"(?i)\b({_AGG_NAMES})\s*\(|\bover\s*\(")
+# `OVER (…)` or a named window `OVER w` (WINDOW clause) — the bare
+# paren form alone let named-window aliases into the `plain` map
+# (r13 ADVICE, dialect.py:872)
+_AGG_OR_WINDOW = re.compile(
+    rf"(?i)\b({_AGG_NAMES})\s*\(|\bover\s*\(|\bover\s+[A-Za-z_]"
+)
 _AGG_NAME = re.compile(rf"(?i)^({_AGG_NAMES}|over)$")
 
 # clause keywords that end the select list / delimit block clauses,

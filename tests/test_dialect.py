@@ -334,6 +334,46 @@ def test_json_has_null_vs_missing(spark):
     ) == (1, 0, 1, 0, 0, 0)
 
 
+def test_json_has_array_index_existence(spark):
+    """VERDICT r13 #6 closed: JSONHas(json, ..., idx) mirrors
+    ClickHouse's 1-based index-EXISTENCE semantics via
+    json_array_length — a null ELEMENT counts as present, out-of-range
+    indices and non-array parents are 0 (the old extraction probe
+    conflated null elements with absent indices)."""
+    row = spark.sql(
+        dialect.rewrite(
+            "SELECT JSONHas('[10, null, 30]', '2') AS null_elem,"
+            " JSONHas('[10, null, 30]', '3') AS in_range,"
+            " JSONHas('[10, null, 30]', '4') AS out_of_range,"
+            " JSONHas('{\"arr\":[null]}', 'arr', '1') AS nested_null_elem,"
+            " JSONHas('{\"arr\":[null]}', 'arr', '2') AS nested_oob,"
+            " JSONHas('{\"arr\":5}', 'arr', '1') AS non_array,"
+            " JSONHas('not json', '1') AS malformed"
+        )
+    ).collect()[0]
+    assert (
+        row.null_elem, row.in_range, row.out_of_range,
+        row.nested_null_elem, row.nested_oob, row.non_array, row.malformed,
+    ) == (1, 1, 0, 1, 0, 0, 0)
+
+
+def test_json_has_bracket_form_string_key(spark):
+    """r13 ADVICE: a key with dots/metacharacters takes the bracket
+    path form — it must still route through the json_object_keys
+    presence probe, so JSONHas('{\"a.b\":null}','a.b') = 1."""
+    row = spark.sql(
+        dialect.rewrite(
+            "SELECT JSONHas('{\"a.b\":null}', 'a.b') AS dotted_null,"
+            " JSONHas('{\"a.b\":1}', 'a.b') AS dotted_present,"
+            " JSONHas('{\"a\":{\"b\":1}}', 'a.b') AS not_nested,"
+            " JSONHas('{\"o\":{\"k.x\":null}}', 'o', 'k.x') AS nested_dotted"
+        )
+    ).collect()[0]
+    assert (
+        row.dotted_null, row.dotted_present, row.not_nested, row.nested_dotted,
+    ) == (1, 1, 0, 1)
+
+
 def test_uniq_merge_rejected_loudly():
     """r12 ADVICE: uniqMerge has no correct value-level rewrite
     (distinct counts are not summable) — the shim refuses with
@@ -405,6 +445,56 @@ def test_alias_precedence_inlining(spark):
         )
     ).collect()[0]
     assert (row.v, row.w, float(row.ratio)) == (40, 4, 10.0)
+
+
+def test_alias_scalar_if_family_is_plain(spark):
+    """r13 ADVICE (medium): multiIf/if/nullIf are SCALAR functions —
+    a bare \\w+If in the aggregate classifier excluded their aliases
+    from the `plain` map, so references in WHERE/GROUP BY were not
+    inlined and references inside aggregates silently resolved to a
+    same-named base column. Aggregate -If combinators (sumIf, countIf)
+    must still classify as aggregates."""
+    out = dialect.rewrite(
+        "SELECT multiIf(a > 1, 'hi', 'lo') AS band, count(*) AS c"
+        " FROM t WHERE band != 'lo' GROUP BY band"
+    )
+    assert "WHERE ((CASE WHEN" in out and "GROUP BY ((CASE WHEN" in out
+    # inside an aggregate, a scalar alias EXPANDS (never base-column)
+    out = dialect.rewrite(
+        "SELECT nullIf(v, 0) AS nv, sum(nv) AS s FROM t GROUP BY k"
+    )
+    assert "sum((nullIf(v, 0)))" in out
+    # aggregate -If combinators keep aggregate classification: the
+    # alias must NOT be inlined into WHERE (ClickHouse-illegal there)
+    out = dialect.rewrite(
+        "SELECT sumIf(v, v > 0) AS pos FROM t WHERE pos > 1 GROUP BY k"
+    )
+    assert "WHERE pos > 1" in out
+    # end-to-end: the ClickHouse resolution executes
+    row = spark.sql(
+        dialect.rewrite(
+            "SELECT multiIf(v > 15, 'big', 'small') AS band, sum(v) AS s"
+            " FROM (SELECT 10 AS v UNION ALL SELECT 20 AS v)"
+            " WHERE band = 'big' GROUP BY band"
+        )
+    ).collect()
+    assert [(r.band, r.s) for r in row] == [("big", 20)]
+
+
+def test_alias_named_window_not_plain():
+    """r13 ADVICE: an alias over a NAMED window (`... OVER w` with a
+    WINDOW clause) is window-bearing — it must not be inlined into
+    WHERE/GROUP BY (invalid scope), same as the `OVER (...)` form."""
+    out = dialect.rewrite(
+        "SELECT row_number() OVER w AS rn, v FROM t"
+        " WHERE rn <= 3 WINDOW w AS (ORDER BY v)"
+    )
+    assert "WHERE rn <= 3" in out  # untouched: alias not in `plain`
+    # identifiers merely STARTING with 'over' are not window-bearing
+    out = dialect.rewrite(
+        "SELECT overflow + 1 AS x, v FROM t WHERE x > 2"
+    )
+    assert "WHERE (overflow + 1) > 2" in out
 
 
 def test_json_gateway_end_to_end(spark):
