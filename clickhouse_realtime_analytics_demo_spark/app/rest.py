@@ -642,8 +642,10 @@ def create_app(
             return jsonify({"error": "corpus file not available"}), 404
         if label not in stmts:
             return jsonify({"error": f"unknown example {label!r}"}), 404
-        # parse + clamp inside the contract: ?limit=abc or a negative
-        # value is a 400, never an unhandled 500 (r12 ADVICE)
+        # parse + clamp inside the contract: ?limit=abc is a 400, a
+        # negative value clamps to 0, an oversized one to 1000 —
+        # never an unhandled 500 (r12 ADVICE; comment fixed per r13
+        # ADVICE: the test pins the clamp, not a 400, for negatives)
         try:
             limit = max(0, min(int(request.args.get("limit", "100")), 1000))
         except ValueError:

@@ -58,6 +58,34 @@ class MVSpec:
     # read-time finalization over the re-aggregated partials
     finals: dict[str, Column] = field(hash=False)
 
+    @property
+    def date_key(self) -> str | None:
+        """The spec's date-grain key column (retention horizon anchor),
+        or None for a date-free rollup (no time-based TTL applies)."""
+        for k in ("event_date", "order_date"):
+            if k in self.keys:
+                return k
+        return None
+
+
+def retention_predicate(spec: MVSpec, days: int, clock=None):
+    """Zero-arg callable producing the retain-WHERE Column for a
+    sliding ``days`` horizon on ``spec``'s date key — the form
+    :class:`Compactor` targets take, so "now" re-evaluates at every
+    fold (ClickHouse ``TTL date + INTERVAL N DAY``, applied on
+    merges). ``clock``: zero-arg callable returning the reference
+    date (tests inject a frozen/stepped clock); None = current_date
+    at fold time."""
+    dk = spec.date_key
+    if dk is None:
+        raise ValueError(f"{spec.name}: no date key — time TTL undefined")
+
+    def pred() -> Column:
+        now = F.lit(clock()) if clock is not None else F.current_date()
+        return F.col(dk) >= F.date_sub(now, days)
+
+    return pred
+
 
 def _sum(c: str) -> Column:
     return F.sum(c)
@@ -600,3 +628,45 @@ def start_incremental_multi(
         .trigger(processingTime=f"{int(trigger_seconds * 1000)} milliseconds")
         .start()
     )
+
+
+def maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    mv_root: str,
+    specs: list[MVSpec],
+    checkpoint_dir: str,
+    retention_days: int | None = None,
+    max_parts: int = 128,
+    compact_interval_s: float = 30.0,
+    trigger_seconds: float = 1,
+    max_files_per_trigger: int | None = None,
+    clock=None,
+):
+    """The deployed maintenance topology in one call (VERDICT r13 #5):
+    the shared insert-triggered stream (:func:`start_incremental_multi`)
+    PLUS the background-merge :class:`Compactor` over the same tables,
+    commit-gated on the stream's checkpoint. ``retention_days`` is the
+    TTL config knob: every threshold-triggered fold also expires rows
+    older than the sliding horizon on each spec's date key — the
+    ClickHouse "TTL applies on merges" cadence riding the max_parts
+    policy, no caller-side compact() needed. Date-free specs simply
+    fold without a retention predicate. Returns (query, compactor);
+    stop both on shutdown (query first)."""
+    query = start_incremental_multi(
+        spark, source_dir, mv_root, specs, checkpoint_dir,
+        trigger_seconds=trigger_seconds,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    targets = []
+    for spec in specs:
+        ret = (
+            retention_predicate(spec, retention_days, clock=clock)
+            if retention_days is not None and spec.date_key is not None
+            else None
+        )
+        targets.append((f"{mv_root}/{spec.name}", spec, checkpoint_dir, ret))
+    compactor = Compactor(
+        spark, targets, interval_s=compact_interval_s, max_parts=max_parts
+    ).start()
+    return query, compactor

@@ -3196,16 +3196,6 @@ def state_retention_probe(
     space exactly (asserted), state bytes and merge-on-read walls FLAT
     once the window saturates (day ≥ retain_days) while total ingest
     keeps growing 10×."""
-    from pyspark.sql import functions as F  # noqa: F811
-
-    from clickhouse_realtime_analytics_demo_spark.streaming import (
-        mv,
-        parts as parts_store,
-        quantile_state,
-        tdigest_state,
-        topk_state,
-    )
-
     base = tempfile.mkdtemp(prefix="stateretention_")
     # the probe compresses a "day" to ~10-15 s of wall clock, so the
     # production 120 s tombstone grace would span the whole run and
@@ -3218,6 +3208,31 @@ def state_retention_probe(
 
     prod_grace = _parts_mod.GRACE_SECONDS
     _parts_mod.GRACE_SECONDS = grace_seconds
+    # r13 ADVICE: restore the module global and remove the temp dir in
+    # a finally — an exception mid-probe (e.g. a failed stored-rows
+    # assert) must not leave the compressed grace active process-wide
+    try:
+        return _state_retention_probe_body(
+            spark, base, days, events_per_day, n_users, retain_days
+        )
+    finally:
+        _parts_mod.GRACE_SECONDS = prod_grace
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _state_retention_probe_body(
+    spark, base: str, days: int, events_per_day: int, n_users: int, retain_days: int
+):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from clickhouse_realtime_analytics_demo_spark.streaming import (
+        mv,
+        parts as parts_store,
+        quantile_state,
+        tdigest_state,
+        topk_state,
+    )
+
     mv_root = f"{base}/mv"
     tk, qt, td = f"{base}/topk", f"{base}/quant", f"{base}/tdig"
     keys = ["event_date", "country"]
@@ -3295,8 +3310,6 @@ def state_retention_probe(
         print(json.dumps({"state_retention_probe": row}), flush=True)
     for b in batches:
         b.unpersist()
-    _parts_mod.GRACE_SECONDS = prod_grace
-    shutil.rmtree(base, ignore_errors=True)
     return out
 
 
