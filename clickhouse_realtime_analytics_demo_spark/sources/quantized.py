@@ -196,16 +196,18 @@ def ivf_stored_topk(
         return sum(a * b for a, b in zip(qvec, c)) / (qn * cn)
 
     probe = sorted(range(len(centroids)), key=lambda i: (-cos_to_q(centroids[i]), i))[:nprobe]
-    q = store.filter(F.col("vec_id") == query_id).select(F.col("qvec").alias("query_q"))
-    int8_scored = (
-        store.filter(F.col("cell").isin(probe) & (F.col("vec_id") != query_id))
-        .crossJoin(F.broadcast(q))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                similarity.int_cosine(F.col("qvec"), F.col("query_q")), 6
-            ).alias("cosine_sim"),
-        )
+    # the query row was ALREADY fetched driver-side for centroid
+    # selection — inline it as a literal array instead of a broadcast
+    # subquery, which re-scanned the whole store (vec_id is not the
+    # partition key) a second time per query (r14, VERDICT r13 #2:
+    # at 100 TB that second scan dwarfs the probe itself; the plan
+    # drops from scan+scan+BNLJ to a single partition-pruned scan)
+    q_lit = F.array(*[F.lit(int(v)) for v in qrow["qvec"]])
+    int8_scored = store.filter(
+        F.col("cell").isin(probe) & (F.col("vec_id") != query_id)
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(similarity.int_cosine(F.col("qvec"), q_lit), 6).alias("cosine_sim"),
     )
     if not rerank:
         return int8_scored.orderBy(F.desc("cosine_sim"), "neighbor_id").limit(k)

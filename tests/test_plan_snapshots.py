@@ -166,17 +166,20 @@ SNAPSHOT: dict[str, tuple[dict[str, int], bool]] = {
     # to the inline form, but the scan side reads the pre-quantized
     # tinyint column (no per-query quantization expressions)
     "ann_cosine_topk_int8_stored": ({"BroadcastNestedLoopJoinExec": 1}, True),
-    # r11: the IVF-partitioned store probe — same 1-row broadcast +
-    # TakeOrdered shape; the cell predicate is a PARTITION filter
-    # (pruning asserted from scan metrics in test_quantized_store.py)
-    "ann_ivf_topk_stored": ({"BroadcastNestedLoopJoinExec": 1}, True),
-    # r13: IVF + float re-rank — the int8 probe's 1-row broadcast and
-    # the float query-vector broadcast are the two BNLJs; the bounded
-    # candidate set (top 200 ids) broadcasts into a point-lookup BHJ
-    # on the float table; BOTH top-k cuts are TakeOrdered (candidate
-    # cut + final), never a global sort
+    # r11/r14: the IVF-partitioned store probe — the driver already
+    # holds the query row (centroid selection), so the quantized query
+    # vector is a LITERAL: one partition-pruned scan, no join at all
+    # (pruning asserted from scan metrics in test_quantized_store.py).
+    # r14 dropped the 1-row broadcast subquery that re-scanned the
+    # whole store per query (VERDICT r13 #2)
+    "ann_ivf_topk_stored": ({}, True),
+    # r13/r14: IVF + float re-rank — the int8 probe is join-free (see
+    # above); the float query-vector broadcast is the one BNLJ; the
+    # bounded candidate set (top 200 ids) broadcasts into a
+    # point-lookup BHJ on the float table; BOTH top-k cuts are
+    # TakeOrdered (candidate cut + final), never a global sort
     "ann_ivf_topk_rerank": (
-        {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 2},
+        {"BroadcastHashJoinExec": 1, "BroadcastNestedLoopJoinExec": 1},
         True,
     ),
     # r11: SemDeDup — the within-cluster pair join runs as two SMJ
@@ -240,7 +243,6 @@ _BNLJ_ALLOWED = {
     "doc_tfidf_topk",
     "ann_cosine_topk_int8",
     "ann_cosine_topk_int8_stored",
-    "ann_ivf_topk_stored",
     "ann_ivf_topk_rerank",
     "corpus_select_budget",
     "semantic_dedup",
