@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 from typing import Any
 
 from flask import Flask, Response, jsonify, render_template, request
@@ -559,6 +560,21 @@ def create_app(
         from clickhouse_realtime_analytics_demo_spark.ops import introspect
 
         return jsonify(introspect.table_stats(sf_dir))
+
+    @app.route("/api/system/parts")
+    def system_parts():
+        """system.parts analog: per-partition lifecycle rows for a
+        lake table under TTL retention (active / doomed+age /
+        trim generation). 404 for unknown tables, 503 with no lake."""
+        from clickhouse_realtime_analytics_demo_spark.ops import introspect
+
+        if lake_dir is None:
+            return jsonify({"error": "lake not configured"}), 503
+        table = request.args.get("table", "events")
+        tdir = Path(lake_dir) / table
+        if not tdir.is_dir():
+            return jsonify({"error": f"unknown lake table {table!r}"}), 404
+        return jsonify(introspect.partition_stats(str(tdir)))
 
     @app.route("/api/system/dictionaries")
     def system_dictionaries():

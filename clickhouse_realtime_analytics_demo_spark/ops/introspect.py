@@ -85,6 +85,93 @@ def table_stats(sf_dir: str, tables: tuple[str, ...] = TABLES) -> list[dict]:
     return out
 
 
+def partition_stats(table_path: str) -> list[dict]:
+    """``system.parts`` ACTIVE/INACTIVE analog for a month-partitioned
+    lake table under TTL retention (streaming/retention.py): one row
+    per ``yyyymm=`` partition dir and per boundary-trim generation,
+    with its lifecycle state — ClickHouse shows replaced parts as
+    ``active = 0`` until the old-part cleanup ages them out, exactly
+    the doom→grace→reap window here.
+
+    States: ``active`` (serving reads), ``doomed`` (logically dropped
+    or superseded; bytes held for the grace window — reported with
+    the marker age), ``generation`` (a live trim rewrite serving in
+    place of its doomed target), ``staged`` (torn/unpublished write).
+    Metadata-only: footers + markers, no data scan."""
+    import json as _json
+    import time as _time
+
+    from clickhouse_realtime_analytics_demo_spark.streaming.parts import (
+        DOOMED_MARKER,
+    )
+    from clickhouse_realtime_analytics_demo_spark.streaming.retention import (
+        TRIM_MANIFEST,
+        _doom_ts,
+        _gen_target,
+    )
+
+    base = Path(table_path)
+    now = _time.time()
+    out = []
+
+    def _footer_stats(d: Path) -> tuple[int, int]:
+        rows = nbytes = 0
+        for f in sorted(d.glob("*.parquet")):
+            rows += pq.ParquetFile(f).metadata.num_rows
+            nbytes += f.stat().st_size
+        return rows, nbytes
+
+    for d in sorted(base.glob("yyyymm=*")):
+        if not d.is_dir():
+            continue
+        ts = _doom_ts(d)
+        rows, nbytes = _footer_stats(d)
+        out.append(
+            {
+                "partition": d.name,
+                "kind": "partition",
+                "state": "doomed" if ts is not None else "active",
+                "doomed_age_s": round(now - ts, 1) if ts is not None else None,
+                "rows": rows,
+                "bytes": nbytes,
+                "size": format_readable_size(nbytes),
+            }
+        )
+    for g in sorted(base.glob(".ttl-trim-*")):
+        if not g.is_dir():
+            continue
+        ts = _doom_ts(g)
+        if not (g / "_SUCCESS").exists():
+            state = "staged"
+        elif ts is not None:
+            state = "doomed"  # superseded by its published target
+        else:
+            state = "generation"
+        rows, nbytes = _footer_stats(g)
+        target = _gen_target(g)
+        replaced = None
+        try:
+            replaced = len(
+                _json.loads((g / TRIM_MANIFEST).read_text())["replaced"]
+            )
+        except (OSError, ValueError, KeyError):
+            pass
+        out.append(
+            {
+                "partition": g.name,
+                "kind": "trim_generation",
+                "state": state,
+                "target": f"yyyymm={target}" if target is not None else None,
+                "replaced_files": replaced,
+                "doomed_age_s": round(now - ts, 1) if ts is not None else None,
+                "rows": rows,
+                "bytes": nbytes,
+                "size": format_readable_size(nbytes),
+            }
+        )
+    return out
+
+
 def dictionary_stats() -> list[dict]:
     """``system.dictionaries`` analog (sample_queries.sql:513-521;
     06-add-dictionaries.sql.disabled:221-234): name, layout, status,

@@ -187,15 +187,12 @@ def ttl_live_listing(table_path: str) -> tuple[list[Path], list[Path]] | None:
         if val is None:
             continue
         target = base / f"yyyymm={val}"
-        if (
-            target.exists()
-            and not (target / DOOMED_MARKER).exists()
-            and (target / "_SUCCESS").exists()
-        ):
-            # published: the fresh (staged, _SUCCESS-stamped) target
-            # carries the rows. A target without _SUCCESS is a
-            # resurrection by a concurrent backdated append — the
-            # generation stays live until reap folds and republishes.
+        if target.exists() and not (target / DOOMED_MARKER).exists():
+            # the target serves the reads: a fresh publish, a trim that
+            # never committed (old dir not yet stamped — readers keep
+            # the pre-trim state, no double-read), or a backdated
+            # append resurrecting the name mid-publish (reap re-dooms
+            # it and the generation resumes on the next listing).
             continue
         live_gens.append(g)
     return live, live_gens
@@ -230,14 +227,18 @@ def reap_expired(table_path: str, grace_seconds: float | None = None) -> list[st
             continue
         target = base / f"yyyymm={val}"
         trim_targets.add(target.name)
-        if (
-            target.exists()
-            and not (target / DOOMED_MARKER).exists()
-            and not (target / "_SUCCESS").exists()
-        ):
-            # resurrected by a backdated append racing the publish:
-            # re-doom it; the next pass past grace folds its files
-            # into the generation and republishes
+        if target.exists() and not (target / DOOMED_MARKER).exists():
+            if (target / "_SUCCESS").exists():
+                # crash between the publish rename and the generation
+                # tombstone: the staged target is live — heal by
+                # tombstoning the generation now
+                _stamp_doomed(gen)
+                continue
+            # a trim that crashed before stamping its commit, OR a
+            # backdated append resurrecting the name mid-publish: doom
+            # the dir; after grace, every file not in the manifest is
+            # folded into the generation and the trim (re)publishes —
+            # both cases converge to the correct trimmed state
             _stamp_doomed(target)
         tts = _doom_ts(target)
         if target.exists() and tts is not None and now - tts >= grace:

@@ -206,6 +206,46 @@ def test_dashboard_pages_render(client):
     assert "SELECT" not in html.replace("SELECT event_type", "")  # only the sample query
 
 
+def test_system_parts_ttl_lifecycle(spark, tmp_path):
+    """system.parts analog over the TTL lifecycle (r14): partitions
+    report active, then doomed-with-age inside the grace window
+    (ClickHouse's active=0 replaced parts), and disappear at reap."""
+    from datetime import date
+
+    from clickhouse_realtime_analytics_demo_spark.sources import generator, writer
+    from clickhouse_realtime_analytics_demo_spark.streaming import retention
+
+    writer.write_table(
+        generator.events(spark, n=1500, n_users=40), str(tmp_path), "events"
+    )
+    app = create_app(spark, SF_DIR, query_log=QueryLog(), lake_dir=str(tmp_path))
+    c = app.test_client()
+
+    rows = c.get("/api/system/parts?table=events").get_json()
+    assert rows and all(r["state"] == "active" for r in rows)
+    assert all(r["rows"] > 0 and r["bytes"] > 0 for r in rows)
+
+    retention.apply_ttl(
+        spark, str(tmp_path / "events"), "event_date", date(2024, 2, 1)
+    )
+    by_name = {
+        r["partition"]: r for r in c.get("/api/system/parts?table=events").get_json()
+    }
+    jan = by_name["yyyymm=202401"]
+    assert jan["state"] == "doomed" and jan["doomed_age_s"] >= 0
+    assert by_name["yyyymm=202402"]["state"] == "active"
+
+    retention.reap_expired(str(tmp_path / "events"), grace_seconds=0.0)
+    names = {
+        r["partition"] for r in c.get("/api/system/parts?table=events").get_json()
+    }
+    assert "yyyymm=202401" not in names
+
+    assert c.get("/api/system/parts?table=nope").status_code == 404
+    no_lake = create_app(spark, SF_DIR, query_log=QueryLog()).test_client()
+    assert no_lake.get("/api/system/parts").status_code == 503
+
+
 def test_system_tables(client):
     d = client.get("/api/system/tables").get_json()
     byname = {t["table"]: t for t in d}
