@@ -83,8 +83,10 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
-from datetime import date
+from dataclasses import dataclass, field
+from datetime import date, timedelta
 from pathlib import Path
 
 from pyspark.sql import SparkSession
@@ -349,3 +351,66 @@ def apply_ttl(
         "reaped": reaped,
         "cutoff": cutoff.isoformat(),
     }
+
+
+@dataclass
+class TTLService:
+    """Background TTL thread — the ClickHouse background-merge TTL
+    analog (04-add-ttl.sql:46-99 "background, non-blocking by
+    design"), the lake-side twin of ``mv.Compactor``: periodically
+    applies :func:`apply_ttl` (doom + reap cadence) to each registered
+    table with a sliding ``retention_days`` horizon.
+
+    ``targets``: list of ``(table_path, date_col, retention_days)``.
+    ``clock``: zero-arg callable returning "today" (tests inject a
+    stepped clock); None = ``date.today()`` at each pass. Reports per
+    table accumulate in ``stats`` (dooms/reaps counted) for ops
+    introspection. Errors never kill the thread — a failed pass
+    retries next tick (every step is idempotent)."""
+
+    targets: list[tuple]  # (table_path, date_col, retention_days)
+    spark: SparkSession | None = None  # only needed for trim passes
+    interval_s: float = 3600.0
+    grace_seconds: float | None = None
+    trim_boundary_month: bool = False
+    clock: object = None
+    stats: dict[str, dict] = field(default_factory=dict)
+    _stop: threading.Event = field(default_factory=threading.Event, repr=False)
+    _thread: threading.Thread | None = field(default=None, repr=False)
+
+    def run_once(self) -> None:
+        today = self.clock() if self.clock is not None else date.today()
+        for table_path, date_col, days in self.targets:
+            try:
+                report = apply_ttl(
+                    self.spark,
+                    table_path,
+                    date_col,
+                    today - timedelta(days=days),
+                    trim_boundary_month=self.trim_boundary_month,
+                    grace_seconds=self.grace_seconds,
+                )
+            except Exception:  # noqa: BLE001 — background pass; retried
+                continue
+            agg = self.stats.setdefault(
+                table_path, {"passes": 0, "doomed": 0, "reaped": 0, "trimmed": 0}
+            )
+            agg["passes"] += 1
+            agg["doomed"] += len(report["dropped_partitions"])
+            agg["reaped"] += len(report["reaped"])
+            agg["trimmed"] += report["trimmed_boundary_rows"]
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            self.run_once()
+            self._stop.wait(self.interval_s)
+
+    def start(self) -> "TTLService":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join()

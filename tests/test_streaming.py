@@ -430,6 +430,48 @@ def test_ttl_boundary_trim_lifecycle(spark, tmp_path):
     assert not gens[0].exists()
 
 
+def test_ttl_service_background_cadence(spark, tmp_path):
+    """r14: the background TTL thread (ClickHouse background-merge TTL
+    analog, lake-side twin of mv.Compactor) dooms and reaps on its own
+    cadence with a sliding retention horizon — no caller-side
+    apply_ttl. Stepped clock; quiesced grace for determinism."""
+    from pathlib import Path
+
+    ev = generator.events(spark, n=2000, n_users=50)  # spans 2024-01..03
+    writer.write_table(ev, str(tmp_path), "events")
+    path = str(tmp_path / "events")
+
+    clock = {"today": date(2024, 3, 15)}
+    svc = retention.TTLService(
+        targets=[(path, "event_date", 30)],  # keep ~1 month
+        spark=spark,
+        interval_s=0.1,
+        grace_seconds=0.0,
+        clock=lambda: clock["today"],
+    ).start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and (Path(path) / "yyyymm=202401").exists():
+            time.sleep(0.1)
+        assert not (Path(path) / "yyyymm=202401").exists()
+        assert (Path(path) / "yyyymm=202402").exists()
+        # the horizon slides with the clock: a month later, February
+        # crosses the cutoff and the SAME service expires it
+        clock["today"] = date(2024, 4, 20)
+        deadline = time.time() + 30
+        while time.time() < deadline and (Path(path) / "yyyymm=202402").exists():
+            time.sleep(0.1)
+        assert not (Path(path) / "yyyymm=202402").exists()
+        assert (Path(path) / "yyyymm=202403").exists()
+    finally:
+        svc.stop()
+    agg = svc.stats[path]
+    assert agg["passes"] >= 2 and agg["doomed"] >= 2 and agg["reaped"] >= 2
+    surviving = spark.read.parquet(path)
+    assert surviving.count() > 0
+    assert surviving.filter(F.col("event_date") < F.lit("2024-03-01")).count() == 0
+
+
 def test_maybe_compact_threshold(spark, tmp_path):
     """Cadence policy (SCALEPROBE.md MV rows): fold only past
     max_parts; below it the call is a no-op listing."""
