@@ -352,6 +352,12 @@ def test_ttl_doom_grace_lifecycle(spark, tmp_path):
     # marker-aware reader: expired rows gone at marker time
     ev2 = writer.read_table(spark, str(tmp_path), "events")
     assert ev2.filter(F.col("event_date") < F.lit("2024-02-01")).count() == 0
+    # the explicit-dirs listing keeps yyyymm partition PRUNING (the
+    # basePath option): a month filter must reach PartitionFilters
+    pruned = ev2.filter(F.col("yyyymm") == 202403)
+    pruned.count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(yyyymm" in plan and "= 202403" in plan
     # bare-path reader: bounded staleness — still served, never errors
     bare = spark.read.parquet(path)
     assert (
