@@ -229,6 +229,12 @@ def _json_has(args: list[str]) -> str:
         # numeric index: parts hold the 0-based translation, so the
         # element exists iff the enclosing array's length exceeds it
         idx0 = int(last[1:-1])
+        if idx0 < 0:
+            # ClickHouse indices are 1-based (negatives rejected
+            # upstream), so index 0 translated to [-1] here: it
+            # addresses no element — JSONHas is 0 for EVERY array,
+            # where `len > -1` would claim 1 (r14 ADVICE dialect:231)
+            return "0"
         arr = (
             expr
             if len(parts) == 1

@@ -74,6 +74,7 @@ def start_stack(
     lake_ttl: tuple = DEFAULT_LAKE_TTL,
     ttl_interval_s: float = 3600.0,
     ttl_grace_seconds: float | None = None,
+    ttl_gate_on_checkpoint: bool = False,
     max_parts: int = 128,
     compact_interval_s: float = 30.0,
     clock=None,
@@ -106,6 +107,22 @@ def start_stack(
 
     ttl = None
     if lake_ttl:
+        # ``ttl_gate_on_checkpoint``: the synchronous-MV parity opt-in
+        # (ClickHouse MVs populate AT insert, so TTL can never outrun
+        # them) — each TTL pass checks the table's maintenance-stream
+        # checkpoint and never physically removes a partition holding
+        # a file the MVs haven't durably consumed. Table and stream
+        # source share a name here (events/orders), so the mapping is
+        # direct.
+        gates = (
+            {
+                f"{lake_dir}/{table}": f"{lake_dir}/ckpt_{table}"
+                for table, _dc, _d in lake_ttl
+                if table in by_source
+            }
+            if ttl_gate_on_checkpoint
+            else None
+        )
         ttl = retention.TTLService(
             targets=[
                 (f"{lake_dir}/{table}", date_col, days)
@@ -115,6 +132,7 @@ def start_stack(
             interval_s=ttl_interval_s,
             grace_seconds=ttl_grace_seconds,
             clock=clock,
+            gate_on_checkpoint=gates,
         ).start()
 
     ingest = IngestLoop(

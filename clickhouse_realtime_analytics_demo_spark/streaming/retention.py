@@ -54,14 +54,30 @@ Semantics under LIVE load (tests/test_retention_load.py):
 - **backdated inserts**: a row older than the cutoff written AFTER a
   TTL pass survives until the next pass — eventual, bounded-staleness
   expiry, exactly like part-level TTL between background merges.
-- **one divergence from ClickHouse**: the reference's MVs populate
-  SYNCHRONOUSLY at INSERT, so a row always reaches every MV before TTL
-  can touch it; our maintenance streams lag by up to a trigger. A part
-  reaped in that window would expire its rows from the MV too. The
-  grace window makes this operationally unreachable (MV lag seconds ≪
-  doom→reap grace); for exact parity, gate ``apply_ttl`` on the
-  maintenance checkpoint having consumed the candidate partitions, as
-  the live-load test does.
+- **one divergence from ClickHouse, with a product-level opt-in**:
+  the reference's MVs populate SYNCHRONOUSLY at INSERT, so a row
+  always reaches every MV before TTL can touch it; our maintenance
+  streams lag by up to a trigger. A part reaped in that window would
+  expire its rows from the MV too. The grace window makes this
+  operationally unreachable (MV lag seconds ≪ doom→reap grace); for
+  EXACT parity pass ``consumed=checkpoint_consumed_paths(ckpt)`` to
+  :func:`apply_ttl`/:func:`reap_expired` — or set
+  ``TTLService(gate_on_checkpoint={table: ckpt})`` — and no physical
+  removal (reap, trim fold) ever touches a partition holding a file
+  the maintenance stream's checkpoint has not COMMITTED, even at
+  ``grace_seconds=0`` (tests/test_retention_load.py::
+  test_checkpoint_gate_never_expires_unconsumed).
+
+**Boundary-month trim is incompatible with a LIVE maintenance stream
+over the raw table** (r14 ADVICE): publishing a trim generation into
+``yyyymm=<boundary>`` creates files with NEW names (``part-*`` from
+the rewrite, ``late-*`` from the fold), and a file-source stream
+globbing ``{table}/yyyymm=*`` treats them as fresh input — the entire
+trimmed month would re-aggregate into the MVs. Run
+``trim_boundary_month`` only on tables with no attached maintenance
+stream, or during a stream-stopped maintenance window (it is off by
+default everywhere: ``apply_ttl``, :class:`TTLService`,
+``service.start_stack``).
 
 Boundary-month trim (row-level, optional): the kept rows are written
 to a dot-hidden generation dir ``.ttl-trim-<yyyymm>-<ms>`` (invisible
@@ -95,6 +111,7 @@ from pyspark.sql import functions as F
 from clickhouse_realtime_analytics_demo_spark.streaming.parts import (
     DOOMED_MARKER,
     GRACE_SECONDS,
+    last_committed_batch,
 )
 
 TRIM_MANIFEST = "_TTL_TRIM_MANIFEST"
@@ -136,15 +153,92 @@ def _link_with_sidecar(src: Path, dst_dir: Path, dst_name: str | None = None) ->
 
 
 def _gen_target(gen: Path) -> int | None:
-    """Partition value a trim generation replaces (from its manifest,
-    falling back to the dir-name encoding)."""
+    """Partition value a trim generation replaces, from its manifest —
+    and ONLY its manifest. ``TRIM_MANIFEST`` is the trim's COMMIT
+    point: a generation whose Spark write finished (``_SUCCESS``
+    present) but whose manifest never landed is TORN, and the r14
+    dir-name fallback let exactly that torn state pass the gates with
+    ``replaced=∅`` — at reap every original boundary file folded in as
+    ``late-*`` (duplicating kept rows) and the trimmed expired rows
+    resurrected (r14 ADVICE retention.py:253). None = not a committed
+    trim."""
     try:
         return int(json.loads((gen / TRIM_MANIFEST).read_text())["target"])
     except (OSError, ValueError, KeyError):
+        return None
+
+
+def _manifest_replaced(gen: Path) -> set[str]:
+    """File names the committed trim consumed (its manifest's
+    ``replaced`` set); empty only for a torn manifest, which the
+    callers gate out before folding."""
+    try:
+        return set(json.loads((gen / TRIM_MANIFEST).read_text())["replaced"])
+    except (OSError, ValueError, KeyError):
+        return set()
+
+
+def _dirname_ms(name: str) -> float | None:
+    """Creation time (epoch seconds) from a hidden dir's ``-<ms>``
+    suffix (``.ttl-trim-<yyyymm>-<ms>``, ``.ttl-reap-<yyyymm>-<ms>``)."""
+    try:
+        return int(name.rsplit("-", 1)[1]) / 1000.0
+    except (IndexError, ValueError):
+        return None
+
+
+def checkpoint_consumed_paths(checkpoint_dir: str) -> set[str]:
+    """Absolute local paths of every source file the maintenance
+    stream's checkpoint has COMMITTED: the union of file-source
+    offset-log entries (``sources/0/<n>`` plus ``<n>.compact``
+    rollups) for batch ids ≤ the last id in ``commits/``. Files logged
+    for an uncommitted batch are excluded — Structured Streaming will
+    re-deliver that batch after a crash, so its rows are not yet
+    durably folded into the MVs.
+
+    This is the synchronous-MV parity gate (ClickHouse MVs populate AT
+    insert, so TTL can never outrun them): pass the result as
+    ``consumed=`` to :func:`apply_ttl`/:func:`reap_expired` and no
+    physical removal touches a partition holding an uncommitted file.
+    Cost: one listing of the checkpoint's two log dirs + a line scan
+    of ≤ committed-batch-count small JSON files — metadata-sized,
+    never data-sized (the ``.compact`` rollups bound the file count)."""
+    last = last_committed_batch(checkpoint_dir)
+    out: set[str] = set()
+    src = Path(checkpoint_dir) / "sources" / "0"
+    if last < 0 or not src.is_dir():
+        return out
+    for f in sorted(src.iterdir()):
+        base = f.name.removesuffix(".compact")
+        if not base.isdigit() or int(base) > last:
+            continue
         try:
-            return int(gen.name.split("-")[2])
-        except (IndexError, ValueError):
-            return None
+            lines = f.read_text().splitlines()
+        except OSError:
+            continue
+        for line in lines:
+            if not line.startswith("{"):
+                continue  # "v1" version header
+            try:
+                p = json.loads(line).get("path", "")
+            except ValueError:
+                continue
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+                while p.startswith("//"):
+                    p = p[1:]
+            if p:
+                out.add(os.path.realpath(p))
+    return out
+
+
+def _partition_consumed(dirpath: Path, consumed: set[str]) -> bool:
+    """True when every data file currently in the partition is in the
+    committed-consumed set — the per-partition form of the parity
+    gate."""
+    return all(
+        os.path.realpath(str(p)) in consumed for p in dirpath.glob("*.parquet")
+    )
 
 
 def expired_months(table_path: str, cutoff: date) -> list[int]:
@@ -181,8 +275,10 @@ def ttl_live_listing(table_path: str) -> tuple[list[Path], list[Path]] | None:
         return None
     live_gens = []
     for g in gens:
-        if not (g / "_SUCCESS").exists():
-            continue  # torn write — never published
+        if not (g / "_SUCCESS").exists() or not (g / TRIM_MANIFEST).exists():
+            # torn write — the data write or its manifest (the trim's
+            # COMMIT point) never landed; never serve it
+            continue
         if (g / DOOMED_MARKER).exists():
             continue  # superseded by its published target
         val = _gen_target(g)
@@ -200,11 +296,22 @@ def ttl_live_listing(table_path: str) -> tuple[list[Path], list[Path]] | None:
     return live, live_gens
 
 
-def reap_expired(table_path: str, grace_seconds: float | None = None) -> list[str]:
+def reap_expired(
+    table_path: str,
+    grace_seconds: float | None = None,
+    consumed: set[str] | None = None,
+) -> list[str]:
     """Physically remove doomed partitions (and publish boundary-trim
     generations) whose grace window has expired. Safe to call from any
     thread at any cadence; cheap when nothing is doomed. Returns the
-    names physically removed this pass."""
+    names physically removed this pass.
+
+    ``consumed``: optional committed-source-file set from
+    :func:`checkpoint_consumed_paths` — the synchronous-MV parity
+    gate. When given, NO physical removal (plain reap, trim fold)
+    touches a partition holding a data file outside the set, even at
+    ``grace_seconds=0``: rows the maintenance stream has not durably
+    folded into the MVs can never be expired from under it."""
     grace = GRACE_SECONDS if grace_seconds is None else grace_seconds
     base = Path(table_path)
     now = time.time()
@@ -215,8 +322,18 @@ def reap_expired(table_path: str, grace_seconds: float | None = None) -> list[st
     # tombstoned for a further grace window.
     trim_targets: set[str] = set()
     for gen in sorted(base.glob(".ttl-trim-*")):
-        if not (gen / "_SUCCESS").exists():
-            continue  # torn write; stream replay / next trim rewrites it
+        if not (gen / "_SUCCESS").exists() or not (gen / TRIM_MANIFEST).exists():
+            # TORN trim: the Spark write or the manifest — the commit
+            # point — never landed. Never treated as a trim (the r14
+            # dir-name fallback turned this state into duplicated kept
+            # rows + resurrected expired rows at reap); discarded like
+            # any uncommitted artifact once the writing pass is
+            # certainly dead (its own grace, floor 60 s — the manifest
+            # write follows the data write within milliseconds).
+            ms = _dirname_ms(gen.name)
+            if ms is not None and now - ms >= max(grace, 60.0):
+                shutil.rmtree(gen, ignore_errors=True)
+            continue
         val = _gen_target(gen)
         if val is None:
             continue
@@ -243,19 +360,38 @@ def reap_expired(table_path: str, grace_seconds: float | None = None) -> list[st
             # both cases converge to the correct trimmed state
             _stamp_doomed(target)
         tts = _doom_ts(target)
-        if target.exists() and tts is not None and now - tts >= grace:
-            # fold late backdated arrivals (written after the trim)
+        if (
+            target.exists()
+            and tts is not None
+            and now - tts >= grace
+            and (consumed is None or _partition_consumed(target, consumed))
+        ):
+            # Freeze the file set FIRST: one atomic rename moves the
+            # doomed target aside, so the late-arrival fold and the
+            # removal below operate on the SAME frozen files — a
+            # backdated append that job-commits between a fold's glob
+            # and an in-place rmtree was previously deleted unfolded
+            # (r14 ADVICE retention.py:255). A writer racing the
+            # rename lands either before it (file frozen → folded) or
+            # recreates yyyymm=<val> fresh (rows survive; next pass
+            # re-dooms the resurrected dir).
+            frozen = base / f".ttl-reap-{val}-{time.time_ns() // 1_000_000}"
             try:
-                replaced = set(
-                    json.loads((gen / TRIM_MANIFEST).read_text())["replaced"]
-                )
-            except (OSError, ValueError, KeyError):
-                replaced = set()
-            for p in sorted(target.glob("*.parquet")):
+                target.rename(frozen)
+            except OSError:
+                pass  # transient (concurrent recreate mid-rename); retry next pass
+            else:
+                reaped.append(target.name)
+        # Fold + remove every frozen reap dir for this target —
+        # including leftovers from a pass that crashed between the
+        # rename and the removal (the links are idempotent, so
+        # resuming a half-folded dir is safe).
+        replaced = _manifest_replaced(gen)
+        for frozen in sorted(base.glob(f".ttl-reap-{val}-*")):
+            for p in sorted(frozen.glob("*.parquet")):
                 if p.name not in replaced:
                     _link_with_sidecar(p, gen, f"late-{p.name}")
-            shutil.rmtree(target, ignore_errors=True)
-            reaped.append(target.name)
+            shutil.rmtree(frozen, ignore_errors=True)
         if not target.exists():
             # publish: stage hardlinks, then one atomic rename into the
             # partition name. The generation keeps its paths alive for
@@ -281,6 +417,12 @@ def reap_expired(table_path: str, grace_seconds: float | None = None) -> list[st
             continue  # handled above (needs late-arrival folding)
         ts = _doom_ts(d)
         if ts is not None and now - ts >= grace:
+            if consumed is not None and not _partition_consumed(d, consumed):
+                # parity gate: a file here (backdated append included)
+                # is not in the stream checkpoint's committed set —
+                # leave the partition doomed-but-present until the MVs
+                # have durably folded it
+                continue
             shutil.rmtree(d, ignore_errors=True)
             reaped.append(d.name)
     return reaped
@@ -293,6 +435,7 @@ def apply_ttl(
     cutoff: date,
     trim_boundary_month: bool = False,
     grace_seconds: float | None = None,
+    consumed: set[str] | None = None,
 ) -> dict:
     """One TTL pass: doom expired month partitions (logical drop —
     new ``read_table`` listings exclude them immediately), optionally
@@ -300,9 +443,18 @@ def apply_ttl(
     a PREVIOUS pass doomed whose grace expired. ``grace_seconds=None``
     uses the shared ``parts.GRACE_SECONDS``; ``0`` is the quiesced
     mode (immediate physical removal — callers must hold no concurrent
-    readers). Returns a report."""
+    readers). Returns a report.
+
+    ``consumed`` (see :func:`checkpoint_consumed_paths`): with the
+    parity gate, dooming stays on schedule (the logical drop costs the
+    MVs nothing — the stream's glob still reads doomed dirs) but every
+    DESTRUCTIVE step — the reap and the boundary trim — skips
+    partitions holding files the maintenance checkpoint has not
+    committed. ``trim_boundary_month`` must NOT be combined with a
+    live maintenance stream over this table (module docstring: the
+    published generation's files re-enter the stream as fresh input)."""
     base = Path(table_path)
-    reaped = reap_expired(table_path, grace_seconds)
+    reaped = reap_expired(table_path, grace_seconds, consumed=consumed)
 
     dropped = []
     for val in expired_months(table_path, cutoff):
@@ -317,6 +469,10 @@ def apply_ttl(
         trim_boundary_month
         and boundary_dir.exists()
         and not (boundary_dir / DOOMED_MARKER).exists()
+        # parity gate: trimming rewrites (and so eventually expires)
+        # rows from the replaced files — defer until the stream has
+        # committed every file currently in the boundary month
+        and (consumed is None or _partition_consumed(boundary_dir, consumed))
     ):
         # pin the file snapshot FIRST and read exactly those files, so
         # the manifest's "replaced" set is precisely what the rewrite
@@ -343,7 +499,7 @@ def apply_ttl(
 
     # end-of-pass reap so grace_seconds=0 (quiesced) removes what THIS
     # pass doomed; with a real grace window this is a cheap no-op scan
-    reaped += reap_expired(table_path, grace_seconds)
+    reaped += reap_expired(table_path, grace_seconds, consumed=consumed)
 
     return {
         "dropped_partitions": dropped,
@@ -363,10 +519,19 @@ class TTLService:
 
     ``targets``: list of ``(table_path, date_col, retention_days)``.
     ``clock``: zero-arg callable returning "today" (tests inject a
-    stepped clock); None = ``date.today()`` at each pass. Reports per
-    table accumulate in ``stats`` (dooms/reaps counted) for ops
-    introspection. Errors never kill the thread — a failed pass
-    retries next tick (every step is idempotent)."""
+    stepped clock); None = ``date.today()`` at each pass.
+    ``gate_on_checkpoint``: optional ``{table_path: checkpoint_dir}``
+    — the synchronous-MV parity opt-in (ClickHouse MVs populate AT
+    insert, so TTL can never outrun them): each pass reads the
+    maintenance stream's committed file set
+    (:func:`checkpoint_consumed_paths`) and no destructive step
+    touches a partition holding an uncommitted file, even with grace
+    forced to 0. ``trim_boundary_month`` must stay off for any table
+    with a live maintenance stream (module docstring). Reports per
+    table accumulate in ``stats`` (dooms/reaps/errors counted, last
+    exception kept) for ops introspection. Errors never kill the
+    thread — a failed pass retries next tick (every step is
+    idempotent)."""
 
     targets: list[tuple]  # (table_path, date_col, retention_days)
     spark: SparkSession | None = None  # only needed for trim passes
@@ -374,14 +539,31 @@ class TTLService:
     grace_seconds: float | None = None
     trim_boundary_month: bool = False
     clock: object = None
+    gate_on_checkpoint: dict[str, str] | None = None
     stats: dict[str, dict] = field(default_factory=dict)
     _stop: threading.Event = field(default_factory=threading.Event, repr=False)
     _thread: threading.Thread | None = field(default=None, repr=False)
 
+    def _agg(self, table_path: str) -> dict:
+        return self.stats.setdefault(
+            table_path,
+            {
+                "passes": 0,
+                "doomed": 0,
+                "reaped": 0,
+                "trimmed": 0,
+                "errors": 0,
+                "last_error": None,
+            },
+        )
+
     def run_once(self) -> None:
         today = self.clock() if self.clock is not None else date.today()
+        gates = self.gate_on_checkpoint or {}
         for table_path, date_col, days in self.targets:
             try:
+                ckpt = gates.get(table_path)
+                consumed = checkpoint_consumed_paths(ckpt) if ckpt else None
                 report = apply_ttl(
                     self.spark,
                     table_path,
@@ -389,12 +571,17 @@ class TTLService:
                     today - timedelta(days=days),
                     trim_boundary_month=self.trim_boundary_month,
                     grace_seconds=self.grace_seconds,
+                    consumed=consumed,
                 )
-            except Exception:  # noqa: BLE001 — background pass; retried
+            except Exception as exc:  # noqa: BLE001 — background pass; retried
+                # count it (r14 ADVICE retention.py:393: a silently
+                # swallowed per-tick failure made a permanently broken
+                # target indistinguishable from a healthy idle one)
+                agg = self._agg(table_path)
+                agg["errors"] += 1
+                agg["last_error"] = repr(exc)
                 continue
-            agg = self.stats.setdefault(
-                table_path, {"passes": 0, "doomed": 0, "reaped": 0, "trimmed": 0}
-            )
+            agg = self._agg(table_path)
             agg["passes"] += 1
             agg["doomed"] += len(report["dropped_partitions"])
             agg["reaped"] += len(report["reaped"])

@@ -357,6 +357,21 @@ def test_json_has_array_index_existence(spark):
     ) == (1, 1, 0, 1, 0, 0, 0)
 
 
+def test_json_has_index_zero_is_absent(spark):
+    """r14 ADVICE dialect.py:231: ClickHouse indices are 1-based, so
+    JSONHas(json, 0) is 0 for EVERY array (the [i-1] translation made
+    index 0 read [-1], and `json_array_length > -1` claimed presence
+    on any array, empty included)."""
+    row = spark.sql(
+        dialect.rewrite(
+            "SELECT JSONHas('[1,2]', '0') AS idx0,"
+            " JSONHas('[]', '0') AS idx0_empty,"
+            " JSONHas('{\"arr\":[null]}', 'arr', '0') AS nested_idx0"
+        )
+    ).collect()[0]
+    assert (row.idx0, row.idx0_empty, row.nested_idx0) == (0, 0, 0)
+
+
 def test_json_has_bracket_form_string_key(spark):
     """r13 ADVICE: a key with dots/metacharacters takes the bracket
     path form — it must still route through the json_object_keys

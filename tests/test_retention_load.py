@@ -224,6 +224,105 @@ def _reap_race_once(spark, lake: str, grace: float, cycles: int) -> tuple:
     return pool.errors, pool.max_latency, reaped_any
 
 
+def test_checkpoint_gate_never_expires_unconsumed(spark, tmp_path):
+    """VERDICT r14 #3: the synchronous-MV parity gate as a product
+    option. With ``consumed=checkpoint_consumed_paths(ckpt)``, a reap
+    can NEVER physically expire rows the maintenance stream has not
+    committed — even with grace forced to 0 and the stream DOWN. Once
+    the stream catches up, the same pass expires the partition, and MV
+    totals cover every ingested row."""
+    d = str(tmp_path)
+    seed_n = 1500
+    writer.write_table(
+        generator.events(spark, n=seed_n, n_users=40, seed=13), d, "events"
+    )
+    events_path = f"{d}/events"
+    jan = Path(events_path) / "yyyymm=202401"
+    ckpt = f"{d}/ckpt"
+    spec = mv.mv_specs()["daily_user_activity"]
+
+    def mv_total():
+        try:
+            return (
+                mv.read_final(spark, f"{d}/mv", spec)
+                .agg(F.sum("total_events")).collect()[0][0] or 0
+            )
+        except Exception:
+            return 0
+
+    q = mv.start_incremental(
+        spark, f"{events_path}/yyyymm=*", f"{d}/mv", spec, ckpt,
+        max_files_per_trigger=32,
+    )
+    try:
+        q.processAllAvailable()
+        assert mv_total() == seed_n
+    finally:
+        q.stop()
+
+    # stream DOWN: a backdated batch lands in the expired month,
+    # unconsumed by any checkpoint commit
+    backdated = generator.events(
+        spark, n=200, n_users=10, seed=77, id_offset=90_000, partitions=1
+    ).filter(F.col("event_date") < F.lit("2024-02-01"))
+    n_back = backdated.count()
+    assert n_back > 0
+    backdated.coalesce(1).write.mode("append").parquet(str(jan))
+
+    cutoff = date(2024, 2, 1)
+    consumed = retention.checkpoint_consumed_paths(ckpt)
+    assert consumed, "checkpoint committed nothing — setup broken"
+    for _ in range(3):  # repeated grace-0 passes: never removed
+        report = retention.apply_ttl(
+            spark, events_path, "event_date", cutoff,
+            grace_seconds=0.0, consumed=consumed,
+        )
+        assert report["reaped"] == [], report
+        assert jan.is_dir(), "gate violated: unconsumed partition removed"
+    # the logical doom stays on schedule (marker-aware readers see the
+    # cutoff) — only PHYSICAL removal waits for the MVs
+    assert (jan / "_DOOMED").exists()
+
+    # stream catches up on the same checkpoint, consuming the
+    # backdated file through the doomed dir's glob
+    q2 = mv.start_incremental(
+        spark, f"{events_path}/yyyymm=*", f"{d}/mv", spec, ckpt,
+        max_files_per_trigger=32,
+    )
+    try:
+        q2.processAllAvailable()
+        assert mv_total() == seed_n + n_back
+    finally:
+        q2.stop()
+
+    consumed2 = retention.checkpoint_consumed_paths(ckpt)
+    report = retention.apply_ttl(
+        spark, events_path, "event_date", cutoff,
+        grace_seconds=0.0, consumed=consumed2,
+    )
+    assert "yyyymm=202401" in report["reaped"]
+    assert not jan.exists()
+    # the rollup outlives the raw rows: nothing lost, nothing doubled
+    assert mv_total() == seed_n + n_back
+
+
+def test_ttl_service_gate_and_error_stats(tmp_path):
+    """TTLService wiring for the parity gate + r14 ADVICE
+    retention.py:393: a persistently failing target is visible in
+    stats (errors counter + last exception), not silently identical
+    to a healthy idle one."""
+    svc = retention.TTLService(
+        targets=[(str(tmp_path / "nope"), "event_date", "not-a-number")],
+        spark=None,
+        gate_on_checkpoint={str(tmp_path / "nope"): str(tmp_path / "ckpt")},
+    )
+    svc.run_once()
+    svc.run_once()
+    agg = svc.stats[str(tmp_path / "nope")]
+    assert agg["errors"] == 2 and agg["passes"] == 0
+    assert "TypeError" in agg["last_error"]
+
+
 def test_retention_reap_race(spark, tmp_path):
     """The r13 failure mode, hardened: physical reaps fire WHILE the
     reader pool races them. The structural guarantee: a reader

@@ -436,6 +436,98 @@ def test_ttl_boundary_trim_lifecycle(spark, tmp_path):
     assert not gens[0].exists()
 
 
+def test_ttl_trim_manifest_is_commit_point(spark, tmp_path):
+    """r14 ADVICE retention.py:253: a trim generation whose Spark write
+    finished (_SUCCESS) but whose TRIM_MANIFEST never landed is TORN —
+    it must never be served, never doom its target, and never fold at
+    reap with replaced=∅ (which duplicated every kept row and
+    resurrected the trimmed expired rows). It is discarded like any
+    uncommitted artifact once old enough."""
+    import time as _time
+    from pathlib import Path
+
+    ev = generator.events(spark, n=2000, n_users=50)
+    writer.write_table(ev, str(tmp_path), "events")
+    path = str(tmp_path / "events")
+    feb = Path(path) / "yyyymm=202402"
+    feb_rows = spark.read.parquet(str(feb)).count()
+
+    # simulate the crash window: the generation's data write landed
+    # (_SUCCESS) but the manifest — the commit point — did not, and
+    # the boundary dir was never stamped doomed
+    gen = Path(path) / f".ttl-trim-202402-{_time.time_ns() // 1_000_000}"
+    spark.read.parquet(str(feb)).limit(10).write.parquet(str(gen))
+    assert (gen / "_SUCCESS").exists()
+    assert not (gen / retention.TRIM_MANIFEST).exists()
+
+    # marker-aware listing: torn gen invisible, pre-trim state served
+    tbl = writer.read_table(spark, str(tmp_path), "events")
+    assert tbl.filter(F.col("yyyymm") == 202402).count() == feb_rows
+
+    # reap: the torn gen must NOT doom the live boundary dir (the old
+    # dir-name fallback did) and must survive its own young-age window
+    retention.reap_expired(path, grace_seconds=0.0)
+    assert not (feb / "_DOOMED").exists()
+    assert feb.is_dir() and gen.is_dir()
+    assert spark.read.parquet(str(feb)).count() == feb_rows
+
+    # an OLD torn gen (writing pass certainly dead) is discarded
+    old = Path(path) / f".ttl-trim-202402-{_time.time_ns() // 1_000_000 - 120_000}"
+    gen.rename(old)
+    retention.reap_expired(path, grace_seconds=0.0)
+    assert not old.exists()
+    assert feb.is_dir() and not (feb / "_DOOMED").exists()
+
+
+def test_ttl_reap_freeze_rename_resume(spark, tmp_path):
+    """r14 ADVICE retention.py:255: the reap freezes the doomed trim
+    target with one atomic rename BEFORE folding, so the fold snapshot
+    and the removal operate on the same file set. A crash between the
+    rename and the removal leaves a .ttl-reap-* dir; the next pass
+    resumes the fold (idempotent links) and publishes — no row lost."""
+    import time as _time
+    from pathlib import Path
+
+    ev = generator.events(spark, n=2000, n_users=50)
+    writer.write_table(ev, str(tmp_path), "events")
+    path = str(tmp_path / "events")
+    feb = Path(path) / "yyyymm=202402"
+    cutoff = date(2024, 2, 10)
+    feb_keep = (
+        writer.read_table(spark, str(tmp_path), "events")
+        .filter(
+            (F.col("event_date") >= F.lit("2024-02-10"))
+            & (F.col("event_date") < F.lit("2024-03-01"))
+        )
+        .count()
+    )
+    retention.apply_ttl(spark, path, "event_date", cutoff, trim_boundary_month=True)
+    assert (feb / "_DOOMED").exists()
+
+    # late backdated arrival into the doomed dir, then simulate a
+    # crash AFTER the freeze-rename but before the fold/removal
+    late = generator.events(
+        spark, n=40, n_users=5, seed=99, id_offset=10_000, partitions=1
+    ).filter(
+        (F.col("event_date") >= F.lit("2024-02-15"))
+        & (F.col("event_date") < F.lit("2024-03-01"))
+    )
+    n_late = late.count()
+    assert n_late > 0
+    late.coalesce(1).write.mode("append").parquet(str(feb))
+    frozen = Path(path) / f".ttl-reap-202402-{_time.time_ns() // 1_000_000}"
+    feb.rename(frozen)
+
+    # next pass: resumes the leftover fold, removes the frozen dir,
+    # publishes the generation with the late rows included
+    retention.reap_expired(path, grace_seconds=0.0)
+    assert not frozen.exists()
+    assert (feb / "_SUCCESS").exists() and not (feb / "_DOOMED").exists()
+    got = writer.read_table(spark, str(tmp_path), "events")
+    assert got.filter(F.col("yyyymm") == 202402).count() == feb_keep + n_late
+    assert got.filter(F.col("event_date") < F.lit("2024-02-10")).count() == 0
+
+
 def test_ttl_service_background_cadence(spark, tmp_path):
     """r14: the background TTL thread (ClickHouse background-merge TTL
     analog, lake-side twin of mv.Compactor) dooms and reaps on its own
