@@ -243,6 +243,15 @@ SPLIT_SHARE_THRESHOLD = 0.02
 
 # Observability for tests/probes: the last adaptive decision made by
 # lsh_candidates_from_sigs ({"share": float, "depth": int}).
+# Measured shingle expansion (corpusprep40 probe, SCALEPROBE.md):
+# ~150 KB of zstd-compressed document text becomes a ~25 MB in-memory
+# shingle/signature block once char-3-gram sets + 32 minhash columns
+# attach. The spread target keeps localCheckpointed blocks in that
+# spill-free band: 1x sf0.1 stays at the core floor, 40x lands ~150
+# partitions (the hand-swept 160), 100x ~370 — the 4-per-1x rule the
+# probes used, now derived from bytes instead of hand-set per rung.
+SHINGLE_SPREAD_SOURCE_BYTES = 160 * 1024
+
 last_adaptive: dict = {}
 
 
@@ -536,8 +545,17 @@ def minhash_char_dedup_pairs(
     one to EXECUTE (the perf notes above).
     """
     spark = docs.sparkSession
-    n_parts = num_partitions or max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 16
+    # Engine-owned data-proportional sizing (session.spread_partitions,
+    # VERDICT r14 #1/#5): the shingle/signature blocks this spread
+    # feeds are localCheckpointed, so their count must follow the
+    # CORPUS bytes, not the session's core count — the 40x probe
+    # previously hand-set shuffle_partitions = 4x corpus factor to
+    # keep blocks in the spill-free ~25 MB band; this derives the same
+    # count from the source file sizes (the core floor carries 1x).
+    from clickhouse_realtime_analytics_demo_spark.session import spread_partitions
+
+    n_parts = num_partitions or spread_partitions(
+        docs, target_bytes=SHINGLE_SPREAD_SOURCE_BYTES
     )
     _barrier = (lambda df: df.localCheckpoint(eager=True)) if eager else (lambda df: df)
     keep = (block_col,) if block_col else ()

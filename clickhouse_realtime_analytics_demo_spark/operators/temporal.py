@@ -47,7 +47,22 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from clickhouse_realtime_analytics_demo_spark.session import spread_partitions
+
 __all__ = ["asof_join"]
+
+# Engine-owned spread target for the union-carry window (VERDICT r14
+# #1, SCALEPROBE sf6 rung): the timeline sort is byte-LIGHT but
+# memory-HEAVY — compressed scan bytes expand ~50x into the sort's
+# row buffers, so AQE's byte-based coalescing (64 MB advisory;
+# parallelismFirst floors at core count) squeezes the window exchange
+# back to ~cores partitions and the per-key sort spills past ~sf3
+# (measured: 8.5x wall for 6x data at 32 fixed partitions; the swept
+# optimum 256 ≈ 0.75 MB of scan bytes per partition restored 5.2x).
+# An explicit keyed repartition at this density is user-specified —
+# AQE never coalesces it — and satisfies the window's required
+# distribution, so no second exchange appears.
+ASOF_SPREAD_SOURCE_BYTES = 768 * 1024
 
 
 def asof_join(
@@ -131,6 +146,13 @@ def asof_join(
         order = [F.col("_asof_t").desc(), F.col("_asof_side").asc(), F.col("_asof_tie").desc()]
 
     if split_bucket_us is None:
+        # data-proportional spread (constant above): the floor keeps
+        # small inputs on today's core-count plan; big inputs scale
+        # the sort's partition count with their bytes instead of
+        # spilling at a fixed count
+        u = u.repartition(
+            spread_partitions(u, target_bytes=ASOF_SPREAD_SOURCE_BYTES), "_asof_k"
+        )
         w = (
             Window.partitionBy("_asof_k")
             .orderBy(*order)

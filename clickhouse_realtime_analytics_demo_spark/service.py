@@ -69,6 +69,7 @@ def start_stack(
     events_per_tick: int = 100,
     orders_per_tick: int = 20,
     tick_seconds: float = 1.0,
+    ingest_users: int = 1000,
     run_seconds: float = 86_400.0,
     mv_retention_days: int | None = None,
     lake_ttl: tuple = DEFAULT_LAKE_TTL,
@@ -141,6 +142,7 @@ def start_stack(
         events_per_tick=events_per_tick,
         orders_per_tick=orders_per_tick,
         tick_seconds=tick_seconds,
+        n_users=ingest_users,
     )
     ingest.start(seconds=run_seconds)
 

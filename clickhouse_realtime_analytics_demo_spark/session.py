@@ -9,9 +9,38 @@ slow path, ZSTD parquet output.
 
 from __future__ import annotations
 
+import math
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+# Explicit-repartition sizing target: compressed source bytes per
+# partition for operators that spread byte-light/compute-heavy work
+# (LSH shingle blocks, verify stages). Small vs the scan-side 128 MB
+# maxPartitionBytes because these columns EXPAND in memory (a 8 MB
+# zstd text block becomes a ~25 MB shingle-array block — the band the
+# corpusprep 40x probe measured as spill-free).
+SPREAD_TARGET_BYTES = 8 * 1024 * 1024
+
+
+def initial_shuffle_partitions(cpus: int | str, shuffle_partitions: int | str) -> int:
+    """The engine-owned shuffle sizing rule (VERDICT r14 #1): AQE
+    starts every shuffle from a HIGH ceiling and coalesces DOWN by
+    bytes, instead of a fixed ``shuffle.partitions = cores`` that a
+    data scale-up silently outgrows (the sf6 as-of rung spilled at 32
+    fixed partitions, 8.5x wall for 6x data; a hand sweep to 256
+    restored sub-linear — this rule replaces the hand sweep).
+
+    Ceiling = 8 x cores (or the explicit ``SPARK_GRAFT_SHUFFLE`` pin
+    if larger): at the local test box that is 256 — the swept sf6
+    optimum — and on a 1000-executor cluster the same rule lands in
+    the thousands, which AQE's 64 MB advisory size coalesces back for
+    small stages (``parallelismFirst`` keeps at least core-count
+    parallelism). Override with ``SPARK_GRAFT_INITIAL_SHUFFLE``."""
+    env = os.environ.get("SPARK_GRAFT_INITIAL_SHUFFLE")
+    if env:
+        return int(env)
+    return max(8 * int(cpus), int(shuffle_partitions))
 
 
 def get_spark(
@@ -28,6 +57,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # data-proportional ceiling, AQE coalesces down (rule above)
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial_shuffle_partitions(cpus, shuffle_partitions)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -59,3 +93,55 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def source_bytes(df: DataFrame) -> int | None:
+    """Total compressed size of the files backing a frame (its leaf
+    scans' ``inputFiles``), or None when no local files back it
+    (literal frames, checkpointed RDDs, remote URIs). Driver-side
+    metadata listing only — bounded by file COUNT, never data-sized."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — plans with no file source
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        p = uri
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        elif "://" in p:
+            return None  # remote store: sizes unknown driver-side
+        try:
+            total += os.stat(p).st_size
+        except OSError:
+            continue  # listed file already reaped/compacted away
+    return total or None
+
+
+def spread_partitions(
+    df: DataFrame,
+    floor: int | None = None,
+    target_bytes: int = SPREAD_TARGET_BYTES,
+    ceiling: int = 8192,
+) -> int:
+    """Data-proportional count for EXPLICIT repartitions (which AQE
+    never coalesces, by design — operators use them to spread
+    byte-light/compute-heavy stages that byte-based coalescing would
+    squeeze onto too few cores). The engine-owned replacement for
+    hand-swept ``shuffle_partitions`` at probe rungs (VERDICT r14 #1):
+    ``max(floor, source_bytes / target_bytes)``, so 1x data keeps the
+    core-count floor and a 40x/100x corpus scales its block count with
+    the bytes instead of spilling. Falls back to the floor when the
+    frame has no measurable file source."""
+    if floor is None:
+        floor = max(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 16
+        )
+    size = source_bytes(df)
+    if size is None:
+        return floor
+    return max(floor, min(ceiling, math.ceil(size / target_bytes)))

@@ -673,6 +673,160 @@ def write_corpusprep40_section(row: dict) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
+def corpusprep100_probe(spark, ks=(40, 100)) -> dict:
+    """r15 (VERDICT r14 #5): the LSH corpus-prep pipeline one rung past
+    40x, under the ENGINE's own sizing — no hand-set partitions
+    anywhere (the r10 40x runs swept ``shuffle_partitions = 4 x k``;
+    the operator now derives its spread from the corpus bytes via
+    ``session.spread_partitions`` and the session owns the AQE shuffle
+    ceiling). Measures, in ONE session:
+
+    - pipeline wall at k=40 (the anchor, re-measured apples-to-apples)
+      and k=100, best-of-2 each;
+    - sub-linearity: wall(100) <= 1.5 x linear extrapolation from the
+      measured 40x anchor (ASSERTED — the probe is the regression
+      gate, same policy as asofsf6);
+    - recall at 100x with the ADAPTIVE split depth engaged: TRUE
+      (J>=0.6) pairs found by the adaptive candidate generation vs
+      the uncapped union, counted by exact-verifying the DROPPED
+      candidates (the corpusprep40 method), ASSERTED >= 95%.
+    """
+    from clickhouse_realtime_analytics_demo_spark.operators import dedup as _dedup
+    from clickhouse_realtime_analytics_demo_spark.queries.graphops import (
+        _prep_filtered,
+    )
+    from clickhouse_realtime_analytics_demo_spark.session import spread_partitions
+
+    registry = all_queries()
+    out: dict = {"ks": list(ks)}
+    walls: dict[int, float] = {}
+    k_top = max(ks)
+    for k in ks:
+        d = tempfile.mkdtemp(prefix=f"cpp100_k{k}_")
+        t0 = time.perf_counter()
+        replicate(spark, d, k, only=("documents",))
+        build_s = round(time.perf_counter() - t0, 1)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            registry["corpus_prep_pipeline_lsh"].fn(spark, d).collect()
+            best = min(best, time.perf_counter() - t0)
+        walls[k] = round(best, 2)
+        print(
+            json.dumps(
+                {"corpusprep100_wall": {"k": k, "wall_s": walls[k], "build_s": build_s}}
+            ),
+            flush=True,
+        )
+        if k != k_top:
+            shutil.rmtree(d, ignore_errors=True)
+            continue
+
+        # ---- recall at the top rung, adaptive split engaged, engine
+        # sizing for every explicit spread
+        _, blocked = _prep_filtered(spark, d)
+        out["docs"] = blocked.count()
+        n_spread = spread_partitions(
+            blocked, target_bytes=_dedup.SHINGLE_SPREAD_SOURCE_BYTES
+        )
+        out["spread_partitions"] = n_spread
+        sh = _dedup.char_ngram_sets(
+            blocked.repartition(n_spread, "doc_id"), "text", "doc_id", 3, keep=("blk",)
+        ).localCheckpoint()
+        sigs = _dedup.minhash_signatures_from_sets(
+            sh, 32, keep=("blk",), materialized=True
+        ).localCheckpoint()
+        sh_sets = sh.select("id", "sh")
+
+        def _true(cands):
+            attached = (
+                cands.join(
+                    sh_sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sa"),
+                    "id_a",
+                )
+                .join(
+                    sh_sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sb"),
+                    "id_b",
+                )
+                .repartition(n_spread)
+            )
+            return attached.filter(
+                _dedup.jaccard(F.col("sa"), F.col("sb")) >= 0.6
+            ).count()
+
+        t0 = time.perf_counter()
+        adaptive = _dedup.lsh_candidates_from_sigs(
+            sigs, 32, 16, max_bucket_size=64, block_col="blk", split_depth=None
+        ).localCheckpoint()
+        out["adaptive_gen_s"] = round(time.perf_counter() - t0, 2)
+        out["adaptive_decision"] = dict(_dedup.last_adaptive)
+        uncapped = _dedup.lsh_candidates_from_sigs(
+            sigs, 32, 16, max_bucket_size=None, block_col="blk", split_depth=0
+        ).localCheckpoint()
+        out["cand_pairs_adaptive"] = adaptive.count()
+        out["cand_pairs_uncapped"] = uncapped.count()
+        dropped = uncapped.join(
+            adaptive, ["id_a", "id_b"], "left_anti"
+        ).localCheckpoint()
+        out["cand_pairs_dropped"] = dropped.count()
+        out["true_pairs_dropped"] = _true(dropped)
+        out["true_pairs_adaptive"] = _true(adaptive)
+        tot = out["true_pairs_adaptive"] + out["true_pairs_dropped"]
+        out["recall_pct"] = round(100.0 * out["true_pairs_adaptive"] / tot, 3) if tot else 100.0
+        shutil.rmtree(d, ignore_errors=True)
+
+    out["walls"] = walls
+    k_lo = min(ks)
+    linear = walls[k_lo] * (k_top / k_lo)
+    out["vs_linear"] = round(walls[k_top] / linear, 3)
+    print(json.dumps({"corpusprep100_probe": out}), flush=True)
+    assert out["vs_linear"] <= 1.5, (
+        f"LSH pipeline at {k_top}x is {out['vs_linear']}x the linear "
+        f"extrapolation from the measured {k_lo}x anchor"
+    )
+    assert out["recall_pct"] >= 95.0, (
+        f"adaptive-split recall fell to {out['recall_pct']}% at {k_top}x"
+    )
+    return out
+
+
+def write_corpusprep100_section(row: dict) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## LSH pipeline at 100× under engine-owned sizing"
+    text, tail_sections = _splice_section(text, marker)
+    walls = row["walls"]
+    ks = sorted(int(k) for k in walls)
+    k_lo, k_hi = ks[0], ks[-1]
+    dec = row.get("adaptive_decision", {})
+    lines = [
+        marker.strip(),
+        "",
+        f"`scale_probe.py corpusprep100` (r15, VERDICT r14 #5): "
+        f"`corpus_prep_pipeline_lsh` at K={k_lo} and K={k_hi} "
+        f"({row['docs']} filtered docs at {k_hi}x), best-of-2 each, ONE "
+        "session, ZERO hand-set partitions — the operator derives its "
+        "shingle-block spread from the corpus bytes "
+        f"(`session.spread_partitions` → {row['spread_partitions']} "
+        f"partitions at {k_hi}x; the r10 rungs hand-swept 4 x K) and "
+        "the session owns the AQE shuffle ceiling.",
+        "",
+        f"- Pipeline wall: **{walls[k_lo]} s at {k_lo}x → "
+        f"{walls[k_hi]} s at {k_hi}x** = {row['vs_linear']}x the linear "
+        f"extrapolation (gate <= 1.5x, asserted in the probe itself)",
+        f"- Adaptive split decision at {k_hi}x: depth {dec.get('depth')} "
+        f"(over-cap entry share {round(100 * dec.get('share', 0), 2)}%), "
+        f"candidate gen {row['adaptive_gen_s']} s",
+        f"- Candidates: {row['cand_pairs_adaptive']} adaptive vs "
+        f"{row['cand_pairs_uncapped']} uncapped → "
+        f"{row['cand_pairs_dropped']} dropped",
+        f"- TRUE (J≥0.6) pairs: {row['true_pairs_adaptive']} found vs "
+        f"{row['true_pairs_dropped']} lost in dropped candidates → "
+        f"**recall {row['recall_pct']}% at {k_hi}x** (gate ≥95%, asserted)",
+    ]
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def textops_probe(spark, ks=(1, 4, 10)) -> list[dict]:
     """Round-8 text ops vs corpus size: the vocabulary-rarity join
     (broadcast of the Zipf-bounded COMMON set — cost should be ~linear
@@ -3649,6 +3803,101 @@ def write_steepest_rung_section(rows: list[dict]) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
+def asof_sf6_probe(spark, ks=(10, 60), runs: int = 2) -> list[dict]:
+    """r15 (VERDICT r14 #1): the sf6 as-of rung rerun with ZERO hand
+    partition sweep. The engine session now owns the sizing rule
+    (session.initial_shuffle_partitions: AQE starts every shuffle at
+    8x cores and coalesces DOWN by bytes), so the rung that spilled at
+    the fixed 32-partition default (r14 addendum: 8.5x wall for 6x
+    data; hand-swept 256 restored 5.2x) must land sub-linear-ish out
+    of the box. ASSERTS factor <= 5.5x (the swept optimum + margin) —
+    a failure here means the rule regressed, not the operator."""
+    qs = all_queries()
+    out = []
+    for k in ks:
+        d = tempfile.mkdtemp(prefix=f"asofsf6_k{k}_")
+        t0 = time.perf_counter()
+        replicate(spark, d, k, only=("events", "orders", "customer"))
+        build_s = round(time.perf_counter() - t0, 1)
+        best, vols = float("inf"), None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = qs["events_asof_order"].fn(spark, d)
+            df.collect()
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best, vols = dt, _plan_volumes(df)
+        row = {
+            "k": k,
+            "wall_s": round(best, 3),
+            **vols,
+            "replicate_build_s": build_s,
+            "initial_partitions": spark.conf.get(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+            ),
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        }
+        out.append(row)
+        print(json.dumps({"asof_sf6": row}), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+    factor = out[-1]["wall_s"] / out[0]["wall_s"]
+    assert factor <= 5.5, (
+        f"sf6 as-of rung REGRESSED to {factor:.1f}x for 6x data under the "
+        "engine default session — the AQE ceiling rule is not holding"
+    )
+    return out
+
+
+def write_asof_sf6_section(rows: list[dict]) -> None:
+    md = Path("SCALEPROBE.md")
+    text = md.read_text() if md.exists() else ""
+    marker = "\n## sf6 as-of rung under the engine default session (no hand sweep)"
+    text, tail_sections = _splice_section(text, marker)
+    lo, hi = rows[0], rows[-1]
+    ratio = hi["k"] / lo["k"]
+    factor = round(hi["wall_s"] / lo["wall_s"], 1)
+    lines = [
+        marker.strip(),
+        "",
+        "`scale_probe.py asofsf6` (r15, VERDICT r14 #1): the r14 sf6 "
+        "addendum's spill was fixed by a HAND sweep to 256 partitions; "
+        "the engine now owns the sizing in TWO engine-side pieces, and "
+        "this rung measured that the first alone is NOT enough: "
+        "(1) the session pins `initialPartitionNum = 8 x cores` (256 "
+        "here) so implicit shuffles start high and AQE coalesces DOWN "
+        "— but AQE coalesces by BYTES, and the as-of window's shuffle "
+        "is byte-light/memory-heavy (~50x expansion into the sort), so "
+        "AQE squeezed it back to ~cores and the first r15 rung read "
+        "5.8x; (2) `operators/temporal.py` therefore derives an "
+        "explicit keyed spread from the SOURCE BYTES "
+        "(`session.spread_partitions`, ~0.75 MB scan bytes per "
+        "partition — the measured spill-free density), which AQE never "
+        "coalesces and which satisfies the window's distribution (no "
+        "extra exchange). This rung runs `events_asof_order` at sf1 "
+        "and sf6 on the UNMODIFIED default session; the probe asserts "
+        "the factor (<= 5.5x) so a regression in either piece fails "
+        "loudly.",
+        "",
+        "| k | wall (s) | scan MB | shuffle MB | shuffle rows | initialPartitionNum | shuffle.partitions |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['k']} | {r['wall_s']} | {r['scan_mb']} | {r['shuffle_mb']} |"
+            f" {r['shuffle_rows']} | {r['initial_partitions']} |"
+            f" {r['shuffle_partitions']} |"
+        )
+    lines += [
+        "",
+        f"Wall factor **{factor}x for {ratio:g}x data** with zero "
+        "hand-set partitions (r14: 8.5x at the fixed 32 default, 5.2x "
+        "after the manual 256 sweep). The rule, not the sweep, now "
+        "carries the rung; `tests/test_session_sizing.py` pins the "
+        "conf wiring.",
+    ]
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
+
+
 def ttl_scale_probe(spark, month_counts=(24, 240, 960)) -> list[dict]:
     """Round-14 (ST9 at scale): operability of the doom→grace→reap
     retention contract when a table holds MANY month partitions (960
@@ -3771,6 +4020,14 @@ def write_ttl_scale_section(rows: list[dict]) -> None:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "asofsf6":
+        # DELIBERATELY the default session: the probe's whole point is
+        # that no caller supplies a partition count
+        spark = get_spark(app_name="scale_probe_asofsf6")
+        rows = asof_sf6_probe(spark)
+        write_asof_sf6_section(rows)
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "ttlscale":
         spark = get_spark(app_name="scale_probe_ttl_scale")
         rows = ttl_scale_probe(spark)
@@ -3942,6 +4199,14 @@ def main() -> None:
         )
         row = lshsplit_probe(spark, k)
         write_lshsplit_section(row)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "corpusprep100":
+        # DELIBERATELY the default session (VERDICT r14 #5): the
+        # operator and the session own every partition count now
+        spark = get_spark(app_name="scale_probe_corpusprep100")
+        row = corpusprep100_probe(spark)
+        write_corpusprep100_section(row)
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "corpusprep40":

@@ -66,6 +66,28 @@ def test_store_is_smaller_than_float(spark, tmp_path):
     assert store_bytes < src_bytes / 2, (store_bytes, src_bytes)
 
 
+def files_read(df):
+    """numFiles metric of the EXECUTED scan, not inputFiles() —
+    inputFiles reports the unpruned relation listing."""
+    df.collect()
+    node = df._jdf.queryExecution().executedPlan()
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        cls = n.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(n.executedPlan())
+            continue
+        if cls.endswith("QueryStageExec"):
+            stack.append(n.plan())
+            continue
+        if cls == "FileSourceScanExec":
+            return int(n.metrics().apply("numFiles").value())
+        for i in range(n.children().size()):
+            stack.append(n.children().apply(i))
+    raise AssertionError("no FileSourceScanExec in plan")
+
+
 def test_ivf_store_partition_pruning_and_recall(spark, tmp_path):
     # the IVF store's whole point: the probe must OPEN only the nprobe
     # cell directories (partition pruning decided before task launch)
@@ -75,28 +97,8 @@ def test_ivf_store_partition_pruning_and_recall(spark, tmp_path):
     cells = {r["cell"] for r in store.select("cell").distinct().collect()}
     assert cells <= set(range(16)) and len(cells) >= 4
 
-    # partition pruning proof from the EXECUTED scan, not inputFiles()
-    # (inputFiles reports the unpruned relation listing): the scan's
-    # numFiles metric must equal the probed directories' file count
-    def files_read(df):
-        df.collect()
-        node = df._jdf.queryExecution().executedPlan()
-        stack = [node]
-        while stack:
-            n = stack.pop()
-            cls = n.getClass().getSimpleName()
-            if cls == "AdaptiveSparkPlanExec":
-                stack.append(n.executedPlan())
-                continue
-            if cls.endswith("QueryStageExec"):
-                stack.append(n.plan())
-                continue
-            if cls == "FileSourceScanExec":
-                return int(n.metrics().apply("numFiles").value())
-            for i in range(n.children().size()):
-                stack.append(n.children().apply(i))
-        raise AssertionError("no FileSourceScanExec in plan")
-
+    # partition pruning proof from the EXECUTED scan's numFiles metric:
+    # it must equal the probed directories' file count
     probed_files = files_read(store.filter(store.cell.isin([0, 1])))
     all_files = files_read(store)
     on_disk_probed = sum(
@@ -125,6 +127,47 @@ def test_ivf_store_partition_pruning_and_recall(spark, tmp_path):
     }
     recall = len(exact & {r.neighbor_id for r in got}) / 10
     assert recall >= 0.5, f"IVF-store recall {recall} too low"
+
+
+def test_ivf_query_lookup_prunes_to_one_cell(spark, tmp_path):
+    """r15 (VERDICT r14 #3): the per-query driver-side query-row fetch
+    rides the id→cell sidecar — its executed cell scan opens EXACTLY
+    the one ``cell=`` directory holding the query vector, never the
+    whole store (the old vec_id filter opened every cell: vec_id is
+    not the partition key)."""
+    p = quantized.ensure_ivf_store(spark, SF_DIR, num_cells=16, root=str(tmp_path))
+    assert (p / "id_index").is_dir()
+
+    lookup, qcell = quantized.ivf_query_lookup(spark, p, query_id=0)
+    on_disk_cell = sum(
+        1 for _ in (p / "data" / f"cell={qcell}").rglob("*.parquet")
+    )
+    all_files = sum(1 for _ in (p / "data").rglob("*.parquet"))
+    # files_read must own the FIRST collect: numFiles is a driver-side
+    # metric reported once per plan instantiation
+    got = files_read(lookup)
+    rows = quantized.ivf_query_lookup(spark, p, query_id=0)[0].collect()
+    assert len(rows) == 1 and rows[0]["qvec"] is not None
+    assert got == on_disk_cell, (got, on_disk_cell)
+    assert got < all_files
+
+    # the sidecar is compact and agrees with the store's partitioning
+    idx = spark.read.parquet(str(p / "id_index"))
+    store = spark.read.parquet(str(p / "data"))
+    assert idx.count() == store.count()
+    mism = (
+        idx.withColumnRenamed("cell", "icell")
+        .join(store.select("vec_id", "cell"), "vec_id")
+        .filter(F.col("icell") != F.col("cell"))
+        .count()
+    )
+    assert mism == 0
+
+    # an unknown id fails loudly, not with a silent empty result
+    import pytest
+
+    with pytest.raises(ValueError, match="not in the IVF store index"):
+        quantized.ivf_query_lookup(spark, p, query_id=10**9)
 
 
 def test_ivf_recall_floor_vs_nprobe(spark, tmp_path):
