@@ -598,11 +598,30 @@ def minhash_char_dedup_pairs(
     a = shc.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("nsh").alias("na"))
     b = shc.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("nsh").alias("nb"))
     thr = F.lit(threshold)
-    # size-ratio prefilter before the per-pair intersect, as in
-    # ngram_jaccard_pairs: J ≤ min/max, two integer compares
+    # Size-ratio prefilter before the per-pair intersect, as in
+    # ngram_jaccard_pairs: J ≤ min/max, two integer compares.
+    # When the corpus has outgrown the core floor (n_parts above it),
+    # explicit keyed repartitions BEFORE each attach join are
+    # load-bearing (r15, the 100x rung's finding): the attach rows
+    # carry shingle ARRAYS that expand ~10x on deserialization, so
+    # AQE's byte-based coalescing of the joins' ENSURE_REQUIREMENTS
+    # exchanges (64 MB advisory) packs multi-GB of in-memory rows per
+    # task — the 100x corpus died with Java-heap OOM at 48 g. A
+    # user-specified keyed repartition satisfies the join's required
+    # distribution (no extra exchange) and is never coalesced — task
+    # memory stays bounded by n_parts, which follows the corpus
+    # bytes. At the core floor (1x corpora) the joins resolve to
+    # broadcast with ZERO exchanges, so the spreads stay out of the
+    # plan and the small-scale bench keeps its shape.
+    core_floor = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 16)
+    if n_parts > core_floor:
+        pre = cands.repartition(n_parts, "id_a").join(a, "id_a").repartition(
+            n_parts, "id_b"
+        )
+    else:
+        pre = cands.join(a, "id_a")
     attached = _barrier(
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        pre.join(b, "id_b")
         .filter(
             (F.col("na") >= F.col("nb") * thr - F.lit(1e-9))
             & (F.col("nb") >= F.col("na") * thr - F.lit(1e-9))

@@ -739,11 +739,17 @@ def corpusprep100_probe(spark, ks=(40, 100)) -> dict:
         sh_sets = sh.select("id", "sh")
 
         def _true(cands):
+            # explicit keyed spread BEFORE each join (the 100x OOM
+            # lesson, see dedup.minhash_char_dedup_pairs): shingle
+            # arrays expand ~10x in memory, AQE byte-coalescing packs
+            # too much per task
             attached = (
-                cands.join(
+                cands.repartition(n_spread, "id_a")
+                .join(
                     sh_sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sa"),
                     "id_a",
                 )
+                .repartition(n_spread, "id_b")
                 .join(
                     sh_sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sb"),
                     "id_b",
