@@ -673,6 +673,22 @@ def write_corpusprep40_section(row: dict) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
+def _reclaim(spark) -> None:
+    """Release checkpoint/shuffle storage between heavy phases: drop
+    the Python references, then nudge the JVM GC so the
+    ContextCleaner frees localCheckpoint blocks and shuffle files —
+    the first 100x rung ran /tmp out of disk (ENOSPC) when two
+    pipeline executions' eager-checkpoint blocks piled up unreleased."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — best-effort
+        pass
+    time.sleep(3.0)
+
+
 def corpusprep100_probe(spark, ks=(40, 100)) -> dict:
     """r15 (VERDICT r14 #5): the LSH corpus-prep pipeline one rung past
     40x, under the ENGINE's own sizing — no hand-set partitions
@@ -711,6 +727,7 @@ def corpusprep100_probe(spark, ks=(40, 100)) -> dict:
             t0 = time.perf_counter()
             registry["corpus_prep_pipeline_lsh"].fn(spark, d).collect()
             best = min(best, time.perf_counter() - t0)
+            _reclaim(spark)  # free this run's checkpoints before the next
         walls[k] = round(best, 2)
         print(
             json.dumps(
@@ -776,6 +793,7 @@ def corpusprep100_probe(spark, ks=(40, 100)) -> dict:
         ).localCheckpoint()
         out["cand_pairs_dropped"] = dropped.count()
         out["true_pairs_dropped"] = _true(dropped)
+        _reclaim(spark)  # the dropped-verify shuffle is large at 100x
         out["true_pairs_adaptive"] = _true(adaptive)
         tot = out["true_pairs_adaptive"] + out["true_pairs_dropped"]
         out["recall_pct"] = round(100.0 * out["true_pairs_adaptive"] / tot, 3) if tot else 100.0
