@@ -23,24 +23,75 @@ from pyspark.sql import DataFrame, SparkSession
 SPREAD_TARGET_BYTES = 8 * 1024 * 1024
 
 
-def initial_shuffle_partitions(cpus: int | str, shuffle_partitions: int | str) -> int:
-    """The engine-owned shuffle sizing rule (VERDICT r14 #1): AQE
-    starts every shuffle from a HIGH ceiling and coalesces DOWN by
-    bytes, instead of a fixed ``shuffle.partitions = cores`` that a
-    data scale-up silently outgrows (the sf6 as-of rung spilled at 32
-    fixed partitions, 8.5x wall for 6x data; a hand sweep to 256
-    restored sub-linear — this rule replaces the hand sweep).
+# Compressed source bytes per INITIAL (pre-coalescing) shuffle
+# partition for the session-level AQE ceiling. Calibrated from the two
+# measured anchors: the sf6 as-of rung's swept optimum (256 partitions
+# over ~1.0 GB of source parquet ≈ 4 MB each — sub-linear, no spill)
+# and the sf0.1 bench (17 MB → the core floor, r14's measured-good
+# shape). 4 MiB compressed expands to roughly the 64 MB in-memory
+# band AQE's advisory size targets post-coalescing.
+INITIAL_PARTITION_TARGET_BYTES = 4 * 1024 * 1024
 
-    Ceiling = 8 x cores (or the explicit ``SPARK_GRAFT_SHUFFLE`` pin
-    if larger): at the local test box that is 256 — the swept sf6
-    optimum — and on a 1000-executor cluster the same rule lands in
-    the thousands, which AQE's 64 MB advisory size coalesces back for
-    small stages (``parallelismFirst`` keeps at least core-count
-    parallelism). Override with ``SPARK_GRAFT_INITIAL_SHUFFLE``."""
+
+def _dir_bytes(data_dir: str | None) -> int | None:
+    """Total size of the files under ``data_dir`` (driver-side
+    metadata walk, bounded by file COUNT). None when unset/missing."""
+    if not data_dir:
+        return None
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(data_dir):
+            for f in files:
+                try:
+                    total += os.stat(os.path.join(root, f)).st_size
+                except OSError:
+                    continue
+    except OSError:
+        return None
+    return total or None
+
+
+def initial_shuffle_partitions(
+    cpus: int | str, shuffle_partitions: int | str, data_bytes: int | None = None
+) -> int:
+    """The engine-owned shuffle sizing rule (VERDICT r14 #1): AQE
+    starts every shuffle from a ceiling derived from the DATA SIZE and
+    coalesces DOWN by bytes, instead of a fixed ``shuffle.partitions =
+    cores`` that a data scale-up silently outgrows (the sf6 as-of rung
+    spilled at 32 fixed partitions, 8.5x wall for 6x data; a hand
+    sweep to 256 restored sub-linear — this rule replaces the hand
+    sweep).
+
+    Ceiling = ``max(floor, data_bytes / 4 MiB)`` clamped at 8192,
+    where floor = max(cores, shuffle.partitions) and ``data_bytes``
+    is the total size of ``$SPARK_GRAFT_SF_DIR`` (the session's data
+    directory) when known. At sf0.1 (17 MB) that is the core floor —
+    bit-identical plans to the fixed r14 setting; at the sf6 rung
+    (~1.0 GB) it lands on the swept 256 optimum with no hand sweep;
+    at 100 TB it saturates the clamp and AQE's 64 MB advisory size
+    coalesces small stages back (``parallelismFirst`` keeps at least
+    core-count parallelism).
+
+    Why not a blanket high ceiling (the first r15 form, 8 x cores
+    unconditionally): measured on the sf0.1 bench set (ABBA warm
+    best-of-5, 12 queries), initialPartitionNum=256 cost 18-40% per
+    query vs 32 (e.g. dedup_exact 0.642 vs 0.383 s, user_rfm 2.832 vs
+    2.035 s, segment_revenue 1.187 vs 0.788 s) — per guide §2.2 the
+    M x R shuffle-block count grows with the ceiling while the bytes
+    per block shrink, pure overhead when the data fits core-count
+    partitions. The blanket 8 x floor form is kept ONLY as the
+    fallback when no data directory is known (service stacks, bare
+    sessions), where erring high is the safe side because AQE
+    coalesces down. Override with ``SPARK_GRAFT_INITIAL_SHUFFLE``."""
     env = os.environ.get("SPARK_GRAFT_INITIAL_SHUFFLE")
     if env:
         return int(env)
-    return max(8 * int(cpus), int(shuffle_partitions))
+    floor = max(int(cpus), int(shuffle_partitions))
+    if data_bytes is None:
+        data_bytes = _dir_bytes(os.environ.get("SPARK_GRAFT_SF_DIR"))
+    if data_bytes is None:
+        return 8 * floor
+    return max(floor, min(8192, math.ceil(data_bytes / INITIAL_PARTITION_TARGET_BYTES)))
 
 
 def get_spark(

@@ -179,7 +179,7 @@ def ensure_ivf_store(
 
 
 def ivf_query_lookup(
-    spark: SparkSession, path: Path, query_id: int
+    spark: SparkSession, path: Path, query_id: int, store: DataFrame | None = None
 ) -> tuple[DataFrame, int]:
     """The per-query driver-side fetch, sidecar-pruned (r15, VERDICT
     r14 #3: the previous ``store.filter(vec_id==q)`` collect scanned
@@ -187,13 +187,20 @@ def ivf_query_lookup(
     the id→cell index, then return the single-row (qvec, qscale) frame
     restricted to THAT cell — its executed scan opens exactly one
     ``cell=`` directory (asserted by tests/test_quantized_store.py).
-    Returns (lookup_df, cell)."""
+    Returns (lookup_df, cell).
+
+    ``store``: pass the already-created store DataFrame when the
+    caller holds one — each ``spark.read.parquet`` re-lists the store
+    directory tree and re-reads footers driver-side, and the first
+    r15 form paid that twice per query (measured on the bench query:
+    ~0.3-0.5 s/run of pure driver listing at sf0.1)."""
     idx = spark.read.parquet(str(path / "id_index"))
     hit = idx.filter(F.col("vec_id") == query_id).collect()
     if not hit:
         raise ValueError(f"query_id {query_id} not in the IVF store index")
     qcell = int(hit[0]["cell"])
-    store = spark.read.parquet(str(path / "data"))
+    if store is None:
+        store = spark.read.parquet(str(path / "data"))
     lookup = store.filter(
         (F.col("cell") == qcell) & (F.col("vec_id") == query_id)
     ).select("qvec", "qscale")
@@ -236,7 +243,7 @@ def ivf_stored_topk(
     # (r15; the old vec_id filter over the whole store opened every
     # cell — at 100 TB that one driver-side lookup was a full-store
     # metadata+footer pass per query)
-    lookup, _qcell = ivf_query_lookup(spark, path, query_id)
+    lookup, _qcell = ivf_query_lookup(spark, path, query_id, store=store)
     qrow = lookup.collect()[0]
     qvec = [float(x) * qrow["qscale"] for x in qrow["qvec"]]
     qn = sum(x * x for x in qvec) ** 0.5 or 1.0

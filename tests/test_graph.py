@@ -35,17 +35,21 @@ def _union_find(nodes, edges):
     return {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
 
 
-def _spark_cc(spark, edges):
+def _spark_cc(spark, edges, **kw):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     return {
-        r["id"]: r["component"] for r in connected_components(df).collect()
+        r["id"]: r["component"] for r in connected_components(df, **kw).collect()
     }
 
 
 def _assert_matches(spark, edges):
     nodes = sorted({n for e in edges for n in e})
     expected = _union_find(nodes, edges)
+    # default path (these graphs are small → r15 driver resolution)
     assert _spark_cc(spark, edges) == expected
+    # distributed star-contraction path, forced past the driver valve
+    # (driver_max_edges=0) — must produce the identical assignment
+    assert _spark_cc(spark, edges, driver_max_edges=0) == expected
 
 
 def test_chain_worst_case(spark):
@@ -104,6 +108,26 @@ def test_null_and_self_edges_dropped(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(df).collect() == []
+
+
+def test_driver_valve_threshold_boundary(spark):
+    """r15 driver-resolution valve: at the boundary the two paths pick
+    correctly and agree bit-for-bit; stats reports which path ran."""
+    edges = [(i, i + 1) for i in range(10)]
+    stats_drv: dict = {}
+    got_drv = _spark_cc(spark, edges, stats=stats_drv, driver_max_edges=10)
+    assert stats_drv == {"rounds": 0, "driver_edges": 10}
+    stats_dist: dict = {}
+    # one fewer than the edge count → probe overflows → distributed
+    got_dist = _spark_cc(spark, edges, stats=stats_dist, driver_max_edges=9)
+    assert stats_dist["rounds"] >= 1 and "driver_edges" not in stats_dist
+    assert got_drv == got_dist == {i: 0 for i in range(11)}
+
+
+def test_driver_valve_string_ids_match_distributed(spark):
+    # UTF8_BINARY vs Python str ordering must agree on the min-id pick
+    edges = [("b", "a"), ("b", "c"), ("Z", "z"), ("é", "e")]
+    assert _spark_cc(spark, edges) == _spark_cc(spark, edges, driver_max_edges=0)
 
 
 def test_keep_one_per_cluster(spark):

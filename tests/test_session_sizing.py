@@ -11,14 +11,35 @@ from __future__ import annotations
 from clickhouse_realtime_analytics_demo_spark import session as session_mod
 
 
-def test_initial_partition_rule():
-    # 8 x cores: the local bench box (32 cores) lands exactly on the
-    # sf6 swept optimum (256); the test session (8 cores) on 64
+def test_initial_partition_rule(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    # data-proportional (r15 second form, measured on the sf0.1 bench:
+    # a blanket 256 ceiling cost 18-40%/query vs 32 — see session.py):
+    # small data keeps the core floor, big data scales by 4 MiB/part
+    mb = 1024 * 1024
+    assert session_mod.initial_shuffle_partitions(32, 32, data_bytes=17 * mb) == 32
+    assert session_mod.initial_shuffle_partitions(8, 8, data_bytes=17 * mb) == 8
+    # the sf6 rung (~1.0 GB) lands on the swept 256 optimum, no sweep
+    assert session_mod.initial_shuffle_partitions(32, 32, data_bytes=1024 * mb) == 256
+    # clamped at 8192 for any data size
+    assert session_mod.initial_shuffle_partitions(32, 32, data_bytes=10**15) == 8192
+    # an explicit larger SPARK_GRAFT_SHUFFLE pin raises the floor too
+    assert session_mod.initial_shuffle_partitions(4, 512, data_bytes=mb) == 512
+    # no data directory known: the conservative 8 x floor fallback
+    # (AQE coalesces down; erring high is the safe side)
     assert session_mod.initial_shuffle_partitions(32, 32) == 256
-    assert session_mod.initial_shuffle_partitions(8, 8) == 64
-    assert session_mod.initial_shuffle_partitions("32", "32") == 256
-    # an explicit larger SPARK_GRAFT_SHUFFLE pin raises the ceiling too
-    assert session_mod.initial_shuffle_partitions(4, 512) == 512
+    assert session_mod.initial_shuffle_partitions("8", "8") == 64
+
+
+def test_initial_partition_env_data_dir(monkeypatch, tmp_path):
+    # the session derives data bytes from $SPARK_GRAFT_SF_DIR
+    monkeypatch.delenv("SPARK_GRAFT_INITIAL_SHUFFLE", raising=False)
+    big = tmp_path / "blob"
+    big.write_bytes(b"x" * (64 * 1024 * 1024))
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
+    assert session_mod.initial_shuffle_partitions(8, 8) == 16  # 64 MiB / 4 MiB
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path / "missing"))
+    assert session_mod.initial_shuffle_partitions(8, 8) == 64  # fallback
 
 
 def test_initial_partition_env_override(monkeypatch):
@@ -34,7 +55,9 @@ def test_session_sets_aqe_ceiling(spark):
     got = int(
         spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     )
-    assert got == session_mod.initial_shuffle_partitions(8, 8) == 64
+    # the rule is env-sensitive ($SPARK_GRAFT_SF_DIR); assert the conf
+    # matches the rule under the same env rather than a literal
+    assert got == session_mod.initial_shuffle_partitions(8, 8)
 
 
 def test_spread_partitions_data_proportional(spark, tmp_path):
