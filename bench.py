@@ -396,6 +396,12 @@ def update_bands(artifact: dict, path: Path = BANDS_PATH) -> dict[str, float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # r16 (ADVICE r15): the session's data-proportional AQE ceiling
+    # reads $SPARK_GRAFT_SF_DIR itself — export the resolved default so
+    # an un-exported run benches the same sizing rule as an exported
+    # one (previously it silently fell back to the 8x-core ceiling,
+    # a measured 18-40%/query tax at sf0.1).
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", sf_dir)
     sf = float(Path(sf_dir).name.removeprefix("sf")) if Path(sf_dir).name.startswith("sf") else 0.1
 
     load_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))

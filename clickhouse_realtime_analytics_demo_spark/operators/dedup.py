@@ -392,6 +392,21 @@ def lsh_candidates_from_sigs(
                 bucketed = bucketed.unionByName(extra)
         else:
             bucketed = kept
+    # Candidate emission stays a bucket SELF-JOIN + distinct, by r16
+    # measurement (VERDICT r15 #2 proposed map-side pair generation —
+    # groupBy(keys).collect_list(id) → sorted-array combinations →
+    # explode — to drop the join's second pass; same-session ABBA over
+    # identical checkpointed signatures, best-of-N, pair sets asserted
+    # equal, REJECTED it): 1.103 → 1.414 s at sf0.1 (1×, broadcast
+    # regime) and 6.81 → 16.36 s at 40× (98 spread partitions, 8.1M
+    # candidate pairs). Same mechanism as the copurchased_parts r13
+    # finding: collect_list's object hash aggregation plus per-bucket
+    # nested-transform pair expansion costs far more than the columnar
+    # join that stays in Tungsten end to end. The distinct() already
+    # does map-side partial aggregation (HashAggregate below the
+    # exchange), so there is no further "pre-dedup before the pair
+    # shuffle" available — within a bucket pairs are unique by
+    # construction; duplicates only exist ACROSS bands.
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cond = (F.col("a.id") < F.col("b.id"))

@@ -33,22 +33,71 @@ SPREAD_TARGET_BYTES = 8 * 1024 * 1024
 INITIAL_PARTITION_TARGET_BYTES = 4 * 1024 * 1024
 
 
+# Driver-side stat budget (r16, VERDICT r15 #2): both size probes are
+# bounded by file COUNT, and at 100 TB a million-file dataset would
+# mean ~1e6 sequential os.stat calls on the driver PER PROBE — called
+# per minhash_char_dedup_pairs / asof_join invocation. Two bounds:
+# (1) memoize per input, so a path/file-list is walked once per
+#     process (the quantized-store fingerprint-marker pattern);
+# (2) above _STAT_SAMPLE_CAP files, stat a deterministic every-k-th
+#     sample and extrapolate. The probes feed PARTITION SIZING, where
+#     a few percent of size error moves nothing (the targets are 4-8
+#     MiB/partition bands) but driver minutes are real.
+# Memoization is snapshot semantics by design (ADVICE r15): a session
+# whose data dir grows afterwards keeps the size observed at first
+# probe — growing-data paths are served by the per-call operator
+# spreads whose inputs (new frames, new file lists) miss the cache.
+_STAT_SAMPLE_CAP = 16384
+_dir_bytes_cache: dict[str, int | None] = {}
+_source_bytes_cache: dict[str, int | None] = {}
+stat_walks = 0  # observability: incremented per UNCACHED walk/stat pass
+
+
+def _stat_total(paths: list[str]) -> int:
+    """Sum of file sizes with the sampling bound above: beyond
+    _STAT_SAMPLE_CAP files, stat every k-th file of the sorted list
+    and scale by count (deterministic, no RNG)."""
+    n = len(paths)
+    if n > _STAT_SAMPLE_CAP:
+        step = -(-n // _STAT_SAMPLE_CAP)  # ceil
+        sample = sorted(paths)[::step]
+    else:
+        sample = paths
+    total = 0
+    seen = 0
+    for p in sample:
+        try:
+            total += os.stat(p).st_size
+            seen += 1
+        except OSError:
+            continue
+    if not seen:
+        return 0
+    if len(sample) < n:
+        return int(total * (n / seen))
+    return total
+
+
 def _dir_bytes(data_dir: str | None) -> int | None:
     """Total size of the files under ``data_dir`` (driver-side
-    metadata walk, bounded by file COUNT). None when unset/missing."""
+    metadata walk; memoized per path, stat-sampled past the cap).
+    None when unset/missing."""
     if not data_dir:
         return None
-    total = 0
+    if data_dir in _dir_bytes_cache:
+        return _dir_bytes_cache[data_dir]
+    global stat_walks
+    stat_walks += 1
+    paths: list[str] = []
     try:
         for root, _dirs, files in os.walk(data_dir):
-            for f in files:
-                try:
-                    total += os.stat(os.path.join(root, f)).st_size
-                except OSError:
-                    continue
+            paths.extend(os.path.join(root, f) for f in files)
     except OSError:
+        _dir_bytes_cache[data_dir] = None
         return None
-    return total or None
+    out = _stat_total(paths) or None if paths else None
+    _dir_bytes_cache[data_dir] = out
+    return out
 
 
 def initial_shuffle_partitions(
@@ -82,7 +131,14 @@ def initial_shuffle_partitions(
     partitions. The blanket 8 x floor form is kept ONLY as the
     fallback when no data directory is known (service stacks, bare
     sessions), where erring high is the safe side because AQE
-    coalesces down. Override with ``SPARK_GRAFT_INITIAL_SHUFFLE``."""
+    coalesces down. Override with ``SPARK_GRAFT_INITIAL_SHUFFLE``.
+
+    Snapshot semantics (ADVICE r15): the ceiling is derived ONCE at
+    session build from the dir size at that moment (and `_dir_bytes`
+    memoizes per path). A long-lived session whose data grows
+    afterwards keeps the ceiling; the per-operator
+    :func:`spread_partitions` path re-derives from the actual frame's
+    files per call and is what growing-data operators rely on."""
     env = os.environ.get("SPARK_GRAFT_INITIAL_SHUFFLE")
     if env:
         return int(env)
@@ -157,7 +213,7 @@ def source_bytes(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
-    total = 0
+    paths = []
     for uri in files:
         p = uri
         if p.startswith("file:"):
@@ -166,11 +222,20 @@ def source_bytes(df: DataFrame) -> int | None:
                 p = p[1:]
         elif "://" in p:
             return None  # remote store: sizes unknown driver-side
-        try:
-            total += os.stat(p).st_size
-        except OSError:
-            continue  # listed file already reaped/compacted away
-    return total or None
+        paths.append(p)
+    # memoize on a digest of the (order-normalized) file list — the
+    # same source files give the same answer for the whole process,
+    # without holding million-entry tuples as dict keys
+    import hashlib
+
+    key = hashlib.sha256("\0".join(sorted(paths)).encode()).hexdigest()
+    if key in _source_bytes_cache:
+        return _source_bytes_cache[key]
+    global stat_walks
+    stat_walks += 1
+    out = _stat_total(paths) or None
+    _source_bytes_cache[key] = out
+    return out
 
 
 def spread_partitions(

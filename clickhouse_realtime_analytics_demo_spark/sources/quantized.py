@@ -50,6 +50,31 @@ __all__ = [
 _MARKER = "_SOURCE.json"
 
 
+def _write_schema(parquet_dir: Path, df: DataFrame) -> None:
+    """Persist the frame's schema INSIDE its parquet dir (r16, as
+    ``_schema.json`` — underscore-prefixed files are invisible to
+    Spark's file listing, like ``_SUCCESS``): a bare
+    ``spark.read.parquet`` runs a footer schema-inference JOB per
+    call, and the stored-ANN queries re-open their store per query — a
+    known schema makes every store read job-free on the driver
+    (plan-time only), the same reason real table formats carry schema
+    in metadata instead of re-deriving it from data files."""
+    (parquet_dir / "_schema.json").write_text(df.schema.json())
+
+
+def _read_with_schema(spark: SparkSession, parquet_dir: Path) -> DataFrame:
+    """Read a store parquet dir using its schema sidecar when present
+    (no inference job); fall back to inference for stores written
+    before the sidecar existed."""
+    sf = parquet_dir / "_schema.json"
+    if sf.exists():
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(sf.read_text()))
+        return spark.read.schema(schema).parquet(str(parquet_dir))
+    return spark.read.parquet(str(parquet_dir))
+
+
 def store_path(sf_dir: str, root: str | None = None) -> Path:
     """Deterministic per-source store location. Keyed by a hash of the
     absolute source dir so sf0.01 / sf0.1 / test-tmp corpora never
@@ -73,7 +98,9 @@ def ensure_store(spark: SparkSession, sf_dir: str, root: str | None = None) -> P
     construction: s = max|x|/127)."""
     path = store_path(sf_dir, root)
     marker = path / _MARKER
-    fp = _fingerprint(sf_dir)
+    # layout 2 (r16): adds the _schema.json sidecar so reads skip the
+    # footer schema-inference job; bump rebuilds pre-sidecar stores
+    fp = {**_fingerprint(sf_dir), "layout": 2}
     try:
         if json.loads(marker.read_text()) == fp:
             return path
@@ -88,6 +115,7 @@ def ensure_store(spark: SparkSession, sf_dir: str, root: str | None = None) -> P
     # one sorted file per shuffle partition; vec_id order gives row-group
     # min/max stats for point lookups (the query-vector fetch)
     qz.sortWithinPartitions("vec_id").write.mode("overwrite").parquet(str(path / "data"))
+    _write_schema(path / "data", qz)
     marker.write_text(json.dumps(fp))
     return path
 
@@ -95,7 +123,7 @@ def ensure_store(spark: SparkSession, sf_dir: str, root: str | None = None) -> P
 def read_store(spark: SparkSession, sf_dir: str, root: str | None = None) -> DataFrame:
     """The quantized table, building it first if missing/stale."""
     path = ensure_store(spark, sf_dir, root)
-    return spark.read.parquet(str(path / "data"))
+    return _read_with_schema(spark, path / "data")
 
 
 def ivf_store_path(sf_dir: str, root: str | None = None) -> Path:
@@ -126,13 +154,17 @@ def ensure_ivf_store(
 
     path = ivf_store_path(sf_dir, root)
     marker = path / _MARKER
-    # layout 2 (r15): adds the id→cell sidecar index; bumping the
-    # fingerprint rebuilds any layout-1 store on first touch
+    # layout 3 (r16, VERDICT r15 #3): the id→cell sidecar becomes a
+    # BY-ID PROJECTION carrying (cell, qvec, qscale), so the per-query
+    # driver fetch is ONE row-group-pruned point read instead of two
+    # jobs (index point-read for the cell, then a cell point-read for
+    # the vector). Bumping the fingerprint rebuilds older layouts on
+    # first touch.
     fp = {
         **_fingerprint(sf_dir),
         "num_cells": num_cells,
         "lloyd_iters": lloyd_iters,
-        "layout": 2,
+        "layout": 3,
     }
     try:
         if json.loads(marker.read_text()) == fp:
@@ -158,53 +190,54 @@ def ensure_ivf_store(
         .partitionBy("cell")
         .parquet(str(path / "data"))
     )
-    # id→cell sidecar (r15, VERDICT r14 #3): the per-query driver-side
-    # query-row fetch must not scan every cell (vec_id is NOT the
-    # partition key). A compact 2-int-column index, range-partitioned
-    # and sorted on vec_id, makes the fetch (1) a row-group-pruned
-    # point read of the index, then (2) ONE partition-pruned cell
-    # read. At 100 TB the index is ~16 B/vector — data-linear but
-    # ~100× smaller than the quantized store, and the point read
-    # touches a single file's single row group via min/max stats.
+    _write_schema(path / "data", qz.select("vec_id", "qvec", "qscale", "cell"))
+    # by-id projection sidecar (r15 added it as a 2-int id→cell index,
+    # VERDICT r14 #3; r16 widened it to carry the row, VERDICT r15
+    # #3): the per-query driver-side query-row fetch must not scan
+    # every cell (vec_id is NOT the partition key), and with (cell,
+    # qvec, qscale) riding along it is ONE point read — cell for the
+    # centroid/pruning decision AND the vector for literal inlining,
+    # one Spark job instead of two. Range-partitioned and sorted on
+    # vec_id so min/max stats prune to a single file's single row
+    # group. This is the same at-rest move as a ClickHouse PROJECTION
+    # (an alternate sort order stored next to the table, the reference
+    # engine's own answer to point reads against a differently-ordered
+    # table): it doubles the quantized store's bytes at rest — still
+    # ~1.8× smaller than the float source — and buys every query one
+    # fewer driver round-trip, the right side of the trade for a
+    # latency-serving ANN store.
     (
-        qz.select("vec_id", "cell")
+        qz.select("vec_id", "cell", "qvec", "qscale")
         .repartitionByRange(max(num_cells // 4, 1), "vec_id")
         .sortWithinPartitions("vec_id")
         .write.mode("overwrite")
         .parquet(str(path / "id_index"))
     )
+    _write_schema(path / "id_index", qz.select("vec_id", "cell", "qvec", "qscale"))
     (path / "centroids.json").write_text(json.dumps(centroids))
     marker.write_text(json.dumps(fp))
     return path
 
 
-def ivf_query_lookup(
-    spark: SparkSession, path: Path, query_id: int, store: DataFrame | None = None
-) -> tuple[DataFrame, int]:
-    """The per-query driver-side fetch, sidecar-pruned (r15, VERDICT
-    r14 #3: the previous ``store.filter(vec_id==q)`` collect scanned
-    every cell because vec_id is not the partition key): point-read
-    the id→cell index, then return the single-row (qvec, qscale) frame
-    restricted to THAT cell — its executed scan opens exactly one
-    ``cell=`` directory (asserted by tests/test_quantized_store.py).
-    Returns (lookup_df, cell).
-
-    ``store``: pass the already-created store DataFrame when the
-    caller holds one — each ``spark.read.parquet`` re-lists the store
-    directory tree and re-reads footers driver-side, and the first
-    r15 form paid that twice per query (measured on the bench query:
-    ~0.3-0.5 s/run of pure driver listing at sf0.1)."""
-    idx = spark.read.parquet(str(path / "id_index"))
-    hit = idx.filter(F.col("vec_id") == query_id).collect()
+def ivf_query_lookup(spark: SparkSession, path: Path, query_id: int):
+    """The per-query driver-side fetch, ONE point-read job (r16,
+    VERDICT r15 #3): the by-id projection sidecar carries (cell, qvec,
+    qscale), so a single row-group-pruned read of ``id_index`` returns
+    both the vector (for centroid selection / literal inlining) and
+    its cell — the r15 form paid a second job to point-read the cell
+    directory after the index told it which one (two driver
+    round-trips per query, ~0.17 s of pure job overhead at sf0.1).
+    The probed scan never opens the ``data/`` tree at all (asserted by
+    tests/test_quantized_store.py). Returns (row, cell) where row has
+    ``qvec`` and ``qscale``. Raises on unknown ids — a silent empty
+    result would look like an empty store."""
+    idx = _read_with_schema(spark, path / "id_index")
+    hit = idx.filter(F.col("vec_id") == query_id).select(
+        "cell", "qvec", "qscale"
+    ).collect()
     if not hit:
         raise ValueError(f"query_id {query_id} not in the IVF store index")
-    qcell = int(hit[0]["cell"])
-    if store is None:
-        store = spark.read.parquet(str(path / "data"))
-    lookup = store.filter(
-        (F.col("cell") == qcell) & (F.col("vec_id") == query_id)
-    ).select("qvec", "qscale")
-    return lookup, qcell
+    return hit[0], int(hit[0]["cell"])
 
 
 def ivf_stored_topk(
@@ -238,13 +271,12 @@ def ivf_stored_topk(
 
     path = ensure_ivf_store(spark, sf_dir, num_cells, root=root)
     centroids = json.loads((path / "centroids.json").read_text())
-    store = spark.read.parquet(str(path / "data"))
-    # sidecar-pruned query-row fetch: index point-read → ONE cell scan
-    # (r15; the old vec_id filter over the whole store opened every
-    # cell — at 100 TB that one driver-side lookup was a full-store
-    # metadata+footer pass per query)
-    lookup, _qcell = ivf_query_lookup(spark, path, query_id, store=store)
-    qrow = lookup.collect()[0]
+    store = _read_with_schema(spark, path / "data")
+    # projection-pruned query-row fetch: ONE point-read job returns
+    # cell + vector (r16; r15 paid an index job then a cell job, and
+    # the r14 form before it scanned every cell's footers — at 100 TB
+    # a full-store metadata pass per query)
+    qrow, _qcell = ivf_query_lookup(spark, path, query_id)
     qvec = [float(x) * qrow["qscale"] for x in qrow["qvec"]]
     qn = sum(x * x for x in qvec) ** 0.5 or 1.0
 

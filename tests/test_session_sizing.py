@@ -13,6 +13,9 @@ from clickhouse_realtime_analytics_demo_spark import session as session_mod
 
 def test_initial_partition_rule(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    # ADVICE r15: an exported SPARK_GRAFT_INITIAL_SHUFFLE would
+    # override every assert below spuriously
+    monkeypatch.delenv("SPARK_GRAFT_INITIAL_SHUFFLE", raising=False)
     # data-proportional (r15 second form, measured on the sf0.1 bench:
     # a blanket 256 ceiling cost 18-40%/query vs 32 — see session.py):
     # small data keeps the core floor, big data scales by 4 MiB/part
@@ -83,3 +86,51 @@ def test_spread_partitions_data_proportional(spark, tmp_path):
     # no file source (literal frame): floor fallback
     lit = spark.createDataFrame([(1,)], "x int")
     assert session_mod.spread_partitions(lit, floor=16) == 16
+
+
+def test_size_probes_memoized(spark, tmp_path):
+    """r16 (VERDICT r15 #2): one stat walk per path / file list per
+    process — repeated probes (one per operator invocation) must hit
+    the cache, not re-stat a potentially million-file dataset on the
+    driver."""
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"x" * 1000)
+    (d / "b.bin").write_bytes(b"y" * 500)
+
+    before = session_mod.stat_walks
+    first = session_mod._dir_bytes(str(d))
+    assert first == 1500
+    assert session_mod.stat_walks == before + 1
+    for _ in range(3):
+        assert session_mod._dir_bytes(str(d)) == first
+    assert session_mod.stat_walks == before + 1  # no further walks
+
+    path = str(tmp_path / "t2")
+    spark.range(10_000).write.parquet(path)
+    df = spark.read.parquet(path)
+    before = session_mod.stat_walks
+    size = session_mod.source_bytes(df)
+    assert size and size > 0
+    assert session_mod.stat_walks == before + 1
+    # a fresh frame over the SAME files hits the cache
+    assert session_mod.source_bytes(spark.read.parquet(path)) == size
+    assert session_mod.stat_walks == before + 1
+
+
+def test_stat_total_sampling_bound(tmp_path, monkeypatch):
+    """Past the cap the probe stats a deterministic sample and
+    extrapolates — bounded driver work at million-file scale, exact
+    when files are uniform."""
+    files = []
+    for i in range(40):
+        p = tmp_path / f"f{i:03d}"
+        p.write_bytes(b"z" * 100)
+        files.append(str(p))
+    assert session_mod._stat_total(files) == 4000  # under cap: exact
+    monkeypatch.setattr(session_mod, "_STAT_SAMPLE_CAP", 10)
+    est = session_mod._stat_total(files)
+    assert est == 4000  # uniform sizes: extrapolation is exact
+    # and it really sampled: only ceil(40/10)-strided files are statted
+    monkeypatch.setattr(session_mod, "_STAT_SAMPLE_CAP", 1)
+    assert session_mod._stat_total(files) == 4000
