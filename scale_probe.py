@@ -23,6 +23,7 @@ attributed (plan flip vs noise) from the .md alone.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -3827,26 +3828,51 @@ def write_steepest_rung_section(rows: list[dict]) -> None:
     md.write_text(text.rstrip() + "\n\n" + "\n".join(lines) + "\n" + tail_sections)
 
 
-def asof_sf6_probe(spark, ks=(10, 60), runs: int = 2) -> list[dict]:
+def asof_sf6_probe(spark=None, ks=(10, 60), runs: int = 2) -> list[dict]:
     """r15 (VERDICT r14 #1): the sf6 as-of rung rerun with ZERO hand
-    partition sweep. The engine session now owns the sizing rule
-    (session.initial_shuffle_partitions: AQE starts every shuffle at
-    8x cores and coalesces DOWN by bytes), so the rung that spilled at
+    partition sweep. The engine session owns the sizing rule
+    (session.initial_shuffle_partitions), so the rung that spilled at
     the fixed 32-partition default (r14 addendum: 8.5x wall for 6x
     data; hand-swept 256 restored 5.2x) must land sub-linear-ish out
     of the box. ASSERTS factor <= 5.5x (the swept optimum + margin) —
-    a failure here means the rule regressed, not the operator."""
+    a failure here means the rule regressed, not the operator.
+
+    r16 (VERDICT r15 #5): each rung's TIMED session is now built with
+    ``$SPARK_GRAFT_SF_DIR`` pointing at the rung's own generated data
+    dir — the documented production wiring — so the rung certifies the
+    DATA-PROPORTIONAL ceiling (``max(floor, bytes/4MiB)``: ~256 at the
+    sf6 rung's ~1 GB), not the 8x-cores fallback the r15 run exercised
+    (probe sessions had no SF_DIR, so the fallback ceiling — which
+    happens to also be 256 on this box — carried the rung). Data gen
+    runs in a separate throwaway session (its ceiling is irrelevant to
+    the claim); the passed ``spark`` is ignored and each rung times
+    against a fresh session whose recorded ``initial_partitions`` is
+    the rule's own output for that rung's bytes. No hand-set knobs
+    anywhere."""
+    if spark is not None:
+        spark.stop()
     qs = all_queries()
     out = []
+    saved_env = os.environ.get("SPARK_GRAFT_SF_DIR")
     for k in ks:
         d = tempfile.mkdtemp(prefix=f"asofsf6_k{k}_")
+        gen = get_spark(app_name=f"asofsf6_gen_k{k}")
         t0 = time.perf_counter()
-        replicate(spark, d, k, only=("events", "orders", "customer"))
+        replicate(gen, d, k, only=("events", "orders", "customer"))
         build_s = round(time.perf_counter() - t0, 1)
+        gen.stop()
+        os.environ["SPARK_GRAFT_SF_DIR"] = d
+        try:
+            spark_k = get_spark(app_name=f"scale_probe_asofsf6_k{k}")
+        finally:
+            if saved_env is None:
+                os.environ.pop("SPARK_GRAFT_SF_DIR", None)
+            else:
+                os.environ["SPARK_GRAFT_SF_DIR"] = saved_env
         best, vols = float("inf"), None
         for _ in range(runs):
             t0 = time.perf_counter()
-            df = qs["events_asof_order"].fn(spark, d)
+            df = qs["events_asof_order"].fn(spark_k, d)
             df.collect()
             dt = time.perf_counter() - t0
             if dt < best:
@@ -3856,11 +3882,12 @@ def asof_sf6_probe(spark, ks=(10, 60), runs: int = 2) -> list[dict]:
             "wall_s": round(best, 3),
             **vols,
             "replicate_build_s": build_s,
-            "initial_partitions": spark.conf.get(
+            "initial_partitions": spark_k.conf.get(
                 "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
             ),
-            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "shuffle_partitions": spark_k.conf.get("spark.sql.shuffle.partitions"),
         }
+        spark_k.stop()
         out.append(row)
         print(json.dumps({"asof_sf6": row}), flush=True)
         shutil.rmtree(d, ignore_errors=True)
@@ -3883,24 +3910,31 @@ def write_asof_sf6_section(rows: list[dict]) -> None:
     lines = [
         marker.strip(),
         "",
-        "`scale_probe.py asofsf6` (r15, VERDICT r14 #1): the r14 sf6 "
-        "addendum's spill was fixed by a HAND sweep to 256 partitions; "
-        "the engine now owns the sizing in TWO engine-side pieces, and "
-        "this rung measured that the first alone is NOT enough: "
-        "(1) the session pins `initialPartitionNum = 8 x cores` (256 "
-        "here) so implicit shuffles start high and AQE coalesces DOWN "
-        "— but AQE coalesces by BYTES, and the as-of window's shuffle "
-        "is byte-light/memory-heavy (~50x expansion into the sort), so "
-        "AQE squeezed it back to ~cores and the first r15 rung read "
-        "5.8x; (2) `operators/temporal.py` therefore derives an "
-        "explicit keyed spread from the SOURCE BYTES "
+        "`scale_probe.py asofsf6` (r15, VERDICT r14 #1; re-recorded "
+        "r16, VERDICT r15 #5): the r14 sf6 addendum's spill was fixed "
+        "by a HAND sweep to 256 partitions; the engine now owns the "
+        "sizing in TWO engine-side pieces, and this rung measured that "
+        "the first alone is NOT enough: (1) the session derives the "
+        "AQE `initialPartitionNum` ceiling from the DATA BYTES "
+        "(`session.initial_shuffle_partitions`: `max(floor, "
+        "$SPARK_GRAFT_SF_DIR bytes / 4 MiB)` — each rung's timed "
+        "session is built with the env var pointing at that rung's "
+        "generated dir, the documented production wiring, so the "
+        "recorded `initialPartitionNum` below is the rule's own output "
+        "for the rung's bytes, not the 8x-cores fallback the r15 run "
+        "exercised) so implicit shuffles start data-proportional and "
+        "AQE coalesces DOWN — but AQE coalesces by BYTES, and the "
+        "as-of window's shuffle is byte-light/memory-heavy (~50x "
+        "expansion into the sort), so AQE squeezes it back to ~cores; "
+        "(2) `operators/temporal.py` therefore derives an explicit "
+        "keyed spread from the SOURCE BYTES "
         "(`session.spread_partitions`, ~0.75 MB scan bytes per "
         "partition — the measured spill-free density), which AQE never "
         "coalesces and which satisfies the window's distribution (no "
         "extra exchange). This rung runs `events_asof_order` at sf1 "
-        "and sf6 on the UNMODIFIED default session; the probe asserts "
-        "the factor (<= 5.5x) so a regression in either piece fails "
-        "loudly.",
+        "and sf6, each on a fresh UNMODIFIED engine session over that "
+        "rung's data; the probe asserts the factor (<= 5.5x) so a "
+        "regression in either piece fails loudly.",
         "",
         "| k | wall (s) | scan MB | shuffle MB | shuffle rows | initialPartitionNum | shuffle.partitions |",
         "|---|---|---|---|---|---|---|",
@@ -4045,12 +4079,11 @@ def write_ttl_scale_section(rows: list[dict]) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "asofsf6":
-        # DELIBERATELY the default session: the probe's whole point is
-        # that no caller supplies a partition count
-        spark = get_spark(app_name="scale_probe_asofsf6")
-        rows = asof_sf6_probe(spark)
+        # the probe manages its own per-rung sessions (r16, VERDICT
+        # r15 #5): no caller supplies a partition count, and each
+        # rung's session derives its ceiling from that rung's data dir
+        rows = asof_sf6_probe()
         write_asof_sf6_section(rows)
-        spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ttlscale":
         spark = get_spark(app_name="scale_probe_ttl_scale")
