@@ -254,6 +254,36 @@ SHINGLE_SPREAD_SOURCE_BYTES = 160 * 1024
 
 last_adaptive: dict = {}
 
+# Attach-stage sizing (r16, from the corpusprep100 probe's OOM): the
+# verify-attach rows carry BOTH shingle arrays, so the stage's
+# in-memory size follows the CANDIDATE PAIR count — which grows faster
+# than corpus bytes (denser boilerplate buckets at bigger K) — not the
+# source bytes the shingle spread tracks. Measured: k=40 → 8.1M pairs
+# over 98 source-derived partitions = 171-225 MiB localCheckpoint
+# blocks (within disk-spill reach); k=100 → 241 source-derived
+# partitions, blocks past 400 MiB, and 32 concurrent checkpoint
+# unrolls exhausted the 48 g driver heap (java.lang.OutOfMemoryError
+# in MemoryStore.putIteratorAsValues). Bytes per attached pair
+# calibrated from the k=40 blocks: ~20 GiB / 8.1M pairs ≈ 2.5 KiB.
+# Target ~32 MiB blocks: bounded unroll memory (32 tasks × 32 MiB in
+# flight) at any K, and the count comes from the already-checkpointed
+# candidate frame — one cheap bounded job, only paid in the scale
+# regime (n_parts above the core floor; 1x corpora keep the exact
+# previous plan and job count).
+ATTACH_PAIR_BYTES = 2560
+ATTACH_BLOCK_TARGET_BYTES = 32 * 1024 * 1024
+
+
+def attach_partitions(n_pairs: int, floor: int, ceiling: int = 8192) -> int:
+    """Pair-count-proportional partition count for the verify-attach
+    spread: ``max(floor, n_pairs * 2.5 KiB / 32 MiB)``, clamped."""
+    import math
+
+    return max(
+        floor,
+        min(ceiling, math.ceil(n_pairs * ATTACH_PAIR_BYTES / ATTACH_BLOCK_TARGET_BYTES)),
+    )
+
 
 def lsh_candidates_from_sigs(
     sigs: DataFrame,
@@ -629,18 +659,65 @@ def minhash_char_dedup_pairs(
     # broadcast with ZERO exchanges, so the spreads stay out of the
     # plan and the small-scale bench keeps its shape.
     core_floor = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 16)
+    size_ok = (F.col("na") >= F.col("nb") * thr - F.lit(1e-9)) & (
+        F.col("nb") >= F.col("na") * thr - F.lit(1e-9)
+    )
     if n_parts > core_floor:
-        pre = cands.repartition(n_parts, "id_a").join(a, "id_a").repartition(
-            n_parts, "id_b"
+        # r16 scale regime, from the corpusprep100 probe's two found
+        # failures (heap OOM, then ENOSPC, at k=100 on a 48 g / 80 GB
+        # box):
+        # (1) the attach spreads follow the MEASURED pair count
+        #     (attach_partitions above) — the source-derived n_parts
+        #     under-partitions this stage once buckets densify (400
+        #     MiB+ checkpoint blocks → 32 concurrent unrolls OOMed the
+        #     heap). cands is localCheckpointed, so the count is one
+        #     bounded job; plan-only construction (eager=False) keeps
+        #     the job-free contract and falls back to n_parts.
+        # (2) the shingle ARRAYS are consumed IN the second attach
+        #     join's stage (guide §2.3 "project before the exchange" /
+        #     §8 "move heavy bytes once"): one Project evaluates the
+        #     intersect size per surviving pair, and only (ids, sizes,
+        #     |A∩B|) — ~40 bytes/pair — cross the barrier, instead of
+        #     checkpointing both arrays (~2.5 KiB/pair) and shuffling
+        #     them through a third (id_a, id_b) exchange. At k=100
+        #     that exchange + checkpoint were ~60-80 GB of transient
+        #     disk; the slim form is ~1.5 GB. The explicit keyed
+        #     spread before the join guarantees the intersect work
+        #     runs on n_attach partitions (never the r6 single-task
+        #     squeeze), and a doc's pair fan-out is bounded by the
+        #     bucket cap x bands, so id_b hash partitioning cannot
+        #     concentrate more than ~cap x bands pairs per doc.
+        #     Arithmetic is EXACTLY :func:`jaccard`'s — int sizes,
+        #     one double division — pinned bit-identical across the
+        #     regime switch by tests/test_corpus_prep_lsh.py.
+        n_attach = attach_partitions(cands.count(), n_parts) if eager else n_parts
+        pre = cands.repartition(n_attach, "id_a").join(a, "id_a").repartition(
+            n_attach, "id_b"
         )
-    else:
-        pre = cands.join(a, "id_a")
+        slim = (
+            pre.join(b, "id_b")
+            .filter(size_ok)
+            .select(
+                "id_a",
+                "id_b",
+                "na",
+                "nb",
+                F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).alias(
+                    "inter_n"
+                ),
+            )
+        )
+        attached = _barrier(slim)
+        inter = F.col("inter_n").cast("double")
+        union = (F.col("na") + F.col("nb")).cast("double") - inter
+        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        return attached.select("id_a", "id_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= thr
+        )
     attached = _barrier(
-        pre.join(b, "id_b")
-        .filter(
-            (F.col("na") >= F.col("nb") * thr - F.lit(1e-9))
-            & (F.col("nb") >= F.col("na") * thr - F.lit(1e-9))
-        )
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(size_ok)
         .repartition(n_parts, "id_a", "id_b")
     )
     return (

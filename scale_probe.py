@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import random as _random
 import shutil
 import sys
 import tempfile
@@ -105,6 +106,7 @@ def replicate(spark, out_dir: str, k: int, only: tuple[str, ...] | None = None) 
     }
     letters = "abcdefghijklmnopqrstuvwxyz"
     digits = "0123456789"
+    seen_perms: set = set()
     todo = {n: c for n, c in REPLICATE.items() if only is None or n in only}
     for name, col_entities in todo.items():
         src = table(spark, BASE_SF, name)
@@ -116,26 +118,41 @@ def replicate(spark, out_dir: str, k: int, only: tuple[str, ...] | None = None) 
             if name == "documents" and i:
                 # Grow the corpus with NEW content, not K identical
                 # copies: a per-copy substitution cipher (length-
-                # preserving, distinct for i < 260) gives each copy
-                # disjoint shingle sets. Without this, every doc forms
-                # a K-clique of TRUE near-duplicates and the correct
-                # near-dup output itself is quadratic in K — the first
-                # probe run measured dedup_minhash at 213x for 100x
-                # "data" purely because the planted output had ~25M
-                # pairs; no algorithm is sub-quadratic in its output.
-                # lrot in 1..25 for EVERY i>0 (was i % 26: at i=26,52,78
-                # the letter map degenerated to identity and digit-poor
-                # docs became near-identical to copy 0, partially
-                # re-planting the cross-copy cliques the cipher exists
-                # to prevent — r5 ADVICE). drot cycles independently so
-                # (lrot, drot) pairs stay distinct for i < 250.
-                lrot, drot = 1 + (i - 1) % 25, (i // 25) % 10
-                src_chars = letters + letters.upper() + digits
-                dst_chars = (
-                    letters[lrot:] + letters[:lrot]
-                    + (letters[lrot:] + letters[:lrot]).upper()
-                    + digits[drot:] + digits[:drot]
+                # preserving) gives each copy disjoint shingle sets.
+                # Without this, every doc forms a K-clique of TRUE
+                # near-duplicates and the correct near-dup output
+                # itself is quadratic in K — the first probe run
+                # measured dedup_minhash at 213x for 100x "data"
+                # purely because the planted output had ~25M pairs; no
+                # algorithm is sub-quadratic in its output.
+                # r16: per-copy SEEDED RANDOM PERMUTATIONS of the
+                # letter and digit alphabets, replacing the rotation
+                # cipher. Rotations have period 25 (letters) / 10
+                # (digits), so at K > 25 the old map repeated:
+                # letter-only docs were IDENTICAL across copies
+                # {1, 26, 51, 76} and digit-only docs formed 24-cliques
+                # across copies 1..24 (lrot = 1+(i-1)%25 collides at
+                # i ≡ j mod 25; drot = (i//25)%10 is constant within a
+                # 25-copy stripe) — the corpusprep100 probe measured
+                # the planted artifact as 4.95M "true" pairs at k=100
+                # (463x the 1x count; genuinely disjoint copies grow
+                # true pairs ~linearly) and the bucket cap then dropped
+                # the planted mega-cliques, reading as 80.7% recall.
+                # Full-alphabet permutations break every gram (not
+                # just a shifted window), and distinctness across
+                # copies is ASSERTED at build time instead of argued.
+                rng = _random.Random(0xC0FFEE + i)
+                lperm = list(letters)
+                rng.shuffle(lperm)
+                dperm = list(digits)
+                rng.shuffle(dperm)
+                key = ("".join(lperm), "".join(dperm))
+                assert key != (letters, digits) and key not in seen_perms, (
+                    f"copy {i}: cipher permutation collides; reseed"
                 )
+                seen_perms.add(key)
+                src_chars = letters + letters.upper() + digits
+                dst_chars = key[0] + key[0].upper() + key[1]
                 df = df.withColumn("text", F.translate("text", src_chars, dst_chars))
             parts.append(df)
         out = parts[0]
@@ -760,19 +777,26 @@ def corpusprep100_probe(spark, ks=(40, 100)) -> dict:
             # explicit keyed spread BEFORE each join (the 100x OOM
             # lesson, see dedup.minhash_char_dedup_pairs): shingle
             # arrays expand ~10x in memory, AQE byte-coalescing packs
-            # too much per task
+            # too much per task. r16: the spread follows the PAIR
+            # count (dedup.attach_partitions — the same probe-found
+            # rule the operator now applies), since attach bytes track
+            # pairs, not corpus bytes; cands is checkpointed at both
+            # call sites so the count is one bounded job.
+            n_att = _dedup.attach_partitions(cands.count(), n_spread)
             attached = (
-                cands.repartition(n_spread, "id_a")
+                cands.repartition(n_att, "id_a")
                 .join(
                     sh_sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sa"),
                     "id_a",
                 )
-                .repartition(n_spread, "id_b")
+                .repartition(n_att, "id_b")
                 .join(
                     sh_sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sb"),
                     "id_b",
                 )
-                .repartition(n_spread)
+                # no further repartition: the join output already sits
+                # on the n_att keyed spread, and a third exchange here
+                # would shuffle BOTH arrays (the ENOSPC term at 100x)
             )
             return attached.filter(
                 _dedup.jaccard(F.col("sa"), F.col("sb")) >= 0.6

@@ -61,3 +61,41 @@ def test_survivor_sets_equal_through_keep_one(spark):
     kept_exact = {r.doc_id for r in graph.keep_one_per_cluster(filtered, exact_pairs).select("doc_id").collect()}
     kept_lsh = {r.doc_id for r in graph.keep_one_per_cluster(filtered, lsh_pairs).select("doc_id").collect()}
     assert kept_lsh == kept_exact
+
+
+def test_attach_partitions_rule():
+    """r16 (corpusprep100 probe OOM): the verify-attach spread follows
+    the measured candidate-pair count — ~2.5 KiB of deserialized attach
+    row per pair, ~32 MiB target blocks — with the caller's floor and
+    the standard 8192 ceiling."""
+    # small pair sets keep the floor (1x corpora: plan unchanged)
+    assert dedup.attach_partitions(130_000, 32) == 32
+    assert dedup.attach_partitions(0, 16) == 16
+    # the probe's measured rungs: k=40's 8.1M pairs spread past the
+    # source-derived 98; k=100-scale pair counts land in the thousands
+    assert dedup.attach_partitions(8_100_000, 98) == 618
+    assert 2000 <= dedup.attach_partitions(38_000_000, 241) <= 8192
+    # ceiling clamps
+    assert dedup.attach_partitions(10**12, 32) == 8192
+
+
+def test_pairs_identical_under_scale_regime_attach(spark):
+    """The pair-proportional attach spread is partitioning only —
+    forcing the scale regime (num_partitions above the session core
+    floor, which routes through the keyed spreads AND the pair-count
+    sizing) must give the bit-identical pair set."""
+    _, blocked = _prep_filtered(spark, SF_DIR_MID)
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_char_dedup_pairs(
+            blocked, threshold=0.6, bands=16, max_bucket_size=64, block_col="blk"
+        ).collect()
+    }
+    spread = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_char_dedup_pairs(
+            blocked, threshold=0.6, bands=16, max_bucket_size=64,
+            block_col="blk", num_partitions=64,
+        ).collect()
+    }
+    assert spread == base
